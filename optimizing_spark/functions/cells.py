@@ -1,0 +1,243 @@
+"""Hierarchical cell index: Morton/Z-order codes + quadtree/octree cell
+assignment as pure column expressions (JVM-side, whole-stage-codegen).
+
+The reference's trees become columns here:
+
+- ``morton2d``/``morton3d``: bit-interleaved Z-order codes — the encode
+  the reference wrote but left commented out at its insert site
+  (.Test/QuadTree.cpp:310-318, endorsed by REPORT.md:35-38). The
+  depth-d prefix of the code IS the quadtree path at depth d (H3
+  resolution analog); the 3D variant adds z bits (S2 level analog).
+- ``assign_static_quadtree``: exact static-quadtree node assignment
+  (.Test/QuadTree.cpp:131-148): descend into the first child that
+  *contains* the item rect (min-closed/max-strict) while
+  depth+1 < max_depth. Pure function of the item box, so it is a
+  single projection — no loop, no shuffle.
+- ``octree_step``: one level of the 3D capacity-gated octree descent
+  (DynamicOctree.hpp:126-144) used by operators.tiling's refinement
+  loop. Child order SWD,SED,NWD,NED,SWU,SEU,NWU,NEU (x fastest, then
+  y, then z — DynamicOctree.hpp:56-65,87-94), closed containment.
+- ``kring_offsets``: 3x3 (2D) / 27-cell (3D) neighbor rings
+  (WorldPartition.hpp:194-213) for kNN candidate generation.
+
+Everything is float64; midpoints are computed by recursive halving
+(min + (max-min)*0.5, matching BoundaryBox.hpp:63 / resize()) so the
+NumPy oracle in tests/oracles reproduces bit-identical assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import Box2, Box3
+
+# ---------------------------------------------------------------------------
+# Morton / Z-order encoding (bitwise, JVM-side)
+# ---------------------------------------------------------------------------
+
+_SPREAD2 = [  # 16-bit -> even bit positions of a 32-bit word
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+_SPREAD3 = [  # up to 21-bit -> every 3rd bit of a 63-bit word
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+]
+
+
+def _spread2(c: Column) -> Column:
+    c = c.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for sh, mask in _SPREAD2:
+        c = c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def _spread3(c: Column) -> Column:
+    c = c.cast("long").bitwiseAND(F.lit(0x1FFFFF))
+    for sh, mask in _SPREAD3:
+        c = c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def morton2d(ix: Column, iy: Column) -> Column:
+    """Interleave two 16-bit integer columns; x takes the even bits
+    (bit 0), matching mortonEncode2D (.Test/QuadTree.cpp:310-318)."""
+    return _spread2(ix).bitwiseOR(F.shiftleft(_spread2(iy), 1))
+
+
+def morton3d(ix: Column, iy: Column, iz: Column) -> Column:
+    """Interleave three (<=21-bit) integer columns; x bit 0, y bit 1,
+    z bit 2 — same digit order as the octree child enum
+    (DynamicOctree.hpp:56-65: index = bx + 2*by + 4*bz)."""
+    return _spread3(ix).bitwiseOR(F.shiftleft(_spread3(iy), 1)).bitwiseOR(
+        F.shiftleft(_spread3(iz), 2))
+
+
+def grid_coord(v: Column, world_min: float, world_edge: float, bits: int) -> Column:
+    """Scale a float coordinate into an integer grid coordinate in
+    [0, 2^bits - 1] (clamped)."""
+    n = 1 << bits
+    i = F.floor((v - F.lit(world_min)) / F.lit(world_edge) * F.lit(n))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), i)).cast("long")
+
+
+def coarse_cell(x: Column, z: Column, cell: float) -> tuple[Column, Column]:
+    """Coarse world-partition grid cell (WorldPartition.hpp:174-179):
+    (int(x / cell), int(z / cell)) — C++ int cast truncates toward 0."""
+    def trunc_div(v: Column) -> Column:
+        q = v / F.lit(cell)
+        return F.when(q < 0, -F.floor(-q)).otherwise(F.floor(q)).cast("long")
+
+    return trunc_div(x), trunc_div(z)
+
+
+# ---------------------------------------------------------------------------
+# Static quadtree assignment (.Test/QuadTree.cpp:131-148) — pure projection
+# ---------------------------------------------------------------------------
+
+def assign_static_quadtree(
+    df,
+    world: Box2,
+    max_depth: int,
+    min_x: str = "min_x",
+    min_y: str = "min_y",
+    max_x: str = "max_x",
+    max_y: str = "max_y",
+    out_depth: str = "qt_depth",
+    out_code: str = "qt_code",
+):
+    """Add (qt_depth, qt_code) columns: the node the reference's
+    StaticQuadTree::insert would place each box at.
+
+    Rule (.Test/QuadTree.cpp:131-148): starting at the root (depth 0),
+    descend into the first child whose rect *contains* the item
+    (min-closed / max-strict, :44-56) while child depth < max_depth.
+    qt_code accumulates the 2-bit child digit per level
+    (code = code*4 + (bx + 2*by)), i.e. the Morton path prefix.
+
+    Implementation: per-level state is materialized as real columns
+    (one withColumns projection per level) so the logical plan stays
+    linear in max_depth; a pure expression recursion would grow the
+    tree ~7x per level. Still a single narrow projection pipeline —
+    no shuffle, fully codegen'd.
+    """
+    bmin_x, bmin_y, bmax_x, bmax_y = (F.col(c) for c in (min_x, min_y, max_x, max_y))
+    cur = df.withColumns(
+        {
+            "_c0x": F.lit(float(world.min_x)),
+            "_c0y": F.lit(float(world.min_y)),
+            "_c1x": F.lit(float(world.max_x)),
+            "_c1y": F.lit(float(world.max_y)),
+            out_depth: F.lit(0),
+            out_code: F.lit(0).cast("long"),
+            "_done": F.lit(False),
+        }
+    )
+    for _ in range(max_depth - 1):  # deepest node = max_depth - 1
+        mid_x = F.col("_c0x") + (F.col("_c1x") - F.col("_c0x")) * F.lit(0.5)
+        mid_y = F.col("_c0y") + (F.col("_c1y") - F.col("_c0y")) * F.lit(0.5)
+        cur = cur.withColumns({"_mx": mid_x, "_my": mid_y})
+        # child containment, min-closed / max-strict; lower child checked
+        # first (child order 0..3, .Test/QuadTree.cpp:95-100)
+        bx = (
+            F.when((bmin_x >= F.col("_c0x")) & (bmax_x < F.col("_mx")), F.lit(0))
+            .when((bmin_x >= F.col("_mx")) & (bmax_x < F.col("_c1x")), F.lit(1))
+        )
+        by = (
+            F.when((bmin_y >= F.col("_c0y")) & (bmax_y < F.col("_my")), F.lit(0))
+            .when((bmin_y >= F.col("_my")) & (bmax_y < F.col("_c1y")), F.lit(1))
+        )
+        cur = cur.withColumns({"_bx": bx, "_by": by})
+        can = (~F.col("_done")) & F.col("_bx").isNotNull() & F.col("_by").isNotNull()
+        cur = cur.withColumn("_can", can)
+        digit = (F.col("_bx") + F.shiftleft(F.col("_by"), 1)).cast("long")
+        cur = cur.withColumns(
+            {
+                out_code: F.when(
+                    F.col("_can"), F.shiftleft(F.col(out_code), 2).bitwiseOR(digit)
+                ).otherwise(F.col(out_code)),
+                out_depth: F.when(F.col("_can"), F.col(out_depth) + 1).otherwise(
+                    F.col(out_depth)
+                ),
+                "_c0x": F.when(F.col("_can") & (F.col("_bx") == 1), F.col("_mx")).otherwise(F.col("_c0x")),
+                "_c1x": F.when(F.col("_can") & (F.col("_bx") == 0), F.col("_mx")).otherwise(F.col("_c1x")),
+                "_c0y": F.when(F.col("_can") & (F.col("_by") == 1), F.col("_my")).otherwise(F.col("_c0y")),
+                "_c1y": F.when(F.col("_can") & (F.col("_by") == 0), F.col("_my")).otherwise(F.col("_c1y")),
+                "_done": F.col("_done") | ~F.col("_can"),
+            }
+        )
+    return cur.drop("_c0x", "_c0y", "_c1x", "_c1y", "_mx", "_my", "_bx", "_by", "_can", "_done")
+
+
+# ---------------------------------------------------------------------------
+# Octree descent step (DynamicOctree.hpp:126-144) — used by the
+# capacity-refinement loop in operators.tiling
+# ---------------------------------------------------------------------------
+
+def octree_child_digit(
+    box_min: tuple[Column, Column, Column],
+    box_max: tuple[Column, Column, Column],
+    cell_min: tuple[Column, Column, Column],
+    cell_max: tuple[Column, Column, Column],
+) -> Column:
+    """Digit (0-7) of the first child of cell [cell_min, cell_max] that
+    *contains* (closed intervals, BoundaryBox.hpp:52-56) the item box,
+    or NULL if no child contains it (item straddles a midplane).
+
+    Child boxes are [min, mid] / [mid, max] per axis — both closed, so
+    they share the midplane face exactly as the reference's child boxes
+    do (resize(), DynamicOctree.hpp:76-95: child = (pos, halfsize) with
+    closed containment). Lower child wins ties (checked first,
+    enum order DynamicOctree.hpp:56-65).
+    """
+    digits = []
+    for (bmin, bmax, cmin, cmax) in zip(box_min, box_max, cell_min, cell_max):
+        mid = cmin + (cmax - cmin) * F.lit(0.5)
+        d = (
+            F.when((bmin >= cmin) & (bmax <= mid), F.lit(0))
+            .when((bmin >= mid) & (bmax <= cmax), F.lit(1))
+        )
+        digits.append(d)
+    bx, by, bz = digits
+    return (bx + F.shiftleft(by, 1) + F.shiftleft(bz, 2)).cast("long")
+
+
+def cell_bounds_from_path(
+    world: Box3, depth: Column, code: Column, level: int
+) -> None:
+    """Placeholder: bounds are carried as columns by the refinement loop
+    instead of being recomputed from the path (cheaper, exact)."""
+    raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Neighbor rings (WorldPartition.hpp:194-213)
+# ---------------------------------------------------------------------------
+
+def kring_offsets(k: int = 1, dims: int = 2) -> Column:
+    """Array literal of (dx, dy[, dz]) offsets of the Chebyshev-<=k ring;
+    explode against a cell coordinate to enumerate neighbor cells —
+    the 3x3 load ring of WorldPartition::update (hpp:198-204)."""
+    rng = range(-k, k + 1)
+    if dims == 2:
+        offs = [F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in rng for dy in rng]
+    else:
+        offs = [
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dz).alias("dz"))
+            for dx in rng for dy in rng for dz in rng
+        ]
+    return F.array(*offs)
+
+
+def prefix_at_depth(code: Column, depth: Column, at_depth, bits_per_level: int = 2) -> Column:
+    """Morton-path prefix of a (depth, code) cell at a shallower depth."""
+    at = at_depth if isinstance(at_depth, Column) else F.lit(at_depth)
+    return F.shiftright(code, (depth - at) * bits_per_level)

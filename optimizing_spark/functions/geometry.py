@@ -1,0 +1,143 @@
+"""AABB predicate column expressions.
+
+Two interval conventions exist in the reference and both are preserved
+exactly (sign-for-sign):
+
+- 3D BoundaryBox: ALL predicates closed on both ends
+  (contains(point) BoundaryBox.hpp:42-46, overlaps :47-51,
+  contains(box) :52-56).
+- 2D rect (.Test/QuadTree.cpp:36-69): contains(point) is min-closed /
+  max-strict; contains(rect) is min-closed / max-STRICT; overlaps is
+  ASYMMETRIC: this.min < other.max (strict) AND this.max >= other.min
+  (closed), evaluated with `this` = the query rect in search().
+
+All builders return pyspark Column boolean expressions over six (or
+four) coordinate columns, so they stay inside whole-stage codegen and
+push down to parquet scans where possible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else (F.lit(x) if isinstance(x, (int, float)) else F.col(x))
+
+
+@dataclass(frozen=True)
+class BoxCols:
+    """Six columns (or names / literals) describing an AABB."""
+
+    min_x: object
+    min_y: object
+    max_x: object
+    max_y: object
+    min_z: object = None
+    max_z: object = None
+
+    @staticmethod
+    def prefixed(prefix: str, dims: int = 3) -> "BoxCols":
+        if dims == 2:
+            return BoxCols(f"{prefix}min_x", f"{prefix}min_y", f"{prefix}max_x", f"{prefix}max_y")
+        return BoxCols(
+            f"{prefix}min_x", f"{prefix}min_y", f"{prefix}max_x", f"{prefix}max_y",
+            f"{prefix}min_z", f"{prefix}max_z",
+        )
+
+    def cols(self):
+        out = [_c(self.min_x), _c(self.min_y), _c(self.max_x), _c(self.max_y)]
+        if self.min_z is not None:
+            out += [_c(self.min_z), _c(self.max_z)]
+        return out
+
+    @property
+    def is3d(self) -> bool:
+        return self.min_z is not None
+
+
+def contains_point(box: BoxCols, x, y, z=None) -> Column:
+    """Closed-interval 3D/2D point-in-box (BoundaryBox.hpp:42-46)."""
+    bx0, by0, bx1, by1, *bz = box.cols()
+    p = (_c(x) >= bx0) & (_c(x) <= bx1) & (_c(y) >= by0) & (_c(y) <= by1)
+    if z is not None and box.is3d:
+        bz0, bz1 = bz
+        p = p & (_c(z) >= bz0) & (_c(z) <= bz1)
+    return p
+
+
+def overlaps(a: BoxCols, b: BoxCols) -> Column:
+    """Closed pairwise AABB overlap (BoundaryBox.hpp:47-51)."""
+    a0x, a0y, a1x, a1y, *az = a.cols()
+    b0x, b0y, b1x, b1y, *bz = b.cols()
+    p = (a0x <= b1x) & (a1x >= b0x) & (a0y <= b1y) & (a1y >= b0y)
+    if a.is3d and b.is3d:
+        p = p & (az[0] <= bz[1]) & (az[1] >= bz[0])
+    return p
+
+
+def contains_box(a: BoxCols, b: BoxCols) -> Column:
+    """Closed box-in-box containment (BoundaryBox.hpp:52-56)."""
+    a0x, a0y, a1x, a1y, *az = a.cols()
+    b0x, b0y, b1x, b1y, *bz = b.cols()
+    p = (a0x <= b0x) & (a1x >= b1x) & (a0y <= b0y) & (a1y >= b1y)
+    if a.is3d and b.is3d:
+        p = p & (az[0] <= bz[0]) & (az[1] >= bz[1])
+    return p
+
+
+# ---- 2D rect conventions (.Test/QuadTree.cpp) ----
+
+def rect_contains_point(r: BoxCols, x, y) -> Column:
+    """min-closed / max-strict (.Test/QuadTree.cpp:36-42)."""
+    r0x, r0y, r1x, r1y = r.cols()[:4]
+    return (_c(x) >= r0x) & (_c(y) >= r0y) & (_c(x) < r1x) & (_c(y) < r1y)
+
+
+def rect_contains_rect(r: BoxCols, o: BoxCols) -> Column:
+    """other.min >= this.min AND other.max < this.max (.Test/QuadTree.cpp:44-56)."""
+    r0x, r0y, r1x, r1y = r.cols()[:4]
+    o0x, o0y, o1x, o1y = o.cols()[:4]
+    return (o0x >= r0x) & (o0y >= r0y) & (o1x < r1x) & (o1y < r1y)
+
+
+def rect_overlaps(query: BoxCols, item: BoxCols) -> Column:
+    """Asymmetric: q.min < i.max (strict) AND q.max >= i.min (closed)
+    (.Test/QuadTree.cpp:58-69; search() passes the query as `this`,
+    .Test/QuadTree.cpp:160)."""
+    q0x, q0y, q1x, q1y = query.cols()[:4]
+    i0x, i0y, i1x, i1y = item.cols()[:4]
+    return (q0x < i1x) & (q1x >= i0x) & (q0y < i1y) & (q1y >= i0y)
+
+
+def normalized_box(x, y, w, h, z=None, d=None) -> list[Column]:
+    """(pos, size) ctor with min/max swap-fix (BoundaryBox.hpp:18-38):
+    returns [min_x, min_y, (min_z,) max_x, max_y, (max_z)]."""
+    ex, ey = _c(x) + _c(w), _c(y) + _c(h)
+    out_min = [F.least(_c(x), ex), F.least(_c(y), ey)]
+    out_max = [F.greatest(_c(x), ex), F.greatest(_c(y), ey)]
+    if z is not None:
+        ez = _c(z) + _c(d)
+        out_min.append(F.least(_c(z), ez))
+        out_max.append(F.greatest(_c(z), ez))
+    return out_min + out_max
+
+
+def box_center(box: BoxCols) -> list[Column]:
+    """(min + max) * 0.5 (BoundaryBox.hpp:63)."""
+    c = box.cols()
+    out = [(c[0] + c[2]) * 0.5, (c[1] + c[3]) * 0.5]
+    if box.is3d:
+        out.append((c[4] + c[5]) * 0.5)
+    return out
+
+
+def box_size(box: BoxCols) -> list[Column]:
+    c = box.cols()
+    out = [c[2] - c[0], c[3] - c[1]]
+    if box.is3d:
+        out.append(c[5] - c[4])
+    return out

@@ -1,0 +1,264 @@
+"""Spatial joins: the reference's tree traversals as DataFrame joins.
+
+- ``pip_join``: O11/O1 — point-in-box. Broadcast variant for small box
+  sets (query geometries are typically tiny vs the object table), and a
+  cell-bucketed equi-join variant for large box sets.
+- ``range_join``: O10/O2 — box-overlap join. Both sides are exploded to
+  the fixed-depth grid cells they cover; the equi-join on the cell key
+  is the tree pruning, a residual exact overlap predicate reproduces
+  search() semantics, and duplicate pairs are eliminated WITHOUT a
+  dedup shuffle via the reporting-cell trick (emit a pair only in the
+  unique cell containing the overlap region's min corner).
+- ``knn_join``: O17/O22 — cell-local kNN: ring-expansion candidate
+  generation (the 3x3 load ring of WorldPartition::update,
+  hpp:198-204) with driver-side escalation for starved queries, then a
+  correctness pass bounded by the k-th candidate distance, then
+  row_number() top-k. Provably exact, no cross join.
+- ``ring_semi_join``: O17 — objects residing in the Chebyshev-<=k ring
+  of each query's cell.
+- ``nearest_hit``: O22 — argmin join via min_by (k=1 fast path).
+- ``linear_scan``: O29 — the un-pruned control (plain theta-join).
+
+Scale notes: all joins are equi-joins on integer cell keys (shuffle
+hash / sort-merge with AQE skew split) except the deliberately-naive
+linear_scan and the broadcast pip path (BroadcastNestedLoopJoin is the
+right plan when one side is a handful of query geometries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import Box2
+from ..functions import geometry as G
+from .tiling import explode_covering_cells
+
+
+def _grid(world: Box2, depth: int) -> tuple[int, float, float]:
+    n = 1 << depth
+    return n, (world.max_x - world.min_x) / n, (world.max_y - world.min_y) / n
+
+
+def _gcoord(v: Column, wmin: float, s: float, n: int) -> Column:
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), F.floor((v - wmin) / s))).cast("int")
+
+
+def pip_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    dims: int = 3,
+    closed: bool = True,
+    broadcast_boxes: bool = True,
+) -> DataFrame:
+    """Point-in-box join (O11). `closed=True` = 3D BoundaryBox convention
+    (closed both ends, BoundaryBox.hpp:42-46); False = 2D rect
+    convention (min-closed/max-strict, .Test/QuadTree.cpp:36-42)."""
+    box = G.BoxCols.prefixed("", dims=dims)
+    if closed:
+        pred = G.contains_point(box, F.col("x"), F.col("y"), F.col("z") if dims == 3 else None)
+    else:
+        pred = G.rect_contains_point(box, F.col("x"), F.col("y"))
+    rhs = F.broadcast(boxes) if broadcast_boxes else boxes
+    return points.join(rhs, pred)
+
+
+def range_join(
+    objects: DataFrame,
+    queries: DataFrame,
+    world: Box2,
+    depth: int = 6,
+    convention: str = "rect",
+) -> DataFrame:
+    """Box-overlap join (O10). Output: one row per (query, object) pair
+    whose boxes overlap under the chosen convention:
+    - 'rect': asymmetric 2D search() semantics (.Test/QuadTree.cpp:58-69)
+    - 'closed': 3D closed overlap on x/y (BoundaryBox.hpp:47-51)
+
+    Both sides explode to covered fixed-depth cells; pairs are emitted
+    only in the reporting cell = cell of the overlap region's min
+    corner, so no dedup pass is needed. Expected candidates per cell
+    stay O(density); the equi-join shuffles on (cell_x, cell_y).
+    """
+    n, sx, sy = _grid(world, depth)
+    o = explode_covering_cells(
+        objects.select(
+            F.col("obj_id"),
+            F.col("min_x").alias("o_min_x"), F.col("min_y").alias("o_min_y"),
+            F.col("max_x").alias("o_max_x"), F.col("max_y").alias("o_max_y"),
+        ),
+        world, depth, "o_min_x", "o_min_y", "o_max_x", "o_max_y",
+    )
+    q = explode_covering_cells(
+        queries.select(
+            F.col("query_id"),
+            F.col("min_x").alias("q_min_x"), F.col("min_y").alias("q_min_y"),
+            F.col("max_x").alias("q_max_x"), F.col("max_y").alias("q_max_y"),
+        ),
+        world, depth, "q_min_x", "q_min_y", "q_max_x", "q_max_y",
+    )
+    qbox = G.BoxCols("q_min_x", "q_min_y", "q_max_x", "q_max_y")
+    obox = G.BoxCols("o_min_x", "o_min_y", "o_max_x", "o_max_y")
+    if convention == "rect":
+        pred = G.rect_overlaps(qbox, obox)
+    else:
+        pred = G.overlaps(qbox, obox)
+    joined = q.join(o, ["cell_x", "cell_y"]).filter(pred)
+    # reporting-cell dedup: overlap-region min corner must lie in this cell
+    rx = F.greatest(F.col("q_min_x"), F.col("o_min_x"))
+    ry = F.greatest(F.col("q_min_y"), F.col("o_min_y"))
+    report = (
+        (_gcoord(rx, world.min_x, sx, n) == F.col("cell_x"))
+        & (_gcoord(ry, world.min_y, sy, n) == F.col("cell_y"))
+    )
+    return joined.filter(report).drop("cell_x", "cell_y")
+
+
+def linear_scan(objects: DataFrame, queries: DataFrame, convention: str = "rect") -> DataFrame:
+    """O29 control: full theta-join, no cell pruning (broadcast the
+    queries; .Test/vectorQuadTree.cpp:399-415)."""
+    qbox = G.BoxCols("q_min_x", "q_min_y", "q_max_x", "q_max_y")
+    obox = G.BoxCols("min_x", "min_y", "max_x", "max_y")
+    pred = G.rect_overlaps(qbox, obox) if convention == "rect" else G.overlaps(qbox, obox)
+    q = queries.select(
+        "query_id",
+        F.col("min_x").alias("q_min_x"), F.col("min_y").alias("q_min_y"),
+        F.col("max_x").alias("q_max_x"), F.col("max_y").alias("q_max_y"),
+    )
+    return objects.join(F.broadcast(q), pred)
+
+
+def ring_semi_join(
+    objects: DataFrame, queries: DataFrame, world: Box2, depth: int, k: int = 1
+) -> DataFrame:
+    """O17: all objects whose cell lies in the Chebyshev-<=k ring around
+    each query point's cell (the 3x3 load ring). Objects must carry
+    (cell_x, cell_y); queries carry point (x, y)."""
+    n, sx, sy = _grid(world, depth)
+    q = (
+        queries.withColumn("_qcx", _gcoord(F.col("x"), world.min_x, sx, n))
+        .withColumn("_qcy", _gcoord(F.col("y"), world.min_y, sy, n))
+        .withColumn("_dx", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+        .withColumn("cell_x", F.col("_qcx") + F.col("_dx"))
+        .withColumn("cell_y", F.col("_qcy") + F.col("_dy"))
+        .drop("_qcx", "_qcy", "_dx", "_dy")
+    )
+    return q.join(objects, ["cell_x", "cell_y"])
+
+
+def knn_join(
+    queries: DataFrame,
+    objects: DataFrame,
+    world: Box2,
+    depth: int,
+    k: int,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Exact kNN (queries: query_id, x, y; objects: obj_id, x, y).
+
+    1. Candidate pass with ring radius r (cells): equi-join on exploded
+       neighbor cells.
+    2. Driver loop: queries with < k candidates double r (rare —
+       only low-density regions pay).
+    3. Bound pass: with d_k = distance of the k-th candidate, rejoin
+       every cell intersecting the d_k-disc — guarantees no closer
+       object outside the searched ring is missed.
+    4. row_number() by (squared distance, obj_id) <= k.
+
+    Returns (query_id, obj_id, d2, rank). Ties: obj_id ascending —
+    deterministic under any partitioning.
+    """
+    from pyspark.sql import Window
+
+    n, sx, sy = _grid(world, depth)
+    o = objects.select(
+        F.col("obj_id"), F.col("x").alias("ox"), F.col("y").alias("oy"),
+        _gcoord(F.col("x"), world.min_x, sx, n).alias("cell_x"),
+        _gcoord(F.col("y"), world.min_y, sy, n).alias("cell_y"),
+    )
+    q0 = queries.select(
+        "query_id", F.col("x").alias("qx"), F.col("y").alias("qy"),
+        _gcoord(F.col("x"), world.min_x, sx, n).alias("qcx"),
+        _gcoord(F.col("y"), world.min_y, sy, n).alias("qcy"),
+    )
+
+    def ring_candidates(qdf: DataFrame, radius: Column) -> DataFrame:
+        qq = (
+            qdf.withColumn("_r", radius)
+            .withColumn("cell_x", F.explode(F.sequence(
+                F.greatest(F.lit(0), F.col("qcx") - F.col("_r")),
+                F.least(F.lit(n - 1), F.col("qcx") + F.col("_r")))))
+            .withColumn("cell_y", F.explode(F.sequence(
+                F.greatest(F.lit(0), F.col("qcy") - F.col("_r")),
+                F.least(F.lit(n - 1), F.col("qcy") + F.col("_r")))))
+        )
+        c = qq.join(o, ["cell_x", "cell_y"])
+        ddx = F.col("ox") - F.col("qx")
+        ddy = F.col("oy") - F.col("qy")
+        return c.select(
+            "query_id", "qx", "qy", "qcx", "qcy", "obj_id", "ox", "oy",
+            (ddx * ddx + ddy * ddy).alias("d2"),
+        )
+
+    # phase 1+2: escalating ring until every query has >= k candidates
+    pending = q0
+    cands: list[DataFrame] = []
+    r = 1
+    for _ in range(max_rounds):
+        got = ring_candidates(pending, F.lit(r)).cache()
+        counts = got.groupBy("query_id").count()
+        starved_ids = counts.filter(F.col("count") < k).select("query_id")
+        sat = got.join(starved_ids, "query_id", "left_anti")
+        cands.append(sat)
+        pending = pending.join(starved_ids, "query_id", "left_semi")
+        if pending.isEmpty():
+            break
+        r *= 2
+    else:
+        cands.append(ring_candidates(pending, F.lit(n)))  # full scan fallback
+
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+
+    # k-th candidate distance per query -> guaranteed-correct ring bound
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("query_id").orderBy("d2", "obj_id")
+    kth = (
+        cand.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") == k)
+        .select("query_id", F.col("d2").alias("dk2"))
+    )
+    cell = min(sx, sy)
+    bound_r = F.least(
+        F.lit(n), (F.ceil(F.sqrt(F.col("dk2")) / F.lit(cell)) + 1).cast("int")
+    )
+    q_final = q0.join(kth, "query_id")
+    final_cand = ring_candidates(
+        q_final.select("query_id", "qx", "qy", "qcx", "qcy", "dk2"), bound_r
+    )
+    out = (
+        final_cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "obj_id", "d2", "rank")
+    )
+    return out
+
+
+def nearest_hit_xy(queries: DataFrame, objects: DataFrame) -> DataFrame:
+    """k=1 fast path (O22 shape): broadcast the queries, min_by over
+    squared distance with obj_id tiebreak."""
+    j = objects.crossJoin(F.broadcast(queries.select(
+        "query_id", F.col("x").alias("qx"), F.col("y").alias("qy"))))
+    ddx = F.col("x") - F.col("qx")
+    ddy = F.col("y") - F.col("qy")
+    j = j.withColumn("d2", ddx * ddx + ddy * ddy)
+    return j.groupBy("query_id").agg(
+        F.min_by(F.struct("d2", "obj_id"), F.struct("d2", "obj_id")).alias("_best")
+    ).select(
+        "query_id",
+        F.col("_best.obj_id").alias("obj_id"),
+        F.col("_best.d2").alias("d2"),
+    )
