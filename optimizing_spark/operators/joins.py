@@ -207,11 +207,12 @@ def knn_join(
     r = 1
     for _ in range(max_rounds):
         got = ring_candidates(pending, F.lit(r)).cache()
-        counts = got.groupBy("query_id").count()
-        starved_ids = counts.filter(F.col("count") < k).select("query_id")
-        sat = got.join(starved_ids, "query_id", "left_anti")
-        cands.append(sat)
-        pending = pending.join(starved_ids, "query_id", "left_semi")
+        # NB: zero-candidate queries don't appear in counts at all — pending
+        # must be derived by anti-join against the *satisfied* set.
+        satisfied = got.groupBy("query_id").count() \
+            .filter(F.col("count") >= k).select("query_id")
+        cands.append(got.join(satisfied, "query_id", "left_semi"))
+        pending = pending.join(satisfied, "query_id", "left_anti")
         if pending.isEmpty():
             break
         r *= 2
@@ -226,9 +227,13 @@ def knn_join(
     from pyspark.sql import Window as W
 
     wk = W.partitionBy("query_id").orderBy("d2", "obj_id")
+    wall = W.partitionBy("query_id")
+    # the k-th candidate, or the farthest one when fewer than k objects
+    # exist in the whole table (full-scan fallback round)
     kth = (
         cand.withColumn("_rk", F.row_number().over(wk))
-        .filter(F.col("_rk") == k)
+        .withColumn("_cnt", F.count("*").over(wall))
+        .filter(F.col("_rk") == F.least(F.lit(k), F.col("_cnt")))
         .select("query_id", F.col("d2").alias("dk2"))
     )
     cell = min(sx, sy)

@@ -1,0 +1,141 @@
+"""Spatial join results must equal the oracle pair sets exactly
+(BASELINE.md: identical join result rows)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from optimizing_spark.config import DEMO_WORLD, QT_BENCH_WORLD
+from optimizing_spark.operators import joins, tiling
+from optimizing_spark.sources import datagen
+from tests.oracles import spatial as oracle
+
+N_OBJ = 4000
+N_Q = 40
+
+
+def _qt_objects(spark, n):
+    return tiling.with_box_cols(
+        datagen.spark_table(spark, "quadtree_objects", n, partitions=6), dims=2
+    )
+
+
+def test_range_join_matches_oracle(spark):
+    objs = _qt_objects(spark, N_OBJ)
+    qs = spark.createDataFrame(datagen.query_rects_pandas(N_Q))
+
+    got = joins.range_join(objs, qs, QT_BENCH_WORLD, depth=5) \
+        .select("query_id", "obj_id").toPandas()
+    got_pairs = set(zip(got.query_id, got.obj_id))
+
+    opdf = datagen.quadtree_objects_pandas(N_OBJ)
+    items = np.column_stack([
+        opdf.x, opdf.y, opdf.x + opdf.size_x, opdf.y + opdf.size_y])
+    qpdf = datagen.query_rects_pandas(N_Q)
+    queries = qpdf[["min_x", "min_y", "max_x", "max_y"]].to_numpy()
+    want = oracle.rect_overlap_pairs(queries, items)
+    assert got_pairs == want
+
+
+def test_range_join_equals_linear_scan(spark):
+    """Cell-pruned range join == un-pruned O29 control, pair for pair."""
+    objs = _qt_objects(spark, 2000)
+    qs = spark.createDataFrame(datagen.query_rects_pandas(10))
+    a = joins.range_join(objs, qs, QT_BENCH_WORLD, depth=4).select("query_id", "obj_id").toPandas()
+    b = joins.linear_scan(objs, qs).select("query_id", "obj_id").toPandas()
+    assert set(zip(a.query_id, a.obj_id)) == set(zip(b.query_id, b.obj_id))
+
+
+def test_pip_join_matches_oracle(spark):
+    pts = datagen.spark_table(spark, "spatial_objects", 3000, partitions=4)
+    boxes = spark.createDataFrame(datagen.query_boxes_pandas(30))
+    got = joins.pip_join(pts, boxes, dims=3, closed=True) \
+        .select("query_id", "obj_id").toPandas()
+    got_pairs = set(zip(got.query_id, got.obj_id))
+
+    ppdf = datagen.spatial_objects_pandas(3000)
+    qpdf = datagen.query_boxes_pandas(30)
+    want = oracle.contains_point_pairs_3d(
+        qpdf[["min_x", "min_y", "min_z", "max_x", "max_y", "max_z"]].to_numpy(),
+        ppdf.x.to_numpy(), ppdf.y.to_numpy(), ppdf.z.to_numpy(),
+    )
+    assert got_pairs == want
+
+
+def test_knn_join_matches_oracle(spark):
+    k = 5
+    objs = datagen.spark_table(spark, "quadtree_objects", N_OBJ, partitions=6)
+    qpdf = datagen.quadtree_objects_pandas(200, seed=7)[["obj_id", "x", "y"]] \
+        .rename(columns={"obj_id": "query_id"})
+    qs = spark.createDataFrame(qpdf)
+
+    got = joins.knn_join(qs, objs, QT_BENCH_WORLD, depth=5, k=k) \
+        .toPandas().sort_values(["query_id", "rank"])
+    opdf = datagen.quadtree_objects_pandas(N_OBJ)
+    want = oracle.knn_oracle(
+        qpdf.x.to_numpy(), qpdf.y.to_numpy(),
+        opdf.x.to_numpy(), opdf.y.to_numpy(), opdf.obj_id.to_numpy(), k,
+    )
+    got_lists = got.groupby("query_id").obj_id.apply(list)
+    for qid in range(200):
+        assert got_lists[qid] == want[qid], f"query {qid}"
+
+
+def test_knn_starved_queries_escalate(spark):
+    """With a tiny object set most ring-1 searches start empty — the
+    escalation + bound pass must still return exact results."""
+    k = 3
+    objs = datagen.spark_table(spark, "quadtree_objects", 50, partitions=2)
+    qpdf = datagen.quadtree_objects_pandas(20, seed=9)[["obj_id", "x", "y"]] \
+        .rename(columns={"obj_id": "query_id"})
+    qs = spark.createDataFrame(qpdf)
+    got = joins.knn_join(qs, objs, QT_BENCH_WORLD, depth=6, k=k).toPandas()
+    opdf = datagen.quadtree_objects_pandas(50)
+    want = oracle.knn_oracle(
+        qpdf.x.to_numpy(), qpdf.y.to_numpy(),
+        opdf.x.to_numpy(), opdf.y.to_numpy(), opdf.obj_id.to_numpy(), k,
+    )
+    got_lists = got.sort_values(["query_id", "rank"]).groupby("query_id").obj_id.apply(list)
+    for qid in range(20):
+        assert got_lists[qid] == want[qid], f"query {qid}"
+
+
+def test_nearest_hit_xy(spark):
+    objs = datagen.spark_table(spark, "quadtree_objects", 1000, partitions=3)
+    qpdf = datagen.quadtree_objects_pandas(15, seed=11)[["obj_id", "x", "y"]] \
+        .rename(columns={"obj_id": "query_id"})
+    qs = spark.createDataFrame(qpdf)
+    got = joins.nearest_hit_xy(qs, objs).toPandas().sort_values("query_id")
+    opdf = datagen.quadtree_objects_pandas(1000)
+    want = oracle.knn_oracle(
+        qpdf.x.to_numpy(), qpdf.y.to_numpy(),
+        opdf.x.to_numpy(), opdf.y.to_numpy(), opdf.obj_id.to_numpy(), 1,
+    )
+    assert [int(v) for v in got.obj_id] == [w[0] for w in want]
+
+
+def test_ring_semi_join(spark):
+    """3x3 ring membership (WorldPartition.hpp:198-204)."""
+    depth = 4
+    n = 1 << depth
+    objs = datagen.spark_table(spark, "quadtree_objects", 2000, partitions=3)
+    w = QT_BENCH_WORLD
+    sx = (w.max_x - w.min_x) / n
+    o = objs.withColumn("cell_x", F.floor(F.col("x") / sx).cast("int")) \
+            .withColumn("cell_y", F.floor(F.col("y") / sx).cast("int"))
+    qpdf = datagen.quadtree_objects_pandas(10, seed=13)[["obj_id", "x", "y"]] \
+        .rename(columns={"obj_id": "query_id"})
+    qs = spark.createDataFrame(qpdf)
+    got = joins.ring_semi_join(o, qs, w, depth, k=1).select("query_id", "obj_id").toPandas()
+    got_pairs = set(zip(got.query_id, got.obj_id))
+
+    opdf = datagen.quadtree_objects_pandas(2000)
+    ocx = np.clip(np.floor(opdf.x / sx), 0, n - 1).astype(int)
+    ocy = np.clip(np.floor(opdf.y / sx), 0, n - 1).astype(int)
+    want = set()
+    for qi in range(10):
+        qcx = int(np.clip(np.floor(qpdf.x[qi] / sx), 0, n - 1))
+        qcy = int(np.clip(np.floor(qpdf.y[qi] / sx), 0, n - 1))
+        m = (np.abs(ocx - qcx) <= 1) & (np.abs(ocy - qcy) <= 1)
+        for oi in np.nonzero(m.to_numpy())[0]:
+            want.add((qi, int(oi)))
+    assert got_pairs == want
