@@ -1,0 +1,195 @@
+"""Deterministic spatial tables derived from the driver's TPC-H-ish
+parquet — the bridge between the engine's spatial operators and the
+driver's DuckDB oracle.
+
+Every derived value is integer arithmetic (small multipliers, modulo a
+power-of-two world edge) so the Spark DataFrame derivation and the
+DuckDB SQL derivation agree bit-for-bit: coordinates are exact integers
+carried as BIGINT, box edges are ints, distances are squared (never
+sqrt'd), and aggregated measures are integer-valued doubles (exact sums
+at any accumulation order). The world is [0, 65536)^2 so cell math is
+closed-form shifts (cells.morton2d / the >> forms below).
+
+ANSI-safe: all products stay far below 2^63 (coords < 2^16, keys < ~2^32
+at bench scales, multipliers < 2^20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import POW2_WORLD_BITS, POW2_WORLD_EDGE
+
+E = POW2_WORLD_EDGE  # 65536
+B = POW2_WORLD_BITS  # 16
+
+# Derivation constants (shared by the Spark and SQL forms below)
+_OX = (7919, 104729, 999331)   # l_orderkey, l_partkey, l_linenumber
+_OY = (7907, 9973, 777767)     # l_suppkey, l_partkey, l_linenumber
+_QC = (48271, 69621)           # s_suppkey -> center x, y
+_PC = (7919, 104729)           # c_custkey -> point x, y
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# objects2d: one AABB per lineitem row
+# ---------------------------------------------------------------------------
+
+def objects2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ok, pk, sk, ln = (F.col(c).cast("long") for c in
+                      ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+    ix = (ok * _OX[0] + pk * _OX[1] + ln * _OX[2]) % E
+    iy = (sk * _OY[0] + pk * _OY[1] + ln * _OY[2]) % E
+    return li.select(
+        (ok * 10 + ln).alias("obj_id"),
+        ix.alias("ix"),
+        iy.alias("iy"),
+        ((ok % 97) + 1).alias("sx"),
+        ((sk % 97) + 1).alias("sy"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("weight_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+
+
+SQL_OBJECTS = f"""
+SELECT (CAST(l_orderkey AS BIGINT) * 10 + l_linenumber) AS obj_id,
+       (CAST(l_orderkey AS BIGINT) * {_OX[0]} + CAST(l_partkey AS BIGINT) * {_OX[1]}
+        + CAST(l_linenumber AS BIGINT) * {_OX[2]}) % {E} AS ix,
+       (CAST(l_suppkey AS BIGINT) * {_OY[0]} + CAST(l_partkey AS BIGINT) * {_OY[1]}
+        + CAST(l_linenumber AS BIGINT) * {_OY[2]}) % {E} AS iy,
+       (CAST(l_orderkey AS BIGINT) % 97) + 1 AS sx,
+       (CAST(l_suppkey AS BIGINT) % 97) + 1 AS sy,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS weight_c,
+       CAST(l_quantity AS BIGINT) AS qty
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# query_boxes: one box per supplier (broadcast side)
+# ---------------------------------------------------------------------------
+
+def query_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    cx = (k * _QC[0]) % E
+    cy = (k * _QC[1]) % E
+    ex = 1024 + (k % 1024)
+    ey = 768 + (k % 768)
+    return s.select(
+        k.alias("query_id"),
+        (cx - ex).alias("q_min_x"), (cy - ey).alias("q_min_y"),
+        (cx + ex).alias("q_max_x"), (cy + ey).alias("q_max_y"),
+    )
+
+
+SQL_QUERY_BOXES = f"""
+SELECT CAST(s_suppkey AS BIGINT) AS query_id,
+       (CAST(s_suppkey AS BIGINT) * {_QC[0]}) % {E} - (1024 + CAST(s_suppkey AS BIGINT) % 1024) AS q_min_x,
+       (CAST(s_suppkey AS BIGINT) * {_QC[1]}) % {E} - (768 + CAST(s_suppkey AS BIGINT) % 768) AS q_min_y,
+       (CAST(s_suppkey AS BIGINT) * {_QC[0]}) % {E} + (1024 + CAST(s_suppkey AS BIGINT) % 1024) AS q_max_x,
+       (CAST(s_suppkey AS BIGINT) * {_QC[1]}) % {E} + (768 + CAST(s_suppkey AS BIGINT) % 768) AS q_max_y
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# points: one 2D point per customer
+# ---------------------------------------------------------------------------
+
+def points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    return c.select(
+        k.alias("point_id"),
+        ((k * _PC[0]) % E).alias("px"),
+        ((k * _PC[1]) % E).alias("py"),
+    )
+
+
+SQL_POINTS = f"""
+SELECT CAST(c_custkey AS BIGINT) AS point_id,
+       (CAST(c_custkey AS BIGINT) * {_PC[0]}) % {E} AS px,
+       (CAST(c_custkey AS BIGINT) * {_PC[1]}) % {E} AS py
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# knn_queries: one query point per nation (25 rows)
+# ---------------------------------------------------------------------------
+
+def knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    return n.select(
+        k.alias("query_id"),
+        ((k * 104729 + 12345) % E).alias("qx"),
+        ((k * 48271 + 54321) % E).alias("qy"),
+    )
+
+
+SQL_KNN_QUERIES = f"""
+SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+       (CAST(n_nationkey AS BIGINT) * 104729 + 12345) % {E} AS qx,
+       (CAST(n_nationkey AS BIGINT) * 48271 + 54321) % {E} AS qy
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Closed-form static-quadtree assignment on the pow-2 world (integer exact)
+# ---------------------------------------------------------------------------
+
+def qt_fits_depth_sql(max_node_depth: int = 4) -> str:
+    """DuckDB CASE returning the deepest node depth (0..max_node_depth)
+    whose cell contains [ix, ix+sx) x [iy, iy+sy) under the min-closed /
+    max-strict rule — box fits at depth d iff ix>>(16-d) == (ix+sx)>>(16-d)
+    (strict upper edge; see .Test/QuadTree.cpp:44-56) and the box stays
+    inside the world. Equivalent to the reference's greedy descent because
+    cells nest."""
+    whens = []
+    for d in range(max_node_depth, 0, -1):
+        sh = B - d
+        whens.append(
+            f"WHEN (ix >> {sh}) = ((ix + sx) >> {sh}) AND (ix + sx) < {E} "
+            f"AND (iy >> {sh}) = ((iy + sy) >> {sh}) AND (iy + sy) < {E} THEN {d}"
+        )
+    return "CASE " + " ".join(whens) + " ELSE 0 END"
+
+
+def qt_depth_col(max_node_depth: int = 4):
+    """Spark twin of qt_fits_depth_sql."""
+    expr = F.lit(0)
+    col = None
+    for d in range(1, max_node_depth + 1):
+        sh = B - d
+        fits = (
+            (F.shiftright(F.col("ix"), sh) == F.shiftright(F.col("ix") + F.col("sx"), sh))
+            & (F.col("ix") + F.col("sx") < E)
+            & (F.shiftright(F.col("iy"), sh) == F.shiftright(F.col("iy") + F.col("sy"), sh))
+            & (F.col("iy") + F.col("sy") < E)
+        )
+        expr = F.when(fits, F.lit(d)).otherwise(expr)
+    col = expr
+    return col
+
+
+def morton_spread_sql(v: str, shift_extra: int = 0) -> str:
+    """DuckDB expression spreading a 16-bit int to even bit positions
+    (same magic-mask chain as cells._spread2)."""
+    e = f"(({v}) & 65535)"
+    for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        e = f"((({e}) | (({e}) << {sh})) & {mask})"
+    if shift_extra:
+        e = f"(({e}) << {shift_extra})"
+    return e
+
+
+def morton2d_sql(x: str, y: str) -> str:
+    return f"({morton_spread_sql(x)} | {morton_spread_sql(y, 1)})"
