@@ -31,8 +31,12 @@ from pyspark.sql import functions as F
 
 from optimizing_spark.config import POW2_WORLD_2D, POW2_WORLD_EDGE
 from optimizing_spark.functions import cells as C
+from optimizing_spark.functions import text as TX
+from optimizing_spark.operators import dedup as DD
 from optimizing_spark.operators import joins as J
+from optimizing_spark.operators import similarity as SIM
 from optimizing_spark.sources import derived as D
+from optimizing_spark.sources import oracle_text as OT
 
 E = POW2_WORLD_EDGE
 _MAX_ND = 4  # deepest static-quadtree node (QT_MAX_DEPTH - 1)
@@ -44,16 +48,7 @@ _MAX_ND = 4  # deepest static-quadtree node (QT_MAX_DEPTH - 1)
 
 def _qt_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """objects2d + closed-form static-quadtree (qt_depth, qt_code)."""
-    o = D.objects2d(spark, sf_dir)
-    o = o.withColumn("qt_depth", D.qt_depth_col(_MAX_ND))
-    m4 = C.morton2d(F.shiftright(F.col("ix"), 16 - _MAX_ND),
-                    F.shiftright(F.col("iy"), 16 - _MAX_ND))
-    o = o.withColumn("_m4", m4)
-    code = F.lit(0).cast("long")
-    for d in range(1, _MAX_ND + 1):
-        code = F.when(F.col("qt_depth") == d,
-                      F.shiftright(F.col("_m4"), 2 * (_MAX_ND - d))).otherwise(code)
-    return o.withColumn("qt_code", code).drop("_m4")
+    return C.assign_quadtree_pow2(D.objects2d(spark, sf_dir), max_node_depth=_MAX_ND)
 
 
 _SQL_QT_TILED = f"""
@@ -192,17 +187,9 @@ def q_relocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = t.filter(F.col("obj_id") % 5 != 0)
     moved = t.filter(F.col("obj_id") % 5 == 0) \
         .withColumn("ix", (F.col("ix") + 3000) % E) \
-        .drop("qt_depth", "qt_code", "m4", "_m4")
+        .drop("qt_depth", "qt_code")
     # re-derive for moved rows only (incremental re-tile)
-    moved = moved.withColumn("qt_depth", D.qt_depth_col(_MAX_ND))
-    m4 = C.morton2d(F.shiftright(F.col("ix"), 16 - _MAX_ND),
-                    F.shiftright(F.col("iy"), 16 - _MAX_ND))
-    moved = moved.withColumn("_m4", m4)
-    code = F.lit(0).cast("long")
-    for d in range(1, _MAX_ND + 1):
-        code = F.when(F.col("qt_depth") == d,
-                      F.shiftright(F.col("_m4"), 2 * (_MAX_ND - d))).otherwise(code)
-    moved = moved.withColumn("qt_code", code).drop("_m4")
+    moved = C.assign_quadtree_pow2(moved, max_node_depth=_MAX_ND)
     return keep.select("obj_id", "qt_depth", "qt_code").unionByName(
         moved.select("obj_id", "qt_depth", "qt_code"))
 
@@ -261,6 +248,139 @@ def q_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return D.load(spark, sf_dir, "documents")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per document."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(TX.tokens_col()).alias("n_tokens"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer quality components + deterministic score."""
+    out = TX.quality_cols(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", "n_uniq", "tok_chars", "stop_hits",
+        F.col("quality_score").cast("long").alias("quality_score"))
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language heuristic."""
+    return _docs(spark, sf_dir).select("doc_id", TX.lang_guess_col().alias("lg"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (md5) + min-shingle content fingerprints."""
+    return TX.fingerprint_cols(_docs(spark, sf_dir)).select(
+        "doc_id", "fp_md5", "fp_shingle")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of exact-hash dedup (min doc_id per distinct text)."""
+    return DD.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, one row per (doc, permutation)."""
+    sig = DD.minhash_signatures(_docs(spark, sf_dir).select("doc_id", "text"))
+    return sig.select(
+        "doc_id", F.posexplode("mh_sig").alias("perm_id", "mh"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit simhash per document."""
+    return _docs(spark, sf_dir).select("doc_id", TX.simhash_col().alias("sh"))
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-minhash near-dup candidates with exact jaccard counts
+    (inter*10 >= uni*8)."""
+    return DD.minhash_lsh_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        jaccard_num=8, jaccard_den=10)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set jaccard counts for consecutive doc pairs."""
+    d = _docs(spark, sf_dir)
+    ids = d.select(F.col("doc_id").alias("a"),
+                   (F.col("doc_id") + 1).alias("b"))
+    pairs = ids.join(d.select(F.col("doc_id").alias("b")), "b", "left_semi")
+    return DD.ngram_jaccard(d, pairs)
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per probe (first 10 vectors), rounded
+    to 6 decimals with vec_id tie-break."""
+    e = D.load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_embedding"))
+    return SIM.brute_topk(e, probes, k=5)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (rounded cos*1000 >= 350; threshold
+    sits at the ~99.9th percentile of this table's pair cosines)."""
+    e = D.load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    j = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    j = j.withColumn("cos", SIM.cosine_col("ea", "eb"))
+    return j.filter(F.col("cos") * 1000 >= 350).select("a", "b", "cos")
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup scale path (approximate; no SQL oracle —
+    validated against brute force recall in tests)."""
+    e = D.load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return SIM.embedding_neardup_pairs(e, dim=dim, threshold_millis=350)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per user, sessions = gaps > 30 min; integer
+    counts per user."""
+    ev = D.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    s = ev.withColumn("_prev", prev).withColumn(
+        "new_sess",
+        F.when(F.col("_prev").isNull()
+               | (F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+                  > 1800 * 1_000_000), 1).otherwise(0))
+    return s.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count("*").alias("n_events"))
+
+
+def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly counts per event_type (integer-exact sums of
+    cent-scaled values)."""
+    ev = D.load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    return ev.groupBy(hour, "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"))
+
+
+def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline showcase over synthetic interleaved docs
+    (input_hint shape): generate -> geocode -> tile -> histogram.
+    Deterministic; no SQL oracle (rows-only driver check)."""
+    from optimizing_spark.plans import pipeline
+    from optimizing_spark.sources import datagen
+
+    docs = datagen.documents_spark_fast(spark, 2000, partitions=8)
+    tiled = pipeline.tile_documents(docs, how="jvm")
+    return pipeline.docs_cell_histogram(tiled)
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -290,6 +410,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tonemap": q_tonemap,
         "q_topk_per_cell": q_topk_per_cell,
         "q_agg_wide": q_agg_wide,
+        "q_token_count": q_token_count,
+        "q_quality": q_quality,
+        "q_lang_guess": q_lang_guess,
+        "q_fingerprint": q_fingerprint,
+        "q_exact_dedup": q_exact_dedup,
+        "q_minhash": q_minhash,
+        "q_simhash": q_simhash,
+        "q_lsh_pairs": q_lsh_pairs,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_embed_topk": q_embed_topk,
+        "q_embed_neardup": q_embed_neardup,
+        "q_embed_neardup_lsh": q_embed_neardup_lsh,
+        "q_sessionize": q_sessionize,
+        "q_hourly_events": q_hourly_events,
+        "q_docs_pipeline": q_docs_pipeline,
     }
 
 
@@ -406,4 +541,151 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
+        **_text_oracles(),
+    }
+
+
+def _text_oracles() -> dict[str, str]:
+    toks = OT.TOKS
+    h60 = OT.H60
+    sh3 = OT.shingles_inline(3)
+
+    # banded LSH pairs: 4 bands of 4 signature slots
+    sig_entries = OT.minhash_exprs(16)
+    band_exprs = []
+    for b in range(4):
+        band_exprs.append(
+            f"{{'band': {b}, 'h': {OT.band_hash_expr([f'sig[{4 * b + j + 1}]' for j in range(4)])}}}"
+        )
+    lsh_pairs_sql = f"""
+        WITH sigs AS (
+            SELECT doc_id, [{', '.join(sig_entries)}] AS sig FROM documents
+        ), bands AS (
+            SELECT doc_id, s.band AS band, s.h AS h
+            FROM (SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS s FROM sigs)
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h
+            WHERE x.doc_id < y.doc_id
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct({sh3})) AS s FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.a, c.b, count(*) AS inter
+            FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                        JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+            GROUP BY c.a, c.b
+        ), full_p AS (
+            SELECT c.a, c.b, coalesce(i.inter, 0) AS inter,
+                   za.n + zb.n - coalesce(i.inter, 0) AS uni
+            FROM cand c
+            LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+            JOIN sizes za ON za.doc_id = c.a
+            JOIN sizes zb ON zb.doc_id = c.b
+        )
+        SELECT a, b, inter, uni FROM full_p WHERE inter * 10 >= uni * 8
+    """
+
+    ngram_sql = f"""
+        WITH pairs AS (
+            SELECT d1.doc_id AS a, d1.doc_id + 1 AS b FROM documents d1
+            JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct({sh3})) AS s FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT p.a, p.b, count(*) AS inter
+            FROM pairs p JOIN sh sa ON sa.doc_id = p.a
+                         JOIN sh sb ON sb.doc_id = p.b AND sb.s = sa.s
+            GROUP BY p.a, p.b
+        )
+        SELECT p.a, p.b, coalesce(i.inter, 0) AS inter,
+               za.n + zb.n - coalesce(i.inter, 0) AS uni
+        FROM pairs p
+        LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+        JOIN sizes za ON za.doc_id = p.a
+        JOIN sizes zb ON zb.doc_id = p.b
+    """
+
+    cos = ("round(list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / "
+           "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) * "
+           "list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])), 6)")
+    embed_topk_sql = f"""
+        WITH j AS (
+            SELECT p.vec_id AS probe_id, e.vec_id AS vec_id, {cos} AS cos
+            FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) p
+        ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos DESC, vec_id) AS rank
+            FROM j
+        )
+        SELECT probe_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 5
+    """
+
+    cos_ab = ("round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+              "sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) * "
+              "list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6)")
+    neardup_sql = f"""
+        SELECT a.vec_id AS a, b.vec_id AS b, {cos_ab} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {cos_ab} * 1000 >= 350
+    """
+
+    quality_sql = f"""
+        SELECT doc_id,
+               len({toks}) AS n_tokens,
+               len(list_distinct({toks})) AS n_uniq,
+               coalesce(list_aggregate(list_transform({toks}, t -> length(t)), 'sum'), 0) AS tok_chars,
+               len(list_filter({toks}, t -> list_contains(['the','a','of','and','in','to'], t))) AS stop_hits,
+               CAST(len({toks}) + 2 * len(list_distinct({toks}))
+                    + len(list_filter({toks}, t -> list_contains(['the','a','of','and','in','to'], t)))
+                    - floor(coalesce(list_aggregate(list_transform({toks}, t -> length(t)), 'sum'), 0) / 10)
+                    AS BIGINT) AS quality_score
+        FROM documents
+    """
+
+    fingerprint_sql = f"""
+        SELECT doc_id, md5(text) AS fp_md5,
+               coalesce(list_min(list_transform({sh3}, s -> {h60.format(v='s')})), -1) AS fp_shingle
+        FROM documents
+    """
+
+    return {
+        "q_token_count": f"SELECT doc_id, len({toks}) AS n_tokens FROM documents",
+        "q_quality": quality_sql,
+        "q_lang_guess": OT.lang_guess_sql(),
+        "q_fingerprint": fingerprint_sql,
+        "q_exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "q_minhash": OT.minhash_rows_sql(),
+        "q_simhash": OT.simhash_sql(),
+        "q_lsh_pairs": lsh_pairs_sql,
+        "q_ngram_jaccard": ngram_sql,
+        "q_embed_topk": embed_topk_sql,
+        "q_embed_neardup": neardup_sql,
+        "q_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id), ts) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "q_hourly_events": """
+            SELECT date_trunc('hour', ts) AS hour_start,
+                   event_type, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+            FROM events GROUP BY hour_start, event_type
+        """,
+        # q_embed_neardup_lsh and q_docs_pipeline: intentionally no oracle
+        # (approximate / non-SQL pipeline) -> rows-only driver check
     }

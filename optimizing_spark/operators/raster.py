@@ -1,0 +1,116 @@
+"""Raster <-> vector operators: the reference raytracer's math
+(Raytracing.hpp) as vectorized column expressions — rays x objects
+nearest-hit joins and per-pixel raster aggregation.
+
+- ``ray_aabb_t``: slab-method ray/AABB entry distance
+  (Raytracing.hpp:267-289): per-axis t-intervals with least/greatest,
+  NaN-free (zero direction components handled via +-inf division
+  semantics of IEEE doubles, matching the reference's C++ behavior).
+- ``ray_sphere_t``: quadratic discriminant nearest positive root
+  (Raytracing.hpp:291-348, eps 1e-9 per _EPSILON usage).
+- ``nearest_hit``: O22 — broadcast scene join + min_by argmin
+  (Raytracing.hpp:640-669: linear scan keeping min positive t).
+- ``render_raster``: O24 — groupBy(px, py) mean of per-sample values
+  (Raytracing.hpp:485-492 accumulation).
+- ``tone_map``: O25 — clamp -> pow(1/2.2) -> *255 + 0.5 floor
+  (format_color_component, Raytracing.hpp:250-265).
+
+Scale notes: the scene is the broadcast side (a scene is small vs the
+ray table: W*H*samples rows); the nearest-hit join is a broadcast
+nested-loop with a cheap codegen'd predicate — the idiomatic plan when
+|scene| << |rays|. For giant scenes, pre-bucket rays and scene by
+coarse cells (operators.joins.range_join pattern) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _axis_t(o: Column, d: Column, lo: Column, hi: Column) -> tuple[Column, Column]:
+    t0 = (lo - o) / d
+    t1 = (hi - o) / d
+    return F.least(t0, t1), F.greatest(t0, t1)
+
+
+def ray_aabb_t(
+    origin: tuple[Column, Column, Column],
+    direction: tuple[Column, Column, Column],
+    box_min: tuple[Column, Column, Column],
+    box_max: tuple[Column, Column, Column],
+) -> Column:
+    """Entry distance t (>=0) of the ray into the box, NULL if missed.
+    Slab method (Raytracing.hpp:267-289): tmin = max of per-axis nears,
+    tmax = min of per-axis fars; hit iff tmax >= max(tmin, 0)."""
+    nears, fars = [], []
+    for o, d, lo, hi in zip(origin, direction, box_min, box_max):
+        n, f_ = _axis_t(o, d, lo, hi)
+        nears.append(n)
+        fars.append(f_)
+    tmin = F.greatest(*nears)
+    tmax = F.least(*fars)
+    t = F.when(tmin >= 0, tmin).otherwise(tmax)  # inside-box -> exit dist
+    return F.when((tmax >= tmin) & (tmax >= 0), t)
+
+
+def ray_sphere_t(
+    origin: tuple[Column, Column, Column],
+    direction: tuple[Column, Column, Column],
+    center: tuple[Column, Column, Column],
+    radius: Column,
+    eps: float = 1e-9,
+) -> Column:
+    """Nearest positive root of |o + t*d - c|^2 = r^2 (direction assumed
+    unit), NULL on miss (Raytracing.hpp:291-348)."""
+    oc = [o - c for o, c in zip(origin, center)]
+    b = sum(occ * d for occ, d in zip(oc, direction))
+    c_ = sum(occ * occ for occ in oc) - radius * radius
+    disc = b * b - c_
+    s = F.sqrt(disc)
+    t1 = -b - s
+    t2 = -b + s
+    t = F.when(t1 > eps, t1).when(t2 > eps, t2)
+    return F.when(disc >= 0, t)
+
+
+def nearest_hit(rays: DataFrame, scene: DataFrame, shape: str = "sphere") -> DataFrame:
+    """O22: for each ray, the nearest hit object and distance.
+
+    rays: (ray_id, px, py, sample_id, origin_x..z, dir_x..z)
+    scene (sphere): (obj_id, cx, cy, cz, radius)
+    scene (aabb):   (obj_id, min_x..max_z)
+    Returns (ray_id, px, py, sample_id, obj_id, t); misses are dropped
+    (raycast returns false, Raytracing.hpp:640-669).
+    """
+    o = (F.col("origin_x"), F.col("origin_y"), F.col("origin_z"))
+    d = (F.col("dir_x"), F.col("dir_y"), F.col("dir_z"))
+    if shape == "sphere":
+        t = ray_sphere_t(o, d, (F.col("cx"), F.col("cy"), F.col("cz")), F.col("radius"))
+    else:
+        t = ray_aabb_t(o, d,
+                       (F.col("min_x"), F.col("min_y"), F.col("min_z")),
+                       (F.col("max_x"), F.col("max_y"), F.col("max_z")))
+    j = rays.crossJoin(F.broadcast(scene)).withColumn("t", t).filter(F.col("t").isNotNull())
+    return j.groupBy("ray_id", "px", "py", "sample_id").agg(
+        F.min_by(F.struct("t", "obj_id"), F.struct("t", "obj_id")).alias("_b")
+    ).select(
+        "ray_id", "px", "py", "sample_id",
+        F.col("_b.obj_id").alias("obj_id"), F.col("_b.t").alias("t"),
+    )
+
+
+def render_raster(samples: DataFrame, value_cols: list[str]) -> DataFrame:
+    """O24: per-pixel mean over samples (Raytracing.hpp:485-492)."""
+    aggs = [F.avg(c).alias(f"avg_{c}") for c in value_cols]
+    return samples.groupBy("px", "py").agg(*aggs)
+
+
+GAMMA = 1.0 / 2.2  # Raytracing.hpp:697
+
+
+def tone_map(c: Column) -> Column:
+    """format_color_component (Raytracing.hpp:250-265): clamp to [0,1],
+    gamma 1/2.2, scale to [0,255], +0.5 and truncate (C uint8 cast)."""
+    clamped = F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+    return F.floor(F.pow(clamped, F.lit(GAMMA)) * 255 + 0.5).cast("int")

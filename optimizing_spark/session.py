@@ -48,7 +48,26 @@ def get_spark(
         # of tile_* would hang the optimizer); the engine never relies on
         # inferred constraints.
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # Throughput GC for batch: G1's young pauses burn system time on
+        # this virtualized host (observed Sys >> User in GC logs; 10x
+        # slowdown at 32 threads on allocation-heavy string exprs).
+        # ParallelGC restores linear scaling; on a real cluster apply the
+        # same to spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # Our workloads are CPU-heavy per input byte (nested span decode +
+        # hashing), so scan splits must outnumber cores even on small
+        # compressed inputs; 128MB default caps a 2GB table at ~16-way.
+        # At 100TB the same setting still yields millions of splits.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
+    # Shuffle/spill to RAM-backed storage when available: local-mode disk
+    # serializes wide shuffles on this host (on a real cluster this is the
+    # per-node NVMe scratch config).
+    shm = "/dev/shm/spark-local"
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

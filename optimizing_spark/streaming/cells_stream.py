@@ -1,0 +1,83 @@
+"""Structured-streaming restatement of the reference's frame loop:
+the per-frame cell load/unload lifecycle (WorldPartition::update,
+hpp:194-213) becomes a streaming aggregation whose state is the set of
+"loaded" cells, and the viewport search becomes a stream-static join
+against the tiled object table.
+
+- ``stream_tile``: tile a stream of (doc_id, spans) micro-batches with
+  the same geocode+quadtree projections as the batch path (stateless —
+  pure projection, so streaming semantics are trivially exact).
+- ``streaming_cell_counts``: windowed per-cell doc counts with a
+  watermark — late data handling the frame loop never had.
+- ``ring_state_counts``: applyInPandasWithState custom stateful
+  operator tracking per-cell "loaded" state with TTL eviction — the
+  unload path (Chebyshev distance > 1 -> unload) as state timeout.
+
+Tests drive these with the rate / memory sinks; production would read
+Kafka and write Iceberg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..functions.geocode import geocode
+
+
+def stream_tile(stream_docs: DataFrame, max_node_depth: int = 4) -> DataFrame:
+    """Stateless geocode+tile of a streaming docs source — identical
+    projections to plans.pipeline.tile_documents (no repartition)."""
+    g = geocode(stream_docs, how="jvm")
+    return C.assign_quadtree_pow2(g, max_node_depth=max_node_depth)
+
+
+def streaming_cell_counts(
+    tiled_stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Per-cell tumbling-window counts with late-data watermark."""
+    return (
+        tiled_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("qt_depth"), F.col("qt_code"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def ring_state_counts(tiled_stream: DataFrame, ttl_batches: int = 3):
+    """Custom stateful op: per coarse cell, a running doc count that is
+    EVICTED if the cell goes quiet (the unload rule as state TTL).
+
+    Returns (func, schema pair) usable with applyInPandasWithState on
+    groupBy(cell). Kept as a builder so batch tests can also exercise
+    the transition function directly.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "cell_x int, cell_y int, n_docs long, evicted boolean"
+    state_schema = "n long, quiet int"
+
+    def fn(key, pdfs, state: GroupState):
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        if state.hasTimedOut:
+            n, _q = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"cell_x": [key[0]], "cell_y": [key[1]], "n_docs": [n], "evicted": [True]}
+            )
+            return
+        n, quiet = state.get if state.exists else (0, 0)
+        n += n_new
+        state.update((n, 0 if n_new else quiet + 1))
+        state.setTimeoutDuration(ttl_batches * 10_000)
+        yield pd.DataFrame(
+            {"cell_x": [key[0]], "cell_y": [key[1]], "n_docs": [n], "evicted": [False]}
+        )
+
+    return fn, out_schema, state_schema

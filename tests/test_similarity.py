@@ -1,0 +1,99 @@
+"""Similarity search: brute-force cosine top-k oracle vs engine, LSH
+recall, near-dup pairs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from optimizing_spark.operators import similarity as SIM
+
+DIM = 16
+N = 300
+
+
+def _vectors(n=N, dim=DIM, seed=3, clusters=15):
+    """Clustered vectors (ANN's actual regime): center + small noise, so
+    true neighbors sit at high cosine and hyperplane LSH has signal."""
+    rng = np.arange(clusters * dim, dtype=np.uint64)
+    from optimizing_spark.sources.datagen import _u01
+    centers = (_u01(rng, seed, 1) * 2 - 1).reshape(clusters, dim)
+    noise = (_u01(np.arange(n * dim, dtype=np.uint64), seed, 2) * 2 - 1).reshape(n, dim)
+    m = centers[np.arange(n) % clusters] + noise * 0.15
+    # plant near-duplicates: vec 1 = vec 0 + tiny noise, vec 11 = vec 10 scaled
+    m[1] = m[0] + 0.01
+    m[11] = m[10] * 2.5
+    return m
+
+
+def _topk_oracle(m, probes_idx, k):
+    norms = np.linalg.norm(m, axis=1)
+    out = {}
+    for pi in probes_idx:
+        cos = (m @ m[pi]) / (norms * norms[pi])
+        cos_r = np.round(cos, 6)
+        order = np.lexsort((np.arange(len(m)), -cos_r))
+        out[pi] = [int(j) for j in order[:k]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    m = _vectors()
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(N, dtype=np.int64),
+        "embedding": [row.astype(np.float64).tolist() for row in m],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def _probes_df(spark, m, idx):
+    pdf = pd.DataFrame({
+        "probe_id": idx,
+        "p_embedding": [m[i].astype(np.float64).tolist() for i in idx],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_brute_topk_matches_oracle(spark, vec_df):
+    m = _vectors()
+    probes = [0, 5, 10, 42]
+    got = SIM.brute_topk(vec_df, _probes_df(spark, m, probes), k=5) \
+        .toPandas().sort_values(["probe_id", "rank"])
+    want = _topk_oracle(m, probes, 5)
+    for pi in probes:
+        assert got[got.probe_id == pi].vec_id.tolist() == want[pi], f"probe {pi}"
+
+
+def test_lsh_topk_recall(spark, vec_df):
+    m = _vectors()
+    probes = list(range(0, 50, 5))
+    k = 5
+    got = SIM.lsh_topk(vec_df, _probes_df(spark, m, probes), k=k, dim=DIM, n_planes=8) \
+        .toPandas()
+    want = _topk_oracle(m, probes, k)
+    hits = total = 0
+    for pi in probes:
+        g = set(got[got.probe_id == pi].vec_id.tolist())
+        w = set(want[pi])
+        hits += len(g & w)
+        total += len(w)
+    recall = hits / total
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # rank-1 self-hit must survive bucketing (a vector shares its own bucket)
+    for pi in probes:
+        g = got[got.probe_id == pi]
+        assert g[g["rank"] == 1].vec_id.iloc[0] == pi
+
+
+def test_embedding_neardup_pairs(spark, vec_df):
+    out = SIM.embedding_neardup_pairs(vec_df, dim=DIM, threshold_millis=990) \
+        .toPandas()
+    got = set(zip(out.a, out.b))
+    assert (0, 1) in got    # planted near-dup
+    assert (10, 11) in got  # scaled copy: cosine == 1
+    m = _vectors()
+    norms = np.linalg.norm(m, axis=1)
+    for a, b in got:
+        cos = float(m[a] @ m[b] / (norms[a] * norms[b]))
+        assert round(cos, 6) >= 0.990

@@ -1,0 +1,139 @@
+"""Text analysis + dedup operators vs pure-Python oracles."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from optimizing_spark.functions import text as TX
+from optimizing_spark.operators import dedup
+
+DOCS = pd.DataFrame({
+    "doc_id": list(range(8)),
+    "text": [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",      # near-dup of 0
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",      # exact dup of 0
+        "data table scan filter join group sort merge",
+        "data table scan filter join group sort merge now", # near-dup of 4
+        "",                                                  # empty
+        "one",                                               # single token
+    ],
+})
+
+
+def _h60(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+
+def _hp(tok: str) -> int:
+    return _h60(tok) % TX.MERSENNE31
+
+
+def _toks(s: str) -> list[str]:
+    return [t for t in s.strip().split() if t]
+
+
+def _shingles(s: str, k: int = 3) -> list[str]:
+    t = _toks(s)
+    return [" ".join(t[i:i + k]) for i in range(len(t) - k + 1)] if len(t) >= k else []
+
+
+def _minhash(s: str, n: int = 16) -> list[int]:
+    hs = [_hp(t) for t in _toks(s)]
+    out = []
+    for a, b in TX.MINHASH_PERMS[:n]:
+        out.append(min(((a * h + b) % TX.MERSENNE31 for h in hs), default=TX.MERSENNE31))
+    return out
+
+
+def _simhash(s: str, bits: int = 16) -> int:
+    hs = [_hp(t) for t in _toks(s)]
+    if not hs:
+        return 0
+    v = 0
+    for b in range(bits):
+        vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if vote >= 0:
+            v |= 1 << b
+    return v
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS)
+
+
+def test_minhash_signature_matches_oracle(spark, docs_df):
+    got = dedup.minhash_signatures(docs_df).select("doc_id", "mh_sig").toPandas() \
+        .set_index("doc_id").mh_sig
+    for did in DOCS.doc_id:
+        assert list(got[did]) == _minhash(DOCS.text[did]), f"doc {did}"
+
+
+def test_simhash_matches_oracle(spark, docs_df):
+    got = docs_df.select("doc_id", TX.simhash_col().alias("sh")).toPandas() \
+        .set_index("doc_id").sh
+    for did in DOCS.doc_id:
+        assert got[did] == _simhash(DOCS.text[did]), f"doc {did}"
+
+
+def test_shingles_match_oracle(spark, docs_df):
+    got = docs_df.select("doc_id", TX.shingles_col().alias("sh")).toPandas() \
+        .set_index("doc_id").sh
+    for did in DOCS.doc_id:
+        assert list(got[did]) == _shingles(DOCS.text[did]), f"doc {did}"
+
+
+def test_exact_dedup(spark, docs_df):
+    out = dedup.exact_dedup(docs_df).toPandas()
+    assert sorted(out.doc_id) == [0, 1, 2, 4, 5, 6, 7]  # doc 3 removed (dup of 0)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = dedup.minhash_lsh_pairs(docs_df, jaccard_num=5, jaccard_den=10) \
+        .toPandas()
+    got = set(zip(pairs.a, pairs.b))
+    # exact dup pair must be found; near-dups (0,1) and (4,5) share most shingles
+    assert (0, 3) in got
+    for a, b in got:
+        sa, sb = set(_shingles(DOCS.text[a])), set(_shingles(DOCS.text[b]))
+        inter = len(sa & sb)
+        uni = len(sa | sb)
+        assert inter * 10 >= uni * 5  # every reported pair really passes
+    # verified counts are exact
+    for r in pairs.itertuples():
+        sa, sb = set(_shingles(DOCS.text[r.a])), set(_shingles(DOCS.text[r.b]))
+        assert r.inter == len(sa & sb) and r.uni == len(sa | sb)
+
+
+def test_simhash_pairs(spark, docs_df):
+    out = dedup.simhash_pairs(docs_df, max_hamming=4).toPandas()
+    got = {(r.a, r.b): r.hamming for r in out.itertuples()}
+    assert got[(0, 3)] == 0  # identical text -> identical simhash
+    for (a, b), ham in got.items():
+        assert bin(_simhash(DOCS.text[a]) ^ _simhash(DOCS.text[b])).count("1") == ham
+
+
+def test_quality_and_lang(spark, docs_df):
+    q = TX.quality_cols(docs_df).toPandas().set_index("doc_id")
+    for did in DOCS.doc_id:
+        toks = _toks(DOCS.text[did])
+        assert q.loc[did, "n_tokens"] == len(toks)
+        assert q.loc[did, "n_uniq"] == len(set(toks))
+        assert q.loc[did, "tok_chars"] == sum(len(t) for t in toks)
+    lang = docs_df.select("doc_id", TX.lang_guess_col().alias("lg")).toPandas()
+    assert (lang.lg != "").all()
+    # doc 0 contains 'the' twice and 'over' -> english markers dominate
+    assert lang.set_index("doc_id").lg[0] == "en"
+
+
+def test_fingerprints(spark, docs_df):
+    fp = TX.fingerprint_cols(docs_df).toPandas().set_index("doc_id")
+    assert fp.fp_md5[0] == fp.fp_md5[3] != fp.fp_md5[1]
+    assert fp.fp_md5[0] == hashlib.md5(DOCS.text[0].encode()).hexdigest()
+    sh = _shingles(DOCS.text[0])
+    assert fp.fp_shingle[0] == min(_h60(s) for s in sh)
+    assert fp.fp_shingle[6] == -1  # empty doc sentinel
