@@ -114,3 +114,105 @@ def tone_map(c: Column) -> Column:
     gamma 1/2.2, scale to [0,255], +0.5 and truncate (C uint8 cast)."""
     clamped = F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
     return F.floor(F.pow(clamped, F.lit(GAMMA)) * 255 + 0.5).cast("int")
+
+
+def pathtrace(
+    rays: DataFrame,
+    scene: DataFrame,
+    max_depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """O23 (stretch): bounded-depth diffuse path tracing as iterative
+    per-bounce DataFrame passes (compute_radiance, Raytracing.hpp:
+    501-638; depth cap :692). Each bounce = one broadcast nearest-hit
+    join + emission accumulation + deterministic hash-derived cosine
+    bounce direction (no RNG state; reference used MT19937, we use
+    xxhash64(ray_id, bounce) so results are reproducible under any
+    partitioning).
+
+    scene: (obj_id, cx, cy, cz, radius, emit, albedo) — scalar
+    emission/albedo (gray) keeps the column count down; RGB is the
+    same math three times.
+
+    Returns per-ray accumulated radiance (ray_id, px, py, sample_id,
+    radiance). Misses terminate with 0 background. Russian roulette is
+    replaced by the hard depth cap (the roulette of :557-564 exists to
+    unbias the cap; with deterministic sampling we keep the cap only —
+    documented deviation).
+    """
+    live = rays.select(
+        "ray_id", "px", "py", "sample_id",
+        "origin_x", "origin_y", "origin_z", "dir_x", "dir_y", "dir_z",
+        F.lit(1.0).alias("throughput"),
+    )
+    done_parts: list[DataFrame] = []
+    for bounce in range(max_depth):
+        hit = nearest_hit(live, scene, shape="sphere").select(
+            "ray_id", F.col("obj_id").alias("h_obj"), F.col("t").alias("h_t"))
+        j = live.join(hit, "ray_id", "left")
+        missed = j.filter(F.col("h_obj").isNull()).select(
+            "ray_id", "px", "py", "sample_id",
+            F.lit(0.0).alias("radiance"))
+        done_parts.append(missed)
+        h = j.filter(F.col("h_obj").isNotNull()).join(
+            F.broadcast(scene.select(
+                F.col("obj_id").alias("h_obj"), "cx", "cy", "cz", "radius",
+                "emit", "albedo")),
+            "h_obj",
+        )
+        # emitted light weighted by current throughput
+        contrib = h.select(
+            "ray_id", "px", "py", "sample_id",
+            (F.col("throughput") * F.col("emit")).alias("radiance"))
+        done_parts.append(contrib)
+        if bounce == max_depth - 1:
+            break
+        # new ray: origin = hit point, direction = deterministic unit
+        # vector in the hemisphere of the surface normal
+        hx = F.col("origin_x") + F.col("dir_x") * F.col("h_t")
+        hy = F.col("origin_y") + F.col("dir_y") * F.col("h_t")
+        hz = F.col("origin_z") + F.col("dir_z") * F.col("h_t")
+        nx = (hx - F.col("cx")) / F.col("radius")
+        ny = (hy - F.col("cy")) / F.col("radius")
+        nz = (hz - F.col("cz")) / F.col("radius")
+        u1 = (F.pmod(F.xxhash64("ray_id", F.lit(bounce), F.lit(seed)), F.lit(1 << 20))
+              / F.lit(float(1 << 20)))
+        u2 = (F.pmod(F.xxhash64("ray_id", F.lit(bounce + 100), F.lit(seed)), F.lit(1 << 20))
+              / F.lit(float(1 << 20)))
+        theta = u1 * 2.0 * 3.141592653589793
+        rr = F.sqrt(u2)
+        # build a tangent frame around the normal (w = n)
+        up_is_x = F.abs(nx) > 0.9
+        ax = F.when(up_is_x, F.lit(0.0)).otherwise(F.lit(1.0))
+        h2 = h.withColumn("_ax", ax)
+        # u = normalize(a x n); a = (ax, 1-ax*? ...) simple: a=(ax, 1-ax, 0)
+        h2 = h2.withColumn("_ay", 1.0 - F.col("_ax")).withColumn("_az", F.lit(0.0))
+        cux = F.col("_ay") * nz - F.col("_az") * ny
+        cuy = F.col("_az") * nx - F.col("_ax") * nz
+        cuz = F.col("_ax") * ny - F.col("_ay") * nx
+        ulen = F.sqrt(cux * cux + cuy * cuy + cuz * cuz)
+        h2 = h2.withColumn("_ux", cux / ulen).withColumn("_uy", cuy / ulen) \
+               .withColumn("_uz", cuz / ulen)
+        # v = n x u
+        vx = ny * F.col("_uz") - nz * F.col("_uy")
+        vy = nz * F.col("_ux") - nx * F.col("_uz")
+        vz = nx * F.col("_uy") - ny * F.col("_ux")
+        sq = F.sqrt(F.greatest(F.lit(0.0), 1.0 - u2))
+        ndx = F.col("_ux") * F.cos(theta) * rr + vx * F.sin(theta) * rr + nx * sq
+        ndy = F.col("_uy") * F.cos(theta) * rr + vy * F.sin(theta) * rr + ny * sq
+        ndz = F.col("_uz") * F.cos(theta) * rr + vz * F.sin(theta) * rr + nz * sq
+        eps = 1e-6
+        live = h2.select(
+            "ray_id", "px", "py", "sample_id",
+            (hx + ndx * eps).alias("origin_x"),
+            (hy + ndy * eps).alias("origin_y"),
+            (hz + ndz * eps).alias("origin_z"),
+            ndx.alias("dir_x"), ndy.alias("dir_y"), ndz.alias("dir_z"),
+            (F.col("throughput") * F.col("albedo")).alias("throughput"),
+        ).localCheckpoint()
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("ray_id", "px", "py", "sample_id").agg(
+        F.sum("radiance").alias("radiance"))

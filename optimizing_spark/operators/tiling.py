@@ -149,17 +149,14 @@ def explode_covering_cells(
     sx = (world.max_x - world.min_x) / n
     sy = (world.max_y - world.min_y) / n
 
-    def lo(c: str, wmin: float, s: float) -> Column:
-        return F.greatest(F.lit(0), F.least(F.lit(n - 1), F.floor((F.col(c) - wmin) / s))).cast("int")
-
-    def hi(c: str, wmin: float, s: float) -> Column:
+    def cell(c: str, wmin: float, s: float) -> Column:
         return F.greatest(F.lit(0), F.least(F.lit(n - 1), F.floor((F.col(c) - wmin) / s))).cast("int")
 
     out = (
-        df.withColumn("_gx0", lo(min_x, world.min_x, sx))
-        .withColumn("_gx1", hi(max_x, world.min_x, sx))
-        .withColumn("_gy0", lo(min_y, world.min_y, sy))
-        .withColumn("_gy1", hi(max_y, world.min_y, sy))
+        df.withColumn("_gx0", cell(min_x, world.min_x, sx))
+        .withColumn("_gx1", cell(max_x, world.min_x, sx))
+        .withColumn("_gy0", cell(min_y, world.min_y, sy))
+        .withColumn("_gy1", cell(max_y, world.min_y, sy))
         .withColumn(cell_x, F.explode(F.sequence(F.col("_gx0"), F.col("_gx1"))))
         .withColumn(cell_y, F.explode(F.sequence(F.col("_gy0"), F.col("_gy1"))))
         .drop("_gx0", "_gx1", "_gy0", "_gy1")

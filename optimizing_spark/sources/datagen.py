@@ -326,10 +326,10 @@ def _documents_arrow_batch(ids: np.ndarray, seed: int) -> "object":
     j = np.arange(total) - np.repeat(starts, n_spans)
 
     pid = ids[parent]
-    kind_h = _h(pid, seed, 0)  # placeholder, replaced below with stream 60+j
-    # stream argument varies per element: reuse _h's formula with array stream
-    with np.errstate(over="ignore"):
-        def hs(base_stream: int) -> np.ndarray:
+
+    def hs(base_stream: int) -> np.ndarray:
+        # _h's formula with a per-element stream array (stream = base + j)
+        with np.errstate(over="ignore"):
             s = (base_stream + j).astype(np.uint64)
             return splitmix64(pid.astype(np.uint64)
                               + np.uint64(seed) * np.uint64(0x9E3779B1)

@@ -1,0 +1,101 @@
+"""Structured-streaming variants: stream results must equal the batch
+results on the same data (exactness of the stateless tile projections;
+windowed counts with watermark; stateful ring counts)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from optimizing_spark.functions import cells as C
+from optimizing_spark.functions.geocode import geocode
+from optimizing_spark.sources import datagen
+from optimizing_spark.streaming import cells_stream as CS
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("docs_stream") / "docs")
+    datagen.spark_table(spark, "documents", 800, partitions=4).write.parquet(p)
+    return p
+
+
+def test_stream_tile_equals_batch(spark, docs_dir):
+    schema = datagen.DOCS_SCHEMA
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    tiled = CS.stream_tile(stream).select("doc_id", "qt_depth", "qt_code")
+    q = tiled.writeStream.format("memory").queryName("tiled_mem") \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.table("tiled_mem").toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    batch = C.assign_quadtree_pow2(geocode(spark.read.parquet(docs_dir), how="jvm")) \
+        .select("doc_id", "qt_depth", "qt_code").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 800
+    assert (got.qt_code.to_numpy() == batch.qt_code.to_numpy()).all()
+    assert (got.qt_depth.to_numpy() == batch.qt_depth.to_numpy()).all()
+
+
+def test_streaming_windowed_cell_counts(spark, docs_dir):
+    schema = datagen.DOCS_SCHEMA
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    # deterministic event time derived from the doc hash
+    tiled = CS.stream_tile(stream).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.pmod(F.xxhash64("doc_id"), F.lit(100))))
+    counts = CS.streaming_cell_counts(tiled, window="10 seconds", watermark="1 minute")
+    q = counts.writeStream.format("memory").queryName("cell_counts_mem") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.table("cell_counts_mem")
+    # append mode emits only closed windows; with availableNow the final
+    # watermark closes all but the last — compare against batch on the
+    # emitted subset
+    batch = (
+        CS.stream_tile(spark.read.parquet(docs_dir))
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.pmod(F.xxhash64("doc_id"), F.lit(100))))
+        .groupBy(F.window("ts", "10 seconds"), "qt_depth", "qt_code")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    g = got.select("window", "qt_depth", "qt_code", "n_docs").toPandas()
+    b = batch.select("window", "qt_depth", "qt_code", "n_docs").toPandas()
+    bmap = {(str(r.window), r.qt_depth, r.qt_code): r.n_docs for r in b.itertuples()}
+    assert len(g) > 0
+    for r in g.itertuples():
+        assert bmap[(str(r.window), r.qt_depth, r.qt_code)] == r.n_docs
+
+
+def test_ring_state_counts(spark, docs_dir):
+    schema = datagen.DOCS_SCHEMA
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    tiled = CS.stream_tile(stream).withColumn(
+        "cell_x", F.shiftright(F.col("ix"), 12).cast("int")).withColumn(
+        "cell_y", F.shiftright(F.col("iy"), 12).cast("int"))
+    fn, out_schema, state_schema = CS.ring_state_counts(tiled)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    res = tiled.groupBy("cell_x", "cell_y").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.ProcessingTimeTimeout)
+    q = res.writeStream.format("memory").queryName("ring_state_mem") \
+        .outputMode("update").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.table("ring_state_mem").toPandas()
+    assert len(got) > 0
+    # evictions MAY fire between micro-batches (TTL is wall-clock); the
+    # invariant is: every reported running count is positive and never
+    # exceeds the cell's true total, and non-evicted cells reach it.
+    batch = (
+        CS.stream_tile(spark.read.parquet(docs_dir))
+        .withColumn("cell_x", F.shiftright(F.col("ix"), 12).cast("int"))
+        .withColumn("cell_y", F.shiftright(F.col("iy"), 12).cast("int"))
+        .groupBy("cell_x", "cell_y").count().toPandas()
+    )
+    bmap = {(r.cell_x, r.cell_y): r["count"] for _, r in batch.iterrows()}
+    assert (got.n_docs > 0).all()
+    agg = got.groupby(["cell_x", "cell_y"]).n_docs.max()
+    for (cx, cy), n in agg.items():
+        assert n <= bmap[(cx, cy)]
+    live_total = got[~got.evicted].groupby(["cell_x", "cell_y"]).n_docs.max().sum()
+    evicted_total = got[got.evicted].n_docs.sum()
+    assert live_total + evicted_total >= sum(bmap.values())
