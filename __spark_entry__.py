@@ -24,7 +24,11 @@ Operator coverage map (reference file:line cites in the module docs):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -237,6 +241,13 @@ def q_topk_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell_x", "cell_y", "obj_id", "weight_c", "rk")
 
 
+def q_oct_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3D static octree node per object (closed intervals, 3-bit Morton
+    — the S2-level analog of the z axis)."""
+    o = D.objects3d(spark, sf_dir)
+    return C.assign_octree_pow2(o).select("obj_id", "oct_depth", "oct_code")
+
+
 def q_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-aggregation sanity (TPC-H Q1 shape, integer-exact sums)."""
     li = D.load(spark, sf_dir, "lineitem")
@@ -409,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_raster": q_raster,
         "q_tonemap": q_tonemap,
         "q_topk_per_cell": q_topk_per_cell,
+        "q_oct_assign": q_oct_assign,
         "q_agg_wide": q_agg_wide,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
@@ -533,6 +545,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cell_x, cell_y, obj_id, weight_c, CAST(rk AS INTEGER) AS rk
             FROM r WHERE rk <= 3
+        """,
+        "q_oct_assign": f"""
+            WITH objs3 AS ({D.SQL_OBJECTS3D}), t AS (
+                SELECT obj_id, {D.oct_fits_depth_sql(5)} AS oct_depth,
+                       {D.morton3d_sql('ix >> 11', 'iy >> 11', 'iz >> 11')} AS m5
+                FROM objs3
+            )
+            SELECT obj_id, oct_depth,
+                   CASE oct_depth WHEN 5 THEN m5 WHEN 4 THEN m5 >> 3
+                        WHEN 3 THEN m5 >> 6 WHEN 2 THEN m5 >> 9
+                        WHEN 1 THEN m5 >> 12 ELSE 0 END AS oct_code
+            FROM t
         """,
         "q_agg_wide": """
             SELECT l_returnflag, l_linestatus,

@@ -259,6 +259,55 @@ def assign_quadtree_pow2(
     return out.withColumn(out_code, code).drop("_m_deep")
 
 
+def assign_octree_pow2(
+    df,
+    ix: str = "ix",
+    iy: str = "iy",
+    iz: str = "iz",
+    sx: str = "sx",
+    sy: str = "sy",
+    sz: str = "sz",
+    world_bits: int = 16,
+    max_depth: int = 5,
+    out_depth: str = "oct_depth",
+    out_code: str = "oct_code",
+):
+    """Closed-form STATIC 3D octree assignment for integer boxes on a
+    power-of-two world (capacity-free variant; the capacity-gated exact
+    O7 semantics live in operators.tiling.tile_octree_capacity).
+
+    3D BoundaryBox containment is CLOSED on both ends
+    (BoundaryBox.hpp:52-56), so box [i, i+s] fits a depth-d cell iff
+    (i >> (wb-d)) == ((i + s - 1) >> (wb-d)) for every axis (s >= 1;
+    a box touching the far world face still fits — no world check
+    needed, overflow past the face fails the shift equality).
+    oct_code = 3-bit-interleaved Morton prefix (x bit0, y bit1, z bit2
+    = the SWD..NEU child enum order, DynamicOctree.hpp:56-65)."""
+    cols = [(F.col(ix), F.col(sx)), (F.col(iy), F.col(sy)), (F.col(iz), F.col(sz))]
+    depth_expr = F.lit(0)
+    for d in range(1, max_depth + 1):
+        sh = world_bits - d
+        fits = F.lit(True)
+        for i, s in cols:
+            fits = fits & (F.shiftright(i, sh) == F.shiftright(i + s - 1, sh))
+        depth_expr = F.when(fits, F.lit(d)).otherwise(depth_expr)
+    out = df.withColumn(out_depth, depth_expr)
+    sh_deep = world_bits - max_depth
+    m = morton3d(
+        F.shiftright(F.col(ix), sh_deep),
+        F.shiftright(F.col(iy), sh_deep),
+        F.shiftright(F.col(iz), sh_deep),
+    )
+    out = out.withColumn("_m3_deep", m)
+    code = F.lit(0).cast("long")
+    for d in range(1, max_depth + 1):
+        code = F.when(
+            F.col(out_depth) == d,
+            F.shiftright(F.col("_m3_deep"), 3 * (max_depth - d)),
+        ).otherwise(code)
+    return out.withColumn(out_code, code).drop("_m3_deep")
+
+
 # ---------------------------------------------------------------------------
 # Neighbor rings (WorldPartition.hpp:194-213)
 # ---------------------------------------------------------------------------

@@ -180,6 +180,78 @@ def qt_depth_col(max_node_depth: int = 4):
     return col
 
 
+def objects3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """objects2d + a z axis from the same row (octree / S2-level
+    analog). NB: derived in ONE select — (l_orderkey, l_linenumber) is
+    not unique in the driver's synthetic lineitem, so a self-join on
+    obj_id would fan out."""
+    li = load(spark, sf_dir, "lineitem")
+    ok, pk, sk, ln = (F.col(c).cast("long") for c in
+                      ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+    ix = (ok * _OX[0] + pk * _OX[1] + ln * _OX[2]) % E
+    iy = (sk * _OY[0] + pk * _OY[1] + ln * _OY[2]) % E
+    iz = (pk * 104729 + ok * 7907 + ln * 271) % E
+    return li.select(
+        (ok * 10 + ln).alias("obj_id"),
+        ix.alias("ix"), iy.alias("iy"), iz.alias("iz"),
+        ((ok % 97) + 1).alias("sx"),
+        ((sk % 97) + 1).alias("sy"),
+        ((pk % 97) + 1).alias("sz"),
+    )
+
+
+SQL_OBJECTS3D = f"""
+SELECT (CAST(l_orderkey AS BIGINT) * 10 + l_linenumber) AS obj_id,
+       (CAST(l_orderkey AS BIGINT) * {_OX[0]} + CAST(l_partkey AS BIGINT) * {_OX[1]}
+        + CAST(l_linenumber AS BIGINT) * {_OX[2]}) % {E} AS ix,
+       (CAST(l_suppkey AS BIGINT) * {_OY[0]} + CAST(l_partkey AS BIGINT) * {_OY[1]}
+        + CAST(l_linenumber AS BIGINT) * {_OY[2]}) % {E} AS iy,
+       (CAST(l_partkey AS BIGINT) * 104729 + CAST(l_orderkey AS BIGINT) * 7907
+        + CAST(l_linenumber AS BIGINT) * 271) % {E} AS iz,
+       (CAST(l_orderkey AS BIGINT) % 97) + 1 AS sx,
+       (CAST(l_suppkey AS BIGINT) % 97) + 1 AS sy,
+       (CAST(l_partkey AS BIGINT) % 97) + 1 AS sz
+FROM lineitem
+"""
+
+
+def oct_fits_depth_sql(max_depth: int = 5) -> str:
+    """DuckDB CASE: deepest 3D octree depth whose cell contains the box
+    under CLOSED intervals: (i >> sh) == ((i + s - 1) >> sh) per axis."""
+    whens = []
+    for d in range(max_depth, 0, -1):
+        sh = B - d
+        conds = [
+            f"({a} >> {sh}) = (({a} + {s} - 1) >> {sh})"
+            for a, s in (("ix", "sx"), ("iy", "sy"), ("iz", "sz"))
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {d}")
+    return "CASE " + " ".join(whens) + " ELSE 0 END"
+
+
+_SPREAD3_SQL = [
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+]
+
+
+def morton3_spread_sql(v: str, shift_extra: int = 0) -> str:
+    e = f"(({v}) & 2097151)"
+    for sh, mask in _SPREAD3_SQL:
+        e = f"((({e}) | (({e}) << {sh})) & {mask})"
+    if shift_extra:
+        e = f"(({e}) << {shift_extra})"
+    return e
+
+
+def morton3d_sql(x: str, y: str, z: str) -> str:
+    return (f"({morton3_spread_sql(x)} | {morton3_spread_sql(y, 1)} | "
+            f"{morton3_spread_sql(z, 2)})")
+
+
 def morton_spread_sql(v: str, shift_extra: int = 0) -> str:
     """DuckDB expression spreading a 16-bit int to even bit positions
     (same magic-mask chain as cells._spread2)."""
