@@ -19,6 +19,8 @@ used by tests and the judge.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,6 +53,38 @@ def read_cells(
     if code_lo is not None:
         df = df.filter(F.col("qt_code").between(code_lo, code_hi))
     return df
+
+
+def write_bucketed(
+    tiled: DataFrame,
+    table: str,
+    buckets: int = 16,
+    key_cols: tuple[str, ...] = ("qt_depth", "qt_code"),
+) -> None:
+    """Bucketed + sorted table on the cell key: two tables written this
+    way join on the key with ZERO shuffle (bucket-pruned sort-merge),
+    the co-located join of SURVEY §4 — at 100 TB this is the difference
+    between re-shuffling the world per join and none at all."""
+    import shutil
+
+    spark = tiled.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # in-memory catalog loses the table across sessions but the managed
+    # location persists — clear it or saveAsTable refuses
+    loc = os.path.join(spark.conf.get("spark.sql.warehouse.dir", ""), table)
+    loc = loc.replace("file:", "")
+    if loc and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    (
+        tiled.write.mode("overwrite")
+        .bucketBy(buckets, *key_cols)
+        .sortBy(*key_cols)
+        .saveAsTable(table)
+    )
+
+
+def has_shuffle(df: DataFrame) -> bool:
+    return "Exchange" in df._jdf.queryExecution().executedPlan().toString()
 
 
 def pruning_report(df: DataFrame, execute: bool = True) -> dict:

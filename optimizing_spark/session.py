@@ -60,6 +60,7 @@ def get_spark(
         # compressed inputs; 128MB default caps a 2GB table at ~16-way.
         # At 100TB the same setting still yields millions of splits.
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir", "/tmp/optimizing_spark_warehouse")
     )
     # Shuffle/spill to RAM-backed storage when available: local-mode disk
     # serializes wide shuffles on this host (on a real cluster this is the

@@ -45,3 +45,39 @@ def test_clustered_write_prunes(spark, tmp_path):
         (F.col("cell_prefix") == prefixes[0]) & F.col("qt_code").between(0, 10)
     ).count()
     assert ranged.count() == want
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Two cell-bucketed tables join with zero Exchange in the plan."""
+    docs_a = datagen.documents_spark_fast(spark, 4000, partitions=4)
+    docs_b = datagen.documents_spark_fast(spark, 4000, partitions=4, seed=77)
+    ta = pipeline.tile_documents(docs_a, how="jvm").select(
+        "doc_id", "qt_depth", "qt_code")
+    tb = pipeline.tile_documents(docs_b, how="jvm").select(
+        F.col("doc_id").alias("doc_id_b"), "qt_depth", "qt_code")
+    layout.write_bucketed(ta, "bt_a", buckets=8)
+    layout.write_bucketed(tb, "bt_b", buckets=8)
+
+    a = spark.table("bt_a")
+    b = spark.table("bt_b")
+    # disable broadcast so the planner actually exercises the bucketed
+    # sort-merge path (at real scale neither side broadcasts anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, ["qt_depth", "qt_code"]).groupBy("qt_depth").count()
+        rows = j.collect()
+        assert sum(r["count"] for r in rows) > 0
+        joined = a.join(b, ["qt_depth", "qt_code"])
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "Bucketed: true" in plan
+        # control: the same join over plain data DOES shuffle
+        pa = ta.localCheckpoint()
+        pb = tb.localCheckpoint()
+        ctrl = pa.join(pb, ["qt_depth", "qt_code"])
+        ctrl.collect()
+        assert "Exchange" in ctrl._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
