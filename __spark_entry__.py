@@ -379,6 +379,54 @@ def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"))
 
 
+def q_multi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 multi-assign: one row per (object, overlapped depth-6 grid
+    cell) — the duplicate-to-all-children mode."""
+    from optimizing_spark.operators.tiling import explode_covering_cells
+
+    o = _objects_boxes(spark, sf_dir)
+    return explode_covering_cells(o, POW2_WORLD_2D, depth=6) \
+        .select("obj_id", "cell_x", "cell_y")
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/JSON functions: extract props.k per event, aggregate."""
+    ev = D.load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"))
+
+
+def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: monthly order rollup with cent-exact sums."""
+    o = D.load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        "o_orderstatus",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_total_c"))
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join + window: top-3 customers by order value per
+    nation (broadcast dims, cent-exact sums, key tie-breaks)."""
+    o = D.load(spark, sf_dir, "orders")
+    c = D.load(spark, sf_dir, "customer")
+    n = D.load(spark, sf_dir, "nation")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    j = rev.join(c, rev.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("rev_c").desc(), F.col("c_custkey"))
+    return j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3) \
+        .select("n_name", F.col("c_custkey").alias("custkey"), "rev_c", "rk")
+
+
 def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule pipeline showcase over synthetic interleaved docs
     (input_hint shape): generate -> geocode -> tile -> histogram.
@@ -436,6 +484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_sessionize": q_sessionize,
         "q_hourly_events": q_hourly_events,
+        "q_multi_assign": q_multi_assign,
+        "q_json_extract": q_json_extract,
+        "q_monthly_orders": q_monthly_orders,
+        "q_top_customers": q_top_customers,
         "q_docs_pipeline": q_docs_pipeline,
     }
 
@@ -564,6 +616,47 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_multi_assign": f"""
+            WITH objs AS ({D.SQL_OBJECTS})
+            SELECT obj_id, CAST(cx.g AS INTEGER) AS cell_x, CAST(cy.g AS INTEGER) AS cell_y
+            FROM (
+                SELECT obj_id,
+                       greatest(0, least(63, CAST(floor(ix / 1024.0) AS BIGINT))) AS gx0,
+                       greatest(0, least(63, CAST(floor((ix + sx) / 1024.0) AS BIGINT))) AS gx1,
+                       greatest(0, least(63, CAST(floor(iy / 1024.0) AS BIGINT))) AS gy0,
+                       greatest(0, least(63, CAST(floor((iy + sy) / 1024.0) AS BIGINT))) AS gy1
+                FROM objs
+            ), unnest(generate_series(gx0, gx1)) AS cx(g),
+               unnest(generate_series(gy0, gy1)) AS cy(g)
+        """,
+        "q_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "q_monthly_orders": """
+            SELECT date_trunc('month', o_orderdate) AS month_start,
+                   o_orderstatus, count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_total_c
+            FROM orders GROUP BY month_start, o_orderstatus
+        """,
+        "q_top_customers": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+                FROM orders GROUP BY o_custkey
+            ), r AS (
+                SELECT n.n_name, c.c_custkey AS custkey, rev.rev_c,
+                       row_number() OVER (PARTITION BY n.n_nationkey
+                                          ORDER BY rev.rev_c DESC, c.c_custkey) AS rk
+                FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+                         JOIN nation n ON c.c_nationkey = n.n_nationkey
+            )
+            SELECT n_name, custkey, rev_c, CAST(rk AS INTEGER) AS rk
+            FROM r WHERE rk <= 3
         """,
         **_text_oracles(),
     }
