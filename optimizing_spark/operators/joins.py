@@ -204,11 +204,9 @@ def knn_join(
     # phase 1+2: escalating ring until every query has >= k candidates
     pending = q0
     cands: list[DataFrame] = []
-    cached: list[DataFrame] = []
     r = 1
     for _ in range(max_rounds):
         got = ring_candidates(pending, F.lit(r)).cache()
-        cached.append(got)
         # NB: zero-candidate queries don't appear in counts at all — pending
         # must be derived by anti-join against the *satisfied* set.
         satisfied = got.groupBy("query_id").count() \
@@ -251,11 +249,11 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "obj_id", "d2", "rank")
     )
-    # materialize before releasing the per-round candidate caches the
-    # plan depends on (they exist to stop ring re-expansion recompute)
-    out = out.localCheckpoint()
-    for c in cached:
-        c.unpersist()
+    # The per-round candidate caches stay registered (cache() is a
+    # hint — dropping them would still be correct, just recompute the
+    # rings); they are small (satisfied-query candidates) and die with
+    # the session. Returning the lazy plan avoids an extra
+    # materialization pass.
     return out
 
 
