@@ -203,8 +203,45 @@ def run_scaling() -> dict:
     }
 
 
+def run_refscale() -> dict:
+    """Head-to-head at the reference's own benchmark scale: 1M uniform
+    boxes in a 100,000^2 world, large viewport searches (BASELINE.md
+    logs ~0.8-1.3M objects returned/s single-threaded)."""
+    import time as _t
+
+    from optimizing_spark.config import QT_BENCH_WORLD
+    from optimizing_spark.operators import joins, tiling
+    from optimizing_spark.sources import datagen
+
+    spark = _session(CPUS)
+    objs = tiling.with_box_cols(
+        datagen.spark_table(spark, "quadtree_objects", 1_000_000, partitions=64), dims=2)
+    t0 = _t.time()
+    tiled = tiling.tile_static_quadtree(objs).localCheckpoint()
+    n = tiled.count()
+    t_build = _t.time() - t0
+    qdf = spark.createDataFrame(
+        datagen.query_rects_pandas(20, extent=(25000.0, 20000.0)))
+    hits = joins.range_join(tiled, qdf, QT_BENCH_WORLD, depth=6)
+    hits.count()  # warm
+    t0 = _t.time()
+    pairs = hits.count()
+    t_warm = _t.time() - t0
+    return {
+        "metric": "refscale_objects_returned_per_sec",
+        "value": round(pairs / t_warm),
+        "unit": "obj/s",
+        "objects": n,
+        "build_sec": round(t_build, 2),
+        "result_pairs": pairs,
+        "search_sec_20_queries": round(t_warm, 3),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--refscale" in sys.argv:
+        print(json.dumps(run_refscale()))
     else:
         print(json.dumps(run_headline()))
