@@ -57,3 +57,31 @@ def test_frame_loop_matches_oracle(spark):
         ).select("obj_id")
         got = {r.obj_id for r in got_df.collect()}
         assert got == want, f"frame at ({px},{py},{pz}): {len(got)} vs {len(want)}"
+
+
+def test_e2_delete_under_box(spark):
+    """E2's Backspace flow (.Test/QuadTree.cpp:410-417): search the box,
+    remove every hit, producing a new table version — engine result
+    must equal the oracle's surviving set."""
+    import pandas as pd
+    from optimizing_spark.config import QT_BENCH_WORLD
+    from optimizing_spark.operators import joins
+
+    objs = tiling.with_box_cols(
+        datagen.spark_table(spark, "quadtree_objects", 3000, partitions=4), dims=2)
+    objs = objs.localCheckpoint()
+    box = pd.DataFrame({"query_id": [0], "min_x": [20000.0], "min_y": [30000.0],
+                        "max_x": [45000.0], "max_y": [60000.0]})
+    hits = joins.range_join(objs, spark.createDataFrame(box), QT_BENCH_WORLD, depth=5)
+    survivors = tiling.remove_objects(objs, hits.select("obj_id"))
+
+    pdf = datagen.quadtree_objects_pandas(3000)
+    q = box.iloc[0]
+    i_min_x = pdf.x.to_numpy(); i_min_y = pdf.y.to_numpy()
+    i_max_x = i_min_x + pdf.size_x.to_numpy(); i_max_y = i_min_y + pdf.size_y.to_numpy()
+    hit_mask = (q.min_x < i_max_x) & (q.max_x >= i_min_x) \
+        & (q.min_y < i_max_y) & (q.max_y >= i_min_y)
+    want = set(pdf.obj_id[~hit_mask].tolist())
+    got = {r.obj_id for r in survivors.select("obj_id").collect()}
+    assert got == want
+    assert len(got) < 3000  # the box really deleted something
