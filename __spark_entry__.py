@@ -373,7 +373,10 @@ def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling hourly counts per event_type (integer-exact sums of
     cent-scaled values)."""
     ev = D.load(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    # driver parquet is naive/NTZ but Spark's date_trunc always yields
+    # LTZ; cast back so the Arrow output is timestamp[us] (naive) like
+    # the DuckDB oracle (wall-clock identity under a fixed session tz)
+    hour = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start")
     return ev.groupBy(hour, "event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"))
@@ -404,7 +407,7 @@ def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date functions: monthly order rollup with cent-exact sums."""
     o = D.load(spark, sf_dir, "orders")
     return o.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
         "o_orderstatus",
     ).agg(
         F.count("*").alias("n"),
@@ -573,7 +576,7 @@ def oracle_sql() -> dict[str, str]:
         "q_raster": f"""
             WITH objs AS ({objs})
             SELECT ix >> 9 AS tile_x, iy >> 9 AS tile_y,
-                   sum(qty) AS sum_qty, count(*) AS n,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n,
                    CAST(sum(weight_c) AS DOUBLE) / count(*) AS avg_weight_c
             FROM objs GROUP BY tile_x, tile_y
         """,
@@ -612,8 +615,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_agg_wide": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -632,21 +635,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_json_extract": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,
         "q_monthly_orders": """
-            SELECT date_trunc('month', o_orderdate) AS month_start,
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
                    o_orderstatus, count(*) AS n,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_total_c
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_c
             FROM orders GROUP BY month_start, o_orderstatus
         """,
         "q_top_customers": """
             WITH rev AS (
                 SELECT o_custkey,
-                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
                 FROM orders GROUP BY o_custkey
             ), r AS (
                 SELECT n.n_name, c.c_custkey AS custkey, rev.rev_c,
@@ -755,7 +758,7 @@ def _text_oracles() -> dict[str, str]:
         SELECT doc_id,
                len({toks}) AS n_tokens,
                len(list_distinct({toks})) AS n_uniq,
-               coalesce(list_aggregate(list_transform({toks}, t -> length(t)), 'sum'), 0) AS tok_chars,
+               CAST(coalesce(list_aggregate(list_transform({toks}, t -> length(t)), 'sum'), 0) AS BIGINT) AS tok_chars,
                len(list_filter({toks}, t -> list_contains(['the','a','of','and','in','to'], t))) AS stop_hits,
                CAST(len({toks}) + 2 * len(list_distinct({toks}))
                     + len(list_filter({toks}, t -> list_contains(['the','a','of','and','in','to'], t)))
@@ -793,14 +796,14 @@ def _text_oracles() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "q_hourly_events": """
             SELECT date_trunc('hour', ts) AS hour_start,
                    event_type, count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events GROUP BY hour_start, event_type
         """,
         # q_embed_neardup_lsh and q_docs_pipeline: intentionally no oracle

@@ -31,6 +31,45 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def canon_type(t) -> str:
+    """Canonical dtype the driver's value-hash is sensitive to.
+
+    Int widths coerce identically in pandas (int32 vs int64 passed the
+    driver gate in round 1), so they collapse to one bucket — but
+    decimal128 (DuckDB HUGEINT sums), date32-vs-timestamp and tz-ness
+    do NOT coerce and must match exactly."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"DECIMAL<{t}>"  # never tolerated — driver hashes Decimal objects
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp_tz" if t.tz is not None else "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
+
+def arrow_schema_diffs(sa, sb) -> list[str]:
+    """Dtype drift between two Arrow schemas (column-name matched)."""
+    ta = {f.name: canon_type(f.type) for f in sa}
+    tb = {f.name: canon_type(f.type) for f in sb}
+    out = []
+    for name in sorted(set(ta) & set(tb)):
+        if ta[name] != tb[name]:
+            out.append(f"{name}: spark={ta[name]} duck={tb[name]}")
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -84,7 +123,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            got = fn(spark, sf_dir).toPandas()
+            got_arrow = fn(spark, sf_dir).toArrow()
+            got = got_arrow.to_pandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {str(ex).splitlines()[0][:300]}")
             failures += 1
@@ -95,12 +135,17 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            want = con.execute(osql[name]).fetchdf()
+            want_arrow = con.execute(osql[name]).arrow()
+            want = want_arrow.to_pandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(ex).splitlines()[0][:300]}")
             failures += 1
             continue
         ok, msg = compare(got, want)
+        if ok:
+            drift = arrow_schema_diffs(got_arrow.schema, want_arrow.schema)
+            if drift:
+                ok, msg = False, "dtype drift (driver hash would fail): " + "; ".join(drift)
         status = "ok   " if ok else "FAIL "
         if not ok:
             failures += 1
