@@ -221,8 +221,9 @@ def q_tonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     format_color_component chain (Raytracing.hpp:250-265), applied to
     tile mean weight normalized by the global max."""
     t = q_raster(spark, sf_dir)
-    mx = t.agg(F.max("avg_weight_c")).collect()[0][0]
-    v = F.col("avg_weight_c") / F.lit(float(mx))
+    mx = t.agg(F.max("avg_weight_c").alias("_mx"))
+    t = t.crossJoin(F.broadcast(mx))  # single lazy plan, no driver action
+    v = F.col("avg_weight_c") / F.col("_mx")
     tone = F.floor(F.pow(F.least(F.greatest(v, F.lit(0.0)), F.lit(1.0)),
                          F.lit(1.0 / 2.2)) * 255 + 0.5).cast("long")
     return t.select("tile_x", "tile_y", tone.alias("tone"))
@@ -246,6 +247,55 @@ def q_oct_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the S2-level analog of the z axis)."""
     o = D.objects3d(spark, sf_dir)
     return C.assign_octree_pow2(o).select("obj_id", "oct_depth", "oct_code")
+
+
+_OCT_SEQ = ("obj_id", "ix", "iy", "iz", "sx", "sy", "sz")
+
+
+def q_oct_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: the ORDER-DEPENDENT capacity rule itself
+    (DynamicOctree.hpp:126-144, CAPACITY=4, MAX_DEPTH=5): first 4
+    arrivals per node (seq = obj_id + coords; obj_id alone is not
+    unique) stay, later arrivals descend iff a child cell contains
+    their box (closed intervals)."""
+    o = D.objects3d(spark, sf_dir)
+    t = C.assign_octree_capacity_pow2(o, capacity=4, max_depth=5, seq_cols=_OCT_SEQ)
+    return t.select("obj_id", "oct_depth", "oct_code")
+
+
+def _oct_capacity_sql(capacity: int = 4, max_depth: int = 5) -> str:
+    """DuckDB twin of assign_octree_capacity_pow2: unrolled window CTEs,
+    one row_number per level over the depth-d node prefix."""
+    seq = ", ".join(_OCT_SEQ)
+    m5 = D.morton3d_sql("ix >> 11", "iy >> 11", "iz >> 11")
+    parts = [
+        f"WITH objs3 AS ({D.SQL_OBJECTS3D}), a0 AS (",
+        f"  SELECT obj_id, ix, iy, iz, sx, sy, sz,",
+        f"         {D.oct_fits_depth_sql(max_depth)} AS dmax, {m5} AS m5",
+        "  FROM objs3",
+        ")",
+    ]
+    selects = []
+    for d in range(max_depth):
+        node = f"(m5 >> {3 * (max_depth - d)})"
+        parts.append(
+            f", l{d} AS (SELECT *, row_number() OVER (PARTITION BY {node} "
+            f"ORDER BY {seq}) AS rn FROM a{d})"
+        )
+        parts.append(
+            f", s{d} AS (SELECT obj_id, {d} AS oct_depth, "
+            f"CAST({node} AS BIGINT) AS oct_code FROM l{d} "
+            f"WHERE rn <= {capacity} OR dmax = {d})"
+        )
+        parts.append(
+            f", a{d + 1} AS (SELECT obj_id, ix, iy, iz, sx, sy, sz, dmax, m5 "
+            f"FROM l{d} WHERE NOT (rn <= {capacity} OR dmax = {d}))"
+        )
+        selects.append(f"SELECT * FROM s{d}")
+    selects.append(
+        f"SELECT obj_id, {max_depth} AS oct_depth, m5 AS oct_code FROM a{max_depth}"
+    )
+    return "\n".join(parts) + "\n" + " UNION ALL ".join(selects)
 
 
 def q_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,12 +395,51 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(F.col("cos") * 1000 >= 350).select("a", "b", "cos")
 
 
+_EMBED_DIM = 64  # driver embeddings table dim (all SFs); no action needed
+
+
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup scale path (approximate; no SQL oracle —
-    validated against brute force recall in tests)."""
+    """Banded-LSH near-dup scale path: 4 bands x 8 hyperplane bits,
+    candidates share >= 1 full band, exact cosine verify on the pair
+    set. Deterministic planes -> exactly reproducible in DuckDB."""
     e = D.load(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    return SIM.embedding_neardup_pairs(e, dim=dim, threshold_millis=350)
+    return SIM.embedding_neardup_pairs(
+        e, dim=_EMBED_DIM, threshold_millis=350, n_planes=8, n_bands=4)
+
+
+def _embed_lsh_sql(dim: int = 64, n_planes: int = 8, n_bands: int = 4,
+                   threshold_millis: int = 350) -> str:
+    """DuckDB twin of q_embed_neardup_lsh: same splitmix hyperplanes
+    inlined as DOUBLE[] literals (repr round-trips bit-exact), same
+    band buckets, same rounded-cosine threshold."""
+    structs = []
+    for b in range(n_bands):
+        planes = SIM.make_planes(dim, n_planes, base_stream=1000 + b * n_planes)
+        bits = []
+        for p, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            bits.append(
+                f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+                f"THEN {1 << p} ELSE 0 END"
+            )
+        structs.append(f"{{'band': {b}, 'h': (" + " + ".join(bits) + ")}")
+    cos_ab = ("round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+              "sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) * "
+              "list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6)")
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, s.band AS band, s.h AS h
+            FROM (SELECT vec_id, unnest([{', '.join(structs)}]) AS s FROM embeddings)
+        ), cand AS (
+            SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+            FROM sigs x JOIN sigs y ON x.band = y.band AND x.h = y.h
+            WHERE x.vec_id < y.vec_id
+        )
+        SELECT c.a, c.b, {cos_ab} AS cos
+        FROM cand c JOIN embeddings a ON a.vec_id = c.a
+                    JOIN embeddings b ON b.vec_id = c.b
+        WHERE {cos_ab} * 1000 >= {threshold_millis}
+    """
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,15 +520,33 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule pipeline showcase over synthetic interleaved docs
-    (input_hint shape): generate -> geocode -> tile -> histogram.
-    Deterministic; no SQL oracle (rows-only driver check)."""
-    from optimizing_spark.plans import pipeline
-    from optimizing_spark.sources import datagen
+    """North-rule pipeline, oracle-exact end to end: driver documents
+    -> interleaved spans (input_hint shape) -> md5-geocode
+    (portability twin of the xxhash64 hot path) -> pow-2 quadtree tile
+    -> per-cell histogram. The xxhash64/datagen variant of the same
+    pipeline stays exercised in tests + bench."""
+    from optimizing_spark.functions.geocode import geocode
 
-    docs = datagen.documents_spark_fast(spark, 2000, partitions=8)
-    tiled = pipeline.tile_documents(docs, how="jvm")
-    return pipeline.docs_cell_histogram(tiled)
+    docs = D.load(spark, sf_dir, "documents")
+    g = geocode(D.docs_with_spans(docs), how="oracle")
+    t = C.assign_quadtree_pow2(g, max_node_depth=_MAX_ND)
+    return t.groupBy("qt_depth", "qt_code").agg(F.count("*").alias("n_docs"))
+
+
+def _docs_pipeline_sql() -> str:
+    from optimizing_spark.functions.geocode import geocode_oracle_sql
+
+    g = geocode_oracle_sql("c")
+    return f"""
+        WITH objs AS (
+            SELECT doc_id AS obj_id,
+                   {g['ix']} AS ix, {g['iy']} AS iy,
+                   {g['sx']} AS sx, {g['sy']} AS sy
+            FROM (SELECT doc_id, {D.SQL_DOCS_CANON} AS c FROM documents)
+        ), tiled AS ({_SQL_QT_TILED})
+        SELECT qt_depth, qt_code, count(*) AS n_docs
+        FROM tiled GROUP BY qt_depth, qt_code
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tonemap": q_tonemap,
         "q_topk_per_cell": q_topk_per_cell,
         "q_oct_assign": q_oct_assign,
+        "q_oct_capacity": q_oct_capacity,
         "q_agg_wide": q_agg_wide,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
@@ -613,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN m5 >> 12 ELSE 0 END AS oct_code
             FROM t
         """,
+        "q_oct_capacity": _oct_capacity_sql(),
         "q_agg_wide": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -698,11 +807,11 @@ def _text_oracles() -> dict[str, str]:
             GROUP BY c.a, c.b
         ), full_p AS (
             SELECT c.a, c.b, coalesce(i.inter, 0) AS inter,
-                   za.n + zb.n - coalesce(i.inter, 0) AS uni
+                   coalesce(za.n, 0) + coalesce(zb.n, 0) - coalesce(i.inter, 0) AS uni
             FROM cand c
             LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-            JOIN sizes za ON za.doc_id = c.a
-            JOIN sizes zb ON zb.doc_id = c.b
+            LEFT JOIN sizes za ON za.doc_id = c.a
+            LEFT JOIN sizes zb ON zb.doc_id = c.b
         )
         SELECT a, b, inter, uni FROM full_p WHERE inter * 10 >= uni * 8
     """
@@ -722,11 +831,11 @@ def _text_oracles() -> dict[str, str]:
             GROUP BY p.a, p.b
         )
         SELECT p.a, p.b, coalesce(i.inter, 0) AS inter,
-               za.n + zb.n - coalesce(i.inter, 0) AS uni
+               coalesce(za.n, 0) + coalesce(zb.n, 0) - coalesce(i.inter, 0) AS uni
         FROM pairs p
         LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
-        JOIN sizes za ON za.doc_id = p.a
-        JOIN sizes zb ON zb.doc_id = p.b
+        LEFT JOIN sizes za ON za.doc_id = p.a
+        LEFT JOIN sizes zb ON zb.doc_id = p.b
     """
 
     cos = ("round(list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / "
@@ -787,6 +896,7 @@ def _text_oracles() -> dict[str, str]:
         "q_ngram_jaccard": ngram_sql,
         "q_embed_topk": embed_topk_sql,
         "q_embed_neardup": neardup_sql,
+        "q_embed_neardup_lsh": _embed_lsh_sql(),
         "q_sessionize": """
             WITH g AS (
                 SELECT user_id,
@@ -806,6 +916,5 @@ def _text_oracles() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events GROUP BY hour_start, event_type
         """,
-        # q_embed_neardup_lsh and q_docs_pipeline: intentionally no oracle
-        # (approximate / non-SQL pipeline) -> rows-only driver check
+        "q_docs_pipeline": _docs_pipeline_sql(),
     }

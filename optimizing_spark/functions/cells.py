@@ -308,6 +308,88 @@ def assign_octree_pow2(
     return out.withColumn(out_code, code).drop("_m3_deep")
 
 
+def assign_octree_capacity_pow2(
+    df,
+    capacity: int = 4,
+    max_depth: int = 5,
+    seq_cols: tuple[str, ...] = ("obj_id",),
+    ix: str = "ix",
+    iy: str = "iy",
+    iz: str = "iz",
+    sx: str = "sx",
+    sy: str = "sy",
+    sz: str = "sz",
+    world_bits: int = 16,
+    out_depth: str = "oct_depth",
+    out_code: str = "oct_code",
+):
+    """O7 EXACT capacity-gated octree assignment for integer boxes on a
+    power-of-two world — the order-dependent DynamicOctree::insert rule
+    (DynamicOctree.hpp:126-144) with unrolled per-level windows, safe
+    under default optimizer configs (integer shifts only, no iterative
+    CASE-WHEN box narrowing).
+
+    Sequential rule: an item arriving at a node stays if (a) the node is
+    at the depth limit, (b) fewer than `capacity` items are already
+    stored there, or (c) no child cell contains its box (closed
+    intervals). Else it descends into the containing child and the rule
+    recurses. Equivalence of the distributed restatement: descent only
+    happens once >= capacity items are stored, and stored counts never
+    shrink, so the first `capacity` arrivals at a node always stay and
+    every later arrival sees a full node — i.e. per node, rank arrivals
+    by seq: rank <= capacity stays, rank > capacity descends iff some
+    child contains the box (box fits depth d+1 iff d+1 <= dmax).
+
+    `seq_cols` must totally order rows WITHIN any node partition (ties
+    that are bit-identical rows are harmless). One shuffle per level on
+    the node key; after level 0 key cardinality grows 8x per level so
+    root-level skew vanishes immediately (AQE covers level 0).
+
+    Returns df + (oct_depth, oct_code); code = 3-bit Morton prefix
+    (x bit0, y bit1, z bit2 — DynamicOctree.hpp:56-65 child order).
+    """
+    from pyspark.sql import Window
+
+    cols = [(F.col(ix), F.col(sx)), (F.col(iy), F.col(sy)), (F.col(iz), F.col(sz))]
+    depth_expr = F.lit(0)
+    for d in range(1, max_depth + 1):
+        sh = world_bits - d
+        fits = F.lit(True)
+        for i, s in cols:
+            fits = fits & (F.shiftright(i, sh) == F.shiftright(i + s - 1, sh))
+        depth_expr = F.when(fits, F.lit(d)).otherwise(depth_expr)
+    sh_deep = world_bits - max_depth
+    m = morton3d(
+        F.shiftright(F.col(ix), sh_deep),
+        F.shiftright(F.col(iy), sh_deep),
+        F.shiftright(F.col(iz), sh_deep),
+    )
+    t = df.withColumn("_dmax", depth_expr).withColumn("_m5", m)
+
+    finished = []
+    active = t
+    for d in range(max_depth):
+        node = F.shiftright(F.col("_m5"), 3 * (max_depth - d))
+        ranked = active.withColumn("_node", node).withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_node").orderBy(*seq_cols))
+        )
+        stay = (F.col("_rn") <= capacity) | (F.col("_dmax") == d)
+        finished.append(
+            ranked.filter(stay)
+            .withColumn(out_depth, F.lit(d))
+            .withColumn(out_code, F.col("_node"))
+            .drop("_rn", "_node")
+        )
+        active = ranked.filter(~stay).drop("_rn", "_node")
+    finished.append(  # depth-limit nodes keep everything
+        active.withColumn(out_depth, F.lit(max_depth)).withColumn(out_code, F.col("_m5"))
+    )
+    out = finished[0]
+    for f in finished[1:]:
+        out = out.unionByName(f)
+    return out.drop("_dmax", "_m5")
+
+
 # ---------------------------------------------------------------------------
 # Neighbor rings (WorldPartition.hpp:194-213)
 # ---------------------------------------------------------------------------

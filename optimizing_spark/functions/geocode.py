@@ -98,9 +98,50 @@ def geocode_arrow(df: DataFrame, world_bits: int = POW2_WORLD_BITS) -> DataFrame
     )
 
 
+def geocode_oracle(df: DataFrame, world_bits: int = POW2_WORLD_BITS) -> DataFrame:
+    """md5-stream geocode twin: same output contract as geocode_jvm but
+    every hash is a 60-bit md5 prefix, which DuckDB reproduces
+    bit-for-bit (`CAST(('0x'||substr(md5(c),1,15)) AS BIGINT)`) — the
+    portability bridge for oracle-exact pipeline queries. Slower than
+    xxhash64 (md5 is interpreted); use geocode_jvm on hot paths."""
+    e = 1 << world_bits
+    out = df.withColumn("_canon", _canon_expr())
+
+    def h(k: int):
+        return F.expr(
+            f"cast(conv(substr(md5(concat(_canon, chr(3), '{k}')), 1, 15), 16, 10) as bigint)"
+        )
+
+    return (
+        out.withColumn("ix", h(1) % e)
+        .withColumn("iy", h(2) % e)
+        .withColumn("sx", h(3) % 97 + 1)
+        .withColumn("sy", h(4) % 97 + 1)
+        .drop("_canon")
+    )
+
+
+def geocode_oracle_sql(canon: str, world_bits: int = POW2_WORLD_BITS) -> dict[str, str]:
+    """DuckDB expressions matching geocode_oracle, given the canonical
+    span string SQL fragment ``canon``."""
+    e = 1 << world_bits
+
+    def h(k: int) -> str:
+        return f"CAST(('0x' || substr(md5(({canon}) || chr(3) || '{k}'), 1, 15)) AS BIGINT)"
+
+    return {
+        "ix": f"({h(1)} % {e})",
+        "iy": f"({h(2)} % {e})",
+        "sx": f"({h(3)} % 97 + 1)",
+        "sy": f"({h(4)} % 97 + 1)",
+    }
+
+
 def geocode(df: DataFrame, how: str = "jvm", world_bits: int = POW2_WORLD_BITS) -> DataFrame:
     if how == "jvm":
         return geocode_jvm(df, world_bits)
     if how == "arrow":
         return geocode_arrow(df, world_bits)
+    if how == "oracle":
+        return geocode_oracle(df, world_bits)
     raise ValueError(f"unknown geocode impl {how!r}")

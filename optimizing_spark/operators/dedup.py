@@ -83,7 +83,10 @@ def ngram_jaccard(
     df: DataFrame, pairs: DataFrame, text: str = "text", key: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """Exact jaccard counts of word-k-gram shingle SETS for each (a, b)
-    pair: returns (a, b, inter, uni) — integers, oracle-exact."""
+    pair: returns (a, b, inter, uni) — integers, oracle-exact. Docs
+    with fewer than k tokens have zero shingles; pairs touching them
+    survive with inter=0 and uni = the other side's size (left joins +
+    coalesce — an inner join on sizes would silently drop them)."""
     sh = df.select(
         F.col(key), F.explode(F.array_distinct(TX.shingles_col(text, k))).alias("s")
     )
@@ -95,8 +98,10 @@ def ngram_jaccard(
     out = (
         pairs.join(inter, ["a", "b"], "left")
         .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
-        .join(sizes.select(F.col(key).alias("a"), F.col("n").alias("_na")), "a")
-        .join(sizes.select(F.col(key).alias("b"), F.col("n").alias("_nb")), "b")
+        .join(sizes.select(F.col(key).alias("a"), F.col("n").alias("_na")), "a", "left")
+        .join(sizes.select(F.col(key).alias("b"), F.col("n").alias("_nb")), "b", "left")
+        .withColumn("_na", F.coalesce(F.col("_na"), F.lit(0)))
+        .withColumn("_nb", F.coalesce(F.col("_nb"), F.lit(0)))
         .withColumn("uni", F.col("_na") + F.col("_nb") - F.col("inter"))
         .select("a", "b", "inter", "uni")
     )

@@ -6,9 +6,12 @@
   the baseline every ANN variant is validated against).
 - lsh_topk: random-hyperplane LSH bucketing as the scale path: probes
   only score candidates sharing a signature bucket, with multi-probe
-  (flip-1-bit) expansion; falls back to brute results only for probes
-  whose buckets are empty. At 100 TB: bucket join is equi on
+  (flip-1-bit) expansion; probes with fewer than k bucket hits fall
+  back to exact brute_topk. At 100 TB: bucket join is equi on
   (table_id, sig), candidates per probe ~ n / 2^planes.
+- embedding_neardup_pairs: BANDED LSH (OR-of-ANDs) near-dup pairs with
+  exact pair-driven cosine verify; band_bucket_stats reports the
+  bucket-size histogram (hot-bucket dashboard).
 
 Ranking is by cosine ROUNDED to 6 decimals with vec_id tie-break, so
 results are deterministic and oracle-comparable across engines.
@@ -63,8 +66,12 @@ def _rh_signature(vec: str, planes: list[list[float]]) -> Column:
     return F.expr("(" + " + ".join(bits) + ")").cast("int")
 
 
-def make_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (splitmix-derived)."""
+def make_planes(
+    dim: int, n_planes: int, seed: int = 7, base_stream: int = 1000
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (splitmix-derived).
+    ``base_stream`` offsets the hash stream so independent plane SETS
+    (LSH bands) can be drawn: band b uses base_stream + b * n_planes."""
     import numpy as np
 
     from ..sources.datagen import _u01
@@ -72,7 +79,7 @@ def make_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     out = []
     for p in range(n_planes):
         i = np.arange(dim, dtype=np.uint64)
-        vals = _u01(i, seed, 1000 + p) * 2.0 - 1.0
+        vals = _u01(i, seed, base_stream + p) * 2.0 - 1.0
         out.append([float(v) for v in vals])
     return out
 
@@ -84,7 +91,10 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: score only candidates in the probe's LSH bucket
     (plus flip-1-bit neighbor buckets when multiprobe). Approximate —
-    validated against brute_topk recall in tests."""
+    validated against brute_topk recall in tests. Probes whose buckets
+    hold fewer than k candidates fall back to exact brute_topk (an
+    anti-join drives the fallback, so it costs nothing when buckets are
+    full — at scale the fallback set is a tiny fraction of probes)."""
     planes = make_planes(dim, n_planes)
     v = vectors.withColumn("sig", _rh_signature(vec_col, planes))
     p = probes.withColumn("sig0", _rh_signature(probe_col, planes))
@@ -97,23 +107,69 @@ def lsh_topk(
         p = p.withColumn("sig", F.col("sig0"))
     j = p.join(v, "sig").withColumn("cos", cosine_col(vec_col, probe_col))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
+    hit = j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
         .select("probe_id", "vec_id", "cos", "rank")
+    # fallback: probes with < k bucket hits get the exact answer
+    full = hit.groupBy("probe_id").agg(F.count("*").alias("_n")) \
+        .filter(F.col("_n") >= k).select("probe_id")
+    starved = probes.join(full, "probe_id", "left_anti")
+    fb = brute_topk(vectors, starved, k, vec_col=vec_col, probe_col=probe_col)
+    return hit.join(full, "probe_id", "left_semi").unionByName(fb)
 
 
 def embedding_neardup_pairs(
     vectors: DataFrame, dim: int, threshold_millis: int = 950,
-    n_planes: int = 8, vec_col: str = "embedding",
+    n_planes: int = 8, n_bands: int = 4, vec_col: str = "embedding",
 ) -> DataFrame:
     """Cosine near-duplicate pairs (a < b) with rounded cosine >=
-    threshold_millis/1000, candidates restricted to same LSH bucket
-    (signature agreement is implied at high cosine for enough planes —
-    multiprobe widens recall)."""
-    planes = make_planes(dim, n_planes)
-    v = vectors.withColumn("sig", _rh_signature(vec_col, planes))
-    a = v.select(F.col("vec_id").alias("a"), F.col(vec_col).alias("ea"), "sig")
-    b = v.select(F.col("vec_id").alias("b"), F.col(vec_col).alias("eb"), "sig")
-    cand = a.join(b, "sig").filter(F.col("a") < F.col("b"))
-    cand = cand.withColumn("cos", cosine_col("ea", "eb"))
-    return cand.filter(F.col("cos") * 1000 >= threshold_millis) \
-        .select("a", "b", "cos").distinct()
+    threshold_millis/1000, via BANDED random-hyperplane LSH: n_bands
+    independent n_planes-bit signatures; a pair is a candidate iff it
+    agrees on at least one full band (the classic OR-of-ANDs banding
+    construction). Banding both raises recall (n_bands chances to
+    collide) and bounds bucket size on correlated embeddings — no
+    single hot signature can absorb the table, because each band is an
+    independent partition of it.
+
+    Plan shape (100 TB): explode to (band, sig) rows -> equi self-join
+    per band bucket -> DISTINCT pair keys -> re-join embeddings for the
+    exact cosine verify. Never all-pairs; the verify is pair-driven."""
+    v = vectors
+    for b in range(n_bands):
+        planes = make_planes(dim, n_planes, base_stream=1000 + b * n_planes)
+        v = v.withColumn(f"_sig{b}", _rh_signature(vec_col, planes))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"_sig{b}").alias("h"))
+        for b in range(n_bands)
+    ])
+    keyed = v.select("vec_id", F.explode(bands).alias("_b")) \
+        .select("vec_id", F.col("_b.band").alias("band"), F.col("_b.h").alias("h"))
+    left = keyed.select(F.col("vec_id").alias("a"), "band", "h")
+    right = keyed.select(F.col("vec_id").alias("b"), "band", "h")
+    pairs = left.join(right, ["band", "h"]).filter(F.col("a") < F.col("b")) \
+        .select("a", "b").distinct()
+    ea = vectors.select(F.col("vec_id").alias("a"), F.col(vec_col).alias("ea"))
+    eb = vectors.select(F.col("vec_id").alias("b"), F.col(vec_col).alias("eb"))
+    cand = pairs.join(ea, "a").join(eb, "b").withColumn("cos", cosine_col("ea", "eb"))
+    return cand.filter(F.col("cos") * 1000 >= threshold_millis).select("a", "b", "cos")
+
+
+def band_bucket_stats(
+    vectors: DataFrame, dim: int, n_planes: int = 8, n_bands: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket-size histogram of the banded LSH index: one row per
+    (band, bucket-size) with the number of buckets that size. The
+    scale dashboard for hot-bucket risk — max size bounds the per-key
+    join fan-out at 100 TB."""
+    v = vectors
+    for b in range(n_bands):
+        planes = make_planes(dim, n_planes, base_stream=1000 + b * n_planes)
+        v = v.withColumn(f"_sig{b}", _rh_signature(vec_col, planes))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"_sig{b}").alias("h"))
+        for b in range(n_bands)
+    ])
+    keyed = v.select("vec_id", F.explode(bands).alias("_b")) \
+        .select(F.col("_b.band").alias("band"), F.col("_b.h").alias("h"))
+    sizes = keyed.groupBy("band", "h").agg(F.count("*").alias("bucket_size"))
+    return sizes.groupBy("band", "bucket_size").agg(F.count("*").alias("n_buckets"))

@@ -86,6 +86,12 @@ def checkpoint_stage(
         except (json.JSONDecodeError, KeyError):
             pass  # corrupt manifest -> recompute
 
+    # invalidate any stale manifest BEFORE touching the data dir: a crash
+    # mid-overwrite must not leave a valid old manifest pointing at
+    # partially-rewritten parquet (silent corrupt resume)
+    if os.path.exists(mpath):
+        os.remove(mpath)
+
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)

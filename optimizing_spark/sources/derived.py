@@ -143,6 +143,36 @@ FROM nation
 
 
 # ---------------------------------------------------------------------------
+# interleaved spans over the driver documents table (input_hint shape)
+# ---------------------------------------------------------------------------
+
+def docs_with_spans(docs: DataFrame) -> DataFrame:
+    """Derive the input_hint span column deterministically from the
+    driver's documents table: each doc gets an interleaved text span +
+    a media span (opaque ref, offset = text length). Matches
+    SQL_DOCS_CANON below on the canonical-string level."""
+    span0 = F.struct(
+        F.lit("text").alias("kind"), F.col("text").alias("text"),
+        F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+    )
+    span1 = F.struct(
+        F.lit("image").alias("kind"), F.lit("").alias("text"),
+        F.concat(F.lit("img://"), F.md5(F.col("text"))).alias("media_ref"),
+        F.length("text").alias("offset"),
+    )
+    return docs.withColumn("spans", F.array(span0, span1))
+
+
+# DuckDB twin of the canonical span string _canon_expr() produces for
+# docs_with_spans rows: fields joined by \x01, spans by \x02.
+SQL_DOCS_CANON = (
+    "'text' || chr(1) || text || chr(1) || chr(1) || '0' || chr(2) || "
+    "'image' || chr(1) || chr(1) || 'img://' || md5(text) || chr(1) || "
+    "CAST(length(text) AS VARCHAR)"
+)
+
+
+# ---------------------------------------------------------------------------
 # Closed-form static-quadtree assignment on the pow-2 world (integer exact)
 # ---------------------------------------------------------------------------
 

@@ -68,6 +68,57 @@ def test_octree_capacity_matches_oracle(spark):
     assert mism.sum() == 0, f"{mism.sum()} mismatched assignments"
 
 
+def test_octree_capacity_pow2_matches_sequential_sim(spark):
+    """assign_octree_capacity_pow2 (unrolled windows, integer pow-2
+    world) must equal a literal sequential replay of
+    DynamicOctree::insert (DynamicOctree.hpp:126-144) in seq order."""
+    from optimizing_spark.functions import cells as C
+
+    rng = np.random.default_rng(7)
+    n, wb, cap, md = 3000, 16, 4, 5
+    ix = rng.integers(0, 1 << wb, n); iy = rng.integers(0, 1 << wb, n)
+    iz = rng.integers(0, 1 << wb, n)
+    sx = rng.integers(1, 2000, n); sy = rng.integers(1, 2000, n)
+    sz = rng.integers(1, 2000, n)
+
+    counts: dict = {}
+    want = {}
+    for o in range(n):  # seq order = obj_id
+        d, code = 0, 0
+        while True:
+            if d == md or counts.get((d, code), 0) < cap:
+                break
+            sh = wb - (d + 1)
+            fits = all(
+                (int(a[o]) >> sh) == ((int(a[o]) + int(s[o]) - 1) >> sh)
+                for a, s in ((ix, sx), (iy, sy), (iz, sz))
+            )
+            if not fits:
+                break
+            digit = (((int(ix[o]) >> sh) & 1)
+                     | (((int(iy[o]) >> sh) & 1) << 1)
+                     | (((int(iz[o]) >> sh) & 1) << 2))
+            code = (code << 3) | digit
+            d += 1
+        counts[(d, code)] = counts.get((d, code), 0) + 1
+        want[o] = (d, code)
+
+    pdf = pd.DataFrame({"obj_id": np.arange(n), "ix": ix, "iy": iy, "iz": iz,
+                        "sx": sx, "sy": sy, "sz": sz})
+    df = spark.createDataFrame(pdf).repartition(7)
+    res = C.assign_octree_capacity_pow2(df, capacity=cap, max_depth=md) \
+        .select("obj_id", "oct_depth", "oct_code") \
+        .toPandas().sort_values("obj_id").reset_index(drop=True)
+    assert len(res) == n
+    got = list(zip(res.oct_depth.astype(int), res.oct_code.astype(int)))
+    mism = sum(1 for o in range(n) if got[o] != want[o])
+    assert mism == 0, f"{mism} mismatched assignments"
+    # capacity rule actually engaged: some node must exceed the static depth
+    static = C.assign_octree_pow2(df).select("obj_id", F.col("oct_depth").alias("sd")) \
+        .toPandas().sort_values("obj_id").reset_index(drop=True)
+    assert (res.oct_depth.to_numpy() < static.sd.to_numpy()).any()
+
+
 def test_coarse_grid(spark):
     df = datagen.spark_table(spark, "spatial_objects", 500)
     res = tiling.coarse_grid(df, 255.0).select("obj_id", "x", "z", "cell_x", "cell_z").toPandas()
