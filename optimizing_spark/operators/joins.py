@@ -153,24 +153,29 @@ def knn_join(
     world: Box2,
     depth: int,
     k: int,
-    max_rounds: int = 6,
+    oversample: int = 8,
 ) -> DataFrame:
-    """Exact kNN (queries: query_id, x, y; objects: obj_id, x, y).
+    """Exact kNN (queries: query_id, x, y; objects: obj_id, x, y) as a
+    SINGLE lazy plan — no driver actions, no caches.
 
-    1. Candidate pass with ring radius r (cells): equi-join on exploded
-       neighbor cells.
-    2. Driver loop: queries with < k candidates double r (rare —
-       only low-density regions pay).
+    1. Starting ring radius derived from data density inside the plan:
+       the object count rides in via a broadcast 1-row aggregate, and
+       r0 satisfies (2*r0+1)^2 * density >= oversample * k — so the
+       first candidate pass starves only under heavy local skew.
+    2. Starved queries (< k candidates — detected with an anti-join,
+       still lazy) fall back to a broadcast linear scan; with a sane
+       r0 this branch is empty and AQE skips it in milliseconds.
     3. Bound pass: with d_k = distance of the k-th candidate, rejoin
        every cell intersecting the d_k-disc — guarantees no closer
        object outside the searched ring is missed.
     4. row_number() by (squared distance, obj_id) <= k.
 
     Returns (query_id, obj_id, d2, rank). Ties: obj_id ascending —
-    deterministic under any partitioning.
+    deterministic under any partitioning. The ring join is evaluated
+    twice in the tree (starvation agg + candidate union) — the price
+    of staying action-free; it replaces the former 6-round driver loop
+    of cache()+isEmpty() passes.
     """
-    from pyspark.sql import Window
-
     n, sx, sy = _grid(world, depth)
     o = objects.select(
         F.col("obj_id"), F.col("x").alias("ox"), F.col("y").alias("oy"),
@@ -201,27 +206,29 @@ def knn_join(
             (ddx * ddx + ddy * ddy).alias("d2"),
         )
 
-    # phase 1+2: escalating ring until every query has >= k candidates
-    pending = q0
-    cands: list[DataFrame] = []
-    r = 1
-    for _ in range(max_rounds):
-        got = ring_candidates(pending, F.lit(r)).cache()
-        # NB: zero-candidate queries don't appear in counts at all — pending
-        # must be derived by anti-join against the *satisfied* set.
-        satisfied = got.groupBy("query_id").count() \
-            .filter(F.col("count") >= k).select("query_id")
-        cands.append(got.join(satisfied, "query_id", "left_semi"))
-        pending = pending.join(satisfied, "query_id", "left_anti")
-        if pending.isEmpty():
-            break
-        r *= 2
-    else:
-        cands.append(ring_candidates(pending, F.lit(n)))  # full scan fallback
+    # phase 1: density-derived ring radius, carried in the plan via a
+    # broadcast 1-row count (no driver action)
+    ncount = objects.agg(F.count("*").alias("_N"))
+    density = F.col("_N").cast("double") / F.lit(float(n * n))
+    r0 = F.ceil((F.sqrt(F.lit(float(oversample * k)) / density) - F.lit(1.0)) / 2)
+    r0 = F.greatest(F.lit(1), F.least(F.lit(n - 1), r0)).cast("int")
+    q1 = q0.crossJoin(F.broadcast(ncount)).withColumn("_r0", r0).drop("_N")
+    got = ring_candidates(q1, F.col("_r0"))
 
-    cand = cands[0]
-    for c in cands[1:]:
-        cand = cand.unionByName(c)
+    # phase 2: starved queries (< k candidates; zero-candidate queries
+    # don't appear in the agg at all -> anti-join against satisfied)
+    satisfied = got.groupBy("query_id").count() \
+        .filter(F.col("count") >= k).select("query_id")
+    cand_sat = got.join(satisfied, "query_id", "left_semi")
+    starved = q0.join(satisfied, "query_id", "left_anti")
+    fb = o.crossJoin(F.broadcast(starved))
+    ddx = F.col("ox") - F.col("qx")
+    ddy = F.col("oy") - F.col("qy")
+    fb = fb.select(
+        "query_id", "qx", "qy", "qcx", "qcy", "obj_id", "ox", "oy",
+        (ddx * ddx + ddy * ddy).alias("d2"),
+    )
+    cand = cand_sat.unionByName(fb)
 
     # k-th candidate distance per query -> guaranteed-correct ring bound
     from pyspark.sql import Window as W
@@ -244,17 +251,11 @@ def knn_join(
     final_cand = ring_candidates(
         q_final.select("query_id", "qx", "qy", "qcx", "qcy", "dk2"), bound_r
     )
-    out = (
+    return (
         final_cand.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("query_id", "obj_id", "d2", "rank")
     )
-    # The per-round candidate caches stay registered (cache() is a
-    # hint — dropping them would still be correct, just recompute the
-    # rings); they are small (satisfied-query candidates) and die with
-    # the session. Returning the lazy plan avoids an extra
-    # materialization pass.
-    return out
 
 
 def nearest_hit_xy(queries: DataFrame, objects: DataFrame) -> DataFrame:
