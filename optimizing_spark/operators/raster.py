@@ -116,30 +116,54 @@ def tone_map(c: Column) -> Column:
     return F.floor(F.pow(clamped, F.lit(GAMMA)) * 255 + 0.5).cast("int")
 
 
+IOR_GLASS = 1.5  # Raytracing.hpp:595
+
+
+def jitter_u(bounce: int, seed: int, stream: int, ray_id: str = "ray_id") -> Column:
+    """Deterministic u01 sample per (ray, bounce, stream): hash-derived,
+    reproducible under any partitioning (the MT19937 of the reference
+    replaced by a stateless stream — documented deviation)."""
+    return (
+        F.pmod(F.xxhash64(ray_id, F.lit(bounce + stream), F.lit(seed)), F.lit(1 << 20))
+        / F.lit(float(1 << 20))
+    )
+
+
 def pathtrace(
     rays: DataFrame,
     scene: DataFrame,
     max_depth: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """O23 (stretch): bounded-depth diffuse path tracing as iterative
-    per-bounce DataFrame passes (compute_radiance, Raytracing.hpp:
-    501-638; depth cap :692). Each bounce = one broadcast nearest-hit
-    join + emission accumulation + deterministic hash-derived cosine
-    bounce direction (no RNG state; reference used MT19937, we use
-    xxhash64(ray_id, bounce) so results are reproducible under any
-    partitioning).
+    """O23: bounded-depth path tracing as iterative per-bounce DataFrame
+    passes (compute_radiance, Raytracing.hpp:501-638; depth cap :692)
+    with all three material branches:
 
-    scene: (obj_id, cx, cy, cz, radius, emit, albedo) — scalar
-    emission/albedo (gray) keeps the column count down; RGB is the
-    same math three times.
+    - DIFFUSE (:566-580): cosine-weighted hemisphere sample about the
+      oriented normal nl.
+    - SPECULAR (:581-587): mirror reflection d - 2(d.n)n.
+    - REFRACTION (:588-635): glass ior=1.5, total internal reflection,
+      Schlick fresnel Re/Tr, and the reflect-vs-refract choice taken by
+      a deterministic roulette u < P with RP/TP weights. Deviations
+      (documented): the roulette applies at EVERY depth (the reference
+      splits into both sub-rays at depth <= 2 — a 2^depth row fan-out a
+      columnar plan should not take), and the depth cap replaces the
+      colour-roulette of :557-564.
+
+    Each bounce = one broadcast nearest-hit join + emission
+    accumulation + the material CASE; sampling is hash-derived via
+    jitter_u so results are reproducible under any partitioning.
+
+    scene: (obj_id, cx, cy, cz, radius, emit, albedo[, material]) —
+    material in {'DIFFUSE','SPECULAR','REFRACTION'}, default DIFFUSE;
+    scalar emission/albedo (gray) keeps the column count down; RGB is
+    the same math three times.
 
     Returns per-ray accumulated radiance (ray_id, px, py, sample_id,
-    radiance). Misses terminate with 0 background. Russian roulette is
-    replaced by the hard depth cap (the roulette of :557-564 exists to
-    unbias the cap; with deterministic sampling we keep the cap only —
-    documented deviation).
+    radiance). Misses terminate with 0 background.
     """
+    if "material" not in scene.columns:
+        scene = scene.withColumn("material", F.lit("DIFFUSE"))
     live = rays.select(
         "ray_id", "px", "py", "sample_id",
         "origin_x", "origin_y", "origin_z", "dir_x", "dir_y", "dir_z",
@@ -157,7 +181,7 @@ def pathtrace(
         h = j.filter(F.col("h_obj").isNotNull()).join(
             F.broadcast(scene.select(
                 F.col("obj_id").alias("h_obj"), "cx", "cy", "cz", "radius",
-                "emit", "albedo")),
+                "emit", "albedo", "material")),
             "h_obj",
         )
         # emitted light weighted by current throughput
@@ -167,48 +191,110 @@ def pathtrace(
         done_parts.append(contrib)
         if bounce == max_depth - 1:
             break
-        # new ray: origin = hit point, direction = deterministic unit
-        # vector in the hemisphere of the surface normal
-        hx = F.col("origin_x") + F.col("dir_x") * F.col("h_t")
-        hy = F.col("origin_y") + F.col("dir_y") * F.col("h_t")
-        hz = F.col("origin_z") + F.col("dir_z") * F.col("h_t")
-        nx = (hx - F.col("cx")) / F.col("radius")
-        ny = (hy - F.col("cy")) / F.col("radius")
-        nz = (hz - F.col("cz")) / F.col("radius")
-        u1 = (F.pmod(F.xxhash64("ray_id", F.lit(bounce), F.lit(seed)), F.lit(1 << 20))
-              / F.lit(float(1 << 20)))
-        u2 = (F.pmod(F.xxhash64("ray_id", F.lit(bounce + 100), F.lit(seed)), F.lit(1 << 20))
-              / F.lit(float(1 << 20)))
+
+        # hit point + outward normal (sphere), materialized as columns
+        h2 = h.withColumns({
+            "_hx": F.col("origin_x") + F.col("dir_x") * F.col("h_t"),
+            "_hy": F.col("origin_y") + F.col("dir_y") * F.col("h_t"),
+            "_hz": F.col("origin_z") + F.col("dir_z") * F.col("h_t"),
+        })
+        h2 = h2.withColumns({
+            "_nx": (F.col("_hx") - F.col("cx")) / F.col("radius"),
+            "_ny": (F.col("_hy") - F.col("cy")) / F.col("radius"),
+            "_nz": (F.col("_hz") - F.col("cz")) / F.col("radius"),
+        })
+        dot = (F.col("dir_x") * F.col("_nx") + F.col("dir_y") * F.col("_ny")
+               + F.col("dir_z") * F.col("_nz"))
+        h2 = h2.withColumn("_dot", dot)
+        # oriented normal nl (faces against the incoming ray, :551)
+        flip = F.when(F.col("_dot") < 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        h2 = h2.withColumns({
+            "_nlx": F.col("_nx") * flip, "_nly": F.col("_ny") * flip,
+            "_nlz": F.col("_nz") * flip,
+        })
+
+        # --- DIFFUSE: cosine hemisphere sample about nl (:566-580) ---
+        u1 = jitter_u(bounce, seed, 0)
+        u2 = jitter_u(bounce, seed, 100)
+        u3 = jitter_u(bounce, seed, 200)
         theta = u1 * 2.0 * 3.141592653589793
         rr = F.sqrt(u2)
-        # build a tangent frame around the normal (w = n)
-        up_is_x = F.abs(nx) > 0.9
+        up_is_x = F.abs(F.col("_nlx")) > 0.9
         ax = F.when(up_is_x, F.lit(0.0)).otherwise(F.lit(1.0))
-        h2 = h.withColumn("_ax", ax)
-        # u = normalize(a x n); a = (ax, 1-ax*? ...) simple: a=(ax, 1-ax, 0)
-        h2 = h2.withColumn("_ay", 1.0 - F.col("_ax")).withColumn("_az", F.lit(0.0))
-        cux = F.col("_ay") * nz - F.col("_az") * ny
-        cuy = F.col("_az") * nx - F.col("_ax") * nz
-        cuz = F.col("_ax") * ny - F.col("_ay") * nx
+        h2 = h2.withColumn("_ax", ax) \
+               .withColumn("_ay", 1.0 - F.col("_ax")).withColumn("_az", F.lit(0.0))
+        cux = F.col("_ay") * F.col("_nlz") - F.col("_az") * F.col("_nly")
+        cuy = F.col("_az") * F.col("_nlx") - F.col("_ax") * F.col("_nlz")
+        cuz = F.col("_ax") * F.col("_nly") - F.col("_ay") * F.col("_nlx")
         ulen = F.sqrt(cux * cux + cuy * cuy + cuz * cuz)
         h2 = h2.withColumn("_ux", cux / ulen).withColumn("_uy", cuy / ulen) \
                .withColumn("_uz", cuz / ulen)
-        # v = n x u
-        vx = ny * F.col("_uz") - nz * F.col("_uy")
-        vy = nz * F.col("_ux") - nx * F.col("_uz")
-        vz = nx * F.col("_uy") - ny * F.col("_ux")
+        vx = F.col("_nly") * F.col("_uz") - F.col("_nlz") * F.col("_uy")
+        vy = F.col("_nlz") * F.col("_ux") - F.col("_nlx") * F.col("_uz")
+        vz = F.col("_nlx") * F.col("_uy") - F.col("_nly") * F.col("_ux")
         sq = F.sqrt(F.greatest(F.lit(0.0), 1.0 - u2))
-        ndx = F.col("_ux") * F.cos(theta) * rr + vx * F.sin(theta) * rr + nx * sq
-        ndy = F.col("_uy") * F.cos(theta) * rr + vy * F.sin(theta) * rr + ny * sq
-        ndz = F.col("_uz") * F.cos(theta) * rr + vz * F.sin(theta) * rr + nz * sq
+        h2 = h2.withColumns({
+            "_dfx": F.col("_ux") * F.cos(theta) * rr + vx * F.sin(theta) * rr + F.col("_nlx") * sq,
+            "_dfy": F.col("_uy") * F.cos(theta) * rr + vy * F.sin(theta) * rr + F.col("_nly") * sq,
+            "_dfz": F.col("_uz") * F.cos(theta) * rr + vz * F.sin(theta) * rr + F.col("_nlz") * sq,
+        })
+
+        # --- SPECULAR: mirror d - 2(d.n)n (:585; sign-invariant in n) ---
+        h2 = h2.withColumns({
+            "_rfx": F.col("dir_x") - 2.0 * F.col("_dot") * F.col("_nx"),
+            "_rfy": F.col("dir_y") - 2.0 * F.col("_dot") * F.col("_ny"),
+            "_rfz": F.col("dir_z") - 2.0 * F.col("_dot") * F.col("_nz"),
+        })
+
+        # --- REFRACTION: glass (:588-635) ---
+        into = F.col("_dot") < 0  # n.dot(nl) > 0  <=>  ray arrives outside
+        nnt = F.when(into, F.lit(1.0 / IOR_GLASS)).otherwise(F.lit(IOR_GLASS))
+        ddn = (F.col("dir_x") * F.col("_nlx") + F.col("dir_y") * F.col("_nly")
+               + F.col("dir_z") * F.col("_nlz"))
+        h2 = h2.withColumn("_nnt", nnt).withColumn("_ddn", ddn)
+        cos2t = 1.0 - F.col("_nnt") * F.col("_nnt") * (1.0 - F.col("_ddn") * F.col("_ddn"))
+        h2 = h2.withColumn("_cos2t", cos2t)
+        tir = F.col("_cos2t") < 0  # total internal reflection
+        sgn = F.when(into, F.lit(1.0)).otherwise(F.lit(-1.0))
+        tcoef = sgn * (F.col("_ddn") * F.col("_nnt") + F.sqrt(F.greatest(F.lit(0.0), F.col("_cos2t"))))
+        tx = F.col("dir_x") * F.col("_nnt") - F.col("_nx") * tcoef
+        ty = F.col("dir_y") * F.col("_nnt") - F.col("_ny") * tcoef
+        tz = F.col("dir_z") * F.col("_nnt") - F.col("_nz") * tcoef
+        tlen = F.sqrt(tx * tx + ty * ty + tz * tz)
+        h2 = h2.withColumns({"_tdx": tx / tlen, "_tdy": ty / tlen, "_tdz": tz / tlen})
+        r0 = ((IOR_GLASS - 1.0) ** 2) / ((IOR_GLASS + 1.0) ** 2)
+        cdot = F.col("_tdx") * F.col("_nx") + F.col("_tdy") * F.col("_ny") + F.col("_tdz") * F.col("_nz")
+        c1 = 1.0 - F.when(into, -F.col("_ddn")).otherwise(cdot)
+        re = F.lit(r0) + F.lit(1.0 - r0) * c1 * c1 * c1 * c1 * c1
+        h2 = h2.withColumn("_re", re)
+        p_refl = 0.25 + 0.5 * F.col("_re")
+        take_refl = tir | (u3 < p_refl)
+        refr_w = F.when(tir, F.lit(1.0)) \
+            .when(u3 < p_refl, F.col("_re") / p_refl) \
+            .otherwise((1.0 - F.col("_re")) / (1.0 - p_refl))
+
+        # --- material select ---
+        is_spec = F.col("material") == "SPECULAR"
+        is_refr = F.col("material") == "REFRACTION"
+        ndx = F.when(is_spec, F.col("_rfx")).when(
+            is_refr, F.when(take_refl, F.col("_rfx")).otherwise(F.col("_tdx"))
+        ).otherwise(F.col("_dfx"))
+        ndy = F.when(is_spec, F.col("_rfy")).when(
+            is_refr, F.when(take_refl, F.col("_rfy")).otherwise(F.col("_tdy"))
+        ).otherwise(F.col("_dfy"))
+        ndz = F.when(is_spec, F.col("_rfz")).when(
+            is_refr, F.when(take_refl, F.col("_rfz")).otherwise(F.col("_tdz"))
+        ).otherwise(F.col("_dfz"))
+        weight = F.when(is_refr, F.col("albedo") * refr_w).otherwise(F.col("albedo"))
+
         eps = 1e-6
         live = h2.select(
             "ray_id", "px", "py", "sample_id",
-            (hx + ndx * eps).alias("origin_x"),
-            (hy + ndy * eps).alias("origin_y"),
-            (hz + ndz * eps).alias("origin_z"),
+            (F.col("_hx") + ndx * eps).alias("origin_x"),
+            (F.col("_hy") + ndy * eps).alias("origin_y"),
+            (F.col("_hz") + ndz * eps).alias("origin_z"),
             ndx.alias("dir_x"), ndy.alias("dir_y"), ndz.alias("dir_z"),
-            (F.col("throughput") * F.col("albedo")).alias("throughput"),
+            (F.col("throughput") * weight).alias("throughput"),
         ).localCheckpoint()
 
     out = done_parts[0]

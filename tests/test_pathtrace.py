@@ -20,6 +20,131 @@ def _scene():
     })
 
 
+def _np_trace(rays_pd, scene_pd, uvals, max_depth):
+    """Literal NumPy replay of raster.pathtrace: same nearest-hit rule,
+    same material branches (Raytracing.hpp:566-635), same jitter
+    streams (taken as input — the hash itself is a Spark built-in).
+    Returns radiance per ray_id."""
+    IOR = 1.5
+    R0 = ((IOR - 1.0) ** 2) / ((IOR + 1.0) ** 2)
+    eps_hit, eps_off = 1e-9, 1e-6
+    S = scene_pd.reset_index(drop=True)
+    out = {}
+    for _, r in rays_pd.iterrows():
+        o = np.array([r.origin_x, r.origin_y, r.origin_z], dtype=np.float64)
+        d = np.array([r.dir_x, r.dir_y, r.dir_z], dtype=np.float64)
+        thr, rad = 1.0, 0.0
+        for bounce in range(max_depth):
+            best = None  # (t, obj_id)
+            for i, s in S.iterrows():
+                c = np.array([s.cx, s.cy, s.cz])
+                oc = o - c
+                b = float(oc @ d)
+                cq = float(oc @ oc) - s.radius * s.radius
+                disc = b * b - cq
+                if disc < 0:
+                    continue
+                sq = np.sqrt(disc)
+                t = -b - sq if -b - sq > eps_hit else (-b + sq if -b + sq > eps_hit else None)
+                if t is None:
+                    continue
+                if best is None or (t, s.obj_id) < best:
+                    best = (t, int(s.obj_id))
+            if best is None:
+                break  # miss -> background 0
+            t, oid = best
+            s = S[S.obj_id == oid].iloc[0]
+            rad += thr * s.emit
+            if bounce == max_depth - 1:
+                break
+            h = o + d * t
+            c = np.array([s.cx, s.cy, s.cz])
+            n = (h - c) / s.radius
+            dot = float(d @ n)
+            nl = n if dot < 0 else -n
+            u1, u2, u3 = uvals[(int(r.ray_id), bounce)]
+            if s.material == "SPECULAR":
+                nd = d - 2.0 * dot * n
+                w = s.albedo
+            elif s.material == "REFRACTION":
+                refl = d - 2.0 * dot * n
+                into = dot < 0
+                nnt = 1.0 / IOR if into else IOR
+                ddn = float(d @ nl)
+                cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+                if cos2t < 0:
+                    nd, w = refl, s.albedo
+                else:
+                    sgn = 1.0 if into else -1.0
+                    td = d * nnt - n * (sgn * (ddn * nnt + np.sqrt(cos2t)))
+                    td = td / np.linalg.norm(td)
+                    c1 = 1.0 - (-ddn if into else float(td @ n))
+                    re = R0 + (1.0 - R0) * c1 ** 5
+                    p = 0.25 + 0.5 * re
+                    if u3 < p:
+                        nd, w = refl, s.albedo * (re / p)
+                    else:
+                        nd, w = td, s.albedo * ((1.0 - re) / (1.0 - p))
+            else:  # DIFFUSE
+                theta = u1 * 2.0 * np.pi
+                rr = np.sqrt(u2)
+                a = np.array([0.0, 1.0, 0.0]) if abs(nl[0]) > 0.9 else np.array([1.0, 0.0, 0.0])
+                u = np.cross(a, nl); u = u / np.linalg.norm(u)
+                v = np.cross(nl, u)
+                nd = u * np.cos(theta) * rr + v * np.sin(theta) * rr + nl * np.sqrt(max(0.0, 1.0 - u2))
+                w = s.albedo
+            thr *= w
+            o = h + nd * eps_off
+            d = nd
+        out[int(r.ray_id)] = rad
+    return out
+
+
+def test_pathtrace_materials_match_numpy_oracle(spark):
+    """Cornell-ish scene: diffuse floor + walls, mirror ball, glass
+    ball, sphere light — engine radiance must equal the NumPy replay
+    bit-for-bit (same jitter streams)."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators.raster import jitter_u
+
+    md = 4
+    scene_pd = pd.DataFrame({
+        "obj_id": [0, 1, 2, 3, 4],
+        "cx": [50.0, 50.0, 27.0, 73.0, -1e4],
+        "cy": [-1e4, 90.0, 16.5, 16.5, 40.0],
+        "cz": [100.0, 100.0, 47.0, 78.0, 100.0],
+        "radius": [1e4, 12.0, 16.5, 16.5, 1e4 - 60.0],
+        "emit": [0.0, 12.0, 0.0, 0.0, 0.0],
+        "albedo": [0.75, 0.0, 0.999, 0.999, 0.75],
+        "material": ["DIFFUSE", "DIFFUSE", "SPECULAR", "REFRACTION", "DIFFUSE"],
+    })
+    rays_pd = datagen.rays_pandas(width=6, height=6, samples=1)
+    rays = spark.createDataFrame(rays_pd)
+    scene = spark.createDataFrame(scene_pd)
+
+    # export the jitter streams the engine will use
+    ucols = []
+    for b in range(md - 1):
+        ucols += [jitter_u(b, 42, 0).alias(f"u1_{b}"),
+                  jitter_u(b, 42, 100).alias(f"u2_{b}"),
+                  jitter_u(b, 42, 200).alias(f"u3_{b}")]
+    updf = rays.select("ray_id", *ucols).toPandas()
+    uvals = {}
+    for _, row in updf.iterrows():
+        for b in range(md - 1):
+            uvals[(int(row.ray_id), b)] = (row[f"u1_{b}"], row[f"u2_{b}"], row[f"u3_{b}"])
+
+    got = raster.pathtrace(rays, scene, max_depth=md).toPandas() \
+        .sort_values("ray_id").reset_index(drop=True)
+    want = _np_trace(rays_pd, scene_pd, uvals, md)
+    got_v = got.radiance.to_numpy()
+    want_v = np.array([want[int(i)] for i in got.ray_id])
+    assert np.allclose(got_v, want_v, rtol=1e-9, atol=1e-12), \
+        f"max diff {np.max(np.abs(got_v - want_v))}"
+    assert got_v.max() > 0  # the light is visible through some path
+
+
 def test_pathtrace_deterministic_and_sane(spark):
     rays_pd = datagen.rays_pandas(width=8, height=8, samples=2)
     rays = spark.createDataFrame(rays_pd)
