@@ -238,10 +238,43 @@ def run_refscale() -> dict:
     }
 
 
+def run_lshstats() -> dict:
+    """Bucket-size histogram of the banded embedding-LSH index over the
+    bench embeddings table — the hot-bucket dashboard: max bucket size
+    bounds per-key join fan-out at scale."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators import similarity as SIM
+
+    spark = _session(CPUS)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_vec = e.count()
+    hist = SIM.band_bucket_stats(e, dim=64).toPandas()
+    per_band = {}
+    for band, g in hist.groupby("band"):
+        per_band[int(band)] = {
+            "n_buckets": int(g.n_buckets.sum()),
+            "max_bucket": int(g.bucket_size.max()),
+            "histogram": {int(r.bucket_size): int(r.n_buckets)
+                          for r in g.itertuples()},
+        }
+    mx = max(b["max_bucket"] for b in per_band.values())
+    return {
+        "metric": "lsh_max_bucket_size",
+        "value": mx,
+        "unit": "rows",
+        "n_vectors": n_vec,
+        "bands": per_band,
+        "max_bucket_frac": round(mx / n_vec, 4),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--refscale" in sys.argv:
         print(json.dumps(run_refscale()))
+    elif "--lshstats" in sys.argv:
+        print(json.dumps(run_lshstats()))
     else:
         print(json.dumps(run_headline()))

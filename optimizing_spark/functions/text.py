@@ -47,47 +47,82 @@ def token_hashes_col(text: str = "text", mod: int = MERSENNE31) -> Column:
     )
 
 
-def shingles_col(text: str = "text", k: int = 3) -> Column:
-    """Word k-gram shingle strings (space-joined). Spark arrays are
-    0-indexed via element_at(arr, i+1); we use bracket-free element_at
-    so the DuckDB twin (1-indexed lists) lines up with i+1..i+k."""
+def shingles_sql(text: str = "text", k: int = 3) -> str:
+    """SQL fragment: word k-gram shingle strings (space-joined). Spark
+    arrays are 0-indexed via element_at(arr, i+1); we use bracket-free
+    element_at so the DuckDB twin (1-indexed lists) lines up.
+
+    The token array is BOUND once via transform(array(toks), tk -> ...)
+    — a lambda-variable let-binding. Inlining the split into every
+    element_at (the naive form) re-splits the whole text k times per
+    shingle position: O(k * positions) regex splits per document."""
     toks = f"filter(split(trim({text}), '\\\\s+'), t -> t != '')"
-    parts = ", ' ', ".join(f"element_at({toks}, i + {j})" for j in range(1, k + 1))
-    return F.expr(
-        f"CASE WHEN size({toks}) >= {k} THEN "
-        f"transform(sequence(0, size({toks}) - {k}), i -> concat({parts})) "
+    parts = ", ' ', ".join(f"element_at(tk, i + {j})" for j in range(1, k + 1))
+    inner = (
+        f"CASE WHEN size(tk) >= {k} THEN "
+        f"transform(sequence(0, size(tk) - {k}), i -> concat({parts})) "
         f"ELSE array() END"
     )
+    return f"element_at(transform(array({toks}), tk -> {inner}), 1)"
 
 
-def minhash_signature_col(text: str = "text", n_perms: int = 16) -> Column:
-    """Array of n_perms minhash values over token hashes:
-    sig_i = min over tokens of (a_i * h'(t) + b_i) % M31.
-    Empty docs get M31 (sentinel) in every slot."""
-    hashes = f"transform(filter(split(trim({text}), '\\\\s+'), t -> t != ''), " \
+def shingles_col(text: str = "text", k: int = 3) -> Column:
+    return F.expr(shingles_sql(text, k))
+
+
+def minhash_signature_col(text: str = "text", n_perms: int = 16, k: int = 3) -> Column:
+    """Array of n_perms minhash values over the SAME word k-gram shingle
+    set the exact-jaccard verify uses (min over a multiset equals min
+    over the set): sig_i = min over shingles of (a_i * h'(s) + b_i) % M31.
+    Shingle-less docs (< k tokens) get M31 (sentinel) in every slot.
+
+    Signature domain matters: hashing unigram TOKENS here (round-1
+    behavior) collapses any small-vocabulary corpus into a handful of
+    hot LSH buckets (at sf0.1: one bucket held half the table -> 6.2M
+    candidate pairs from 5k docs), because token SETS converge long
+    before shingle sets do. Minhash must approximate the metric the
+    verify measures.
+
+    Single-fold form: the md5 shingle hash runs ONCE per shingle; all
+    n_perms running minima update in one zip_with against constant
+    coefficient arrays."""
+    hashes = f"transform({shingles_sql(text, k)}, " \
              f"t -> {token_hash_expr('t')} % {MERSENNE31})"
-    parts = []
-    for a, b in MINHASH_PERMS[:n_perms]:
-        parts.append(
-            f"coalesce(array_min(transform({hashes}, "
-            f"h -> (h * {a} + {b}) % {MERSENNE31})), {MERSENNE31})"
-        )
-    return F.expr("array(" + ", ".join(parts) + ")")
+    a_arr = "array(" + ", ".join(str(a) for a, _ in MINHASH_PERMS[:n_perms]) + ")"
+    b_arr = "array(" + ", ".join(str(b) for _, b in MINHASH_PERMS[:n_perms]) + ")"
+    return F.expr(f"""aggregate(
+        {hashes},
+        array_repeat(cast({MERSENNE31} as bigint), {n_perms}),
+        (acc, h) -> zip_with(acc, sequence(0, {n_perms - 1}),
+            (m, i) -> least(m, (h * element_at({a_arr}, i + 1)
+                               + element_at({b_arr}, i + 1)) % {MERSENNE31})))""")
 
 
 def simhash_col(text: str = "text", bits: int = 16) -> Column:
     """bits-wide simhash over token hashes: bit b set iff
-    sum over tokens of (2*bit_b(h') - 1) >= 0 (ties -> set, empty -> 0)."""
+    sum over tokens of (2*bit_b(h') - 1) >= 0 (ties -> set, empty -> 0).
+
+    Single-fold form: the md5 token hash is evaluated ONCE per token
+    (the hash array appears exactly once in the expression; vote
+    accumulation and the final bit-sum live in the fold's merge/finish
+    lambdas, where lambda variables are bound values, not re-evaluated
+    subtrees). The naive per-bit form re-hashed every token `bits`
+    times — O(bits x tokens) md5 calls."""
     hashes = f"transform(filter(split(trim({text}), '\\\\s+'), t -> t != ''), " \
              f"t -> {token_hash_expr('t')} % {MERSENNE31})"
-    terms = []
-    for b in range(bits):
-        vote = (
-            f"aggregate({hashes}, 0, "
-            f"(acc, h) -> acc + CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)"
-        )
-        terms.append(f"CASE WHEN size({hashes}) > 0 AND {vote} >= 0 THEN {1 << b} ELSE 0 END")
-    return F.expr("(" + " + ".join(terms) + ")").cast("long")
+    zero = "cast(0 as bigint)"
+    return F.expr(f"""aggregate(
+        {hashes},
+        struct(0 as n, array_repeat(0, {bits}) as votes),
+        (acc, h) -> struct(
+            acc.n + 1 as n,
+            zip_with(acc.votes, sequence(0, {bits - 1}),
+                     (a, b) -> a + CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) as votes),
+        st -> CASE WHEN st.n = 0 THEN {zero} ELSE
+              aggregate(zip_with(st.votes, sequence(0, {bits - 1}),
+                        (v, b) -> CASE WHEN v >= 0 THEN shiftleft(cast(1 as bigint), b)
+                                  ELSE {zero} END),
+                        {zero}, (acc, x) -> acc + x) END)""")
 
 
 # Language-ID heuristic: stopword-marker votes (deterministic; a real
@@ -102,20 +137,26 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def lang_guess_col(text: str = "text") -> Column:
+    """Argmax-score language guess; first lang (declaration order) wins
+    ties. Single-fold form: the token array appears once; per-lang
+    marker hits accumulate in one pass via a constant array-of-marker-
+    arrays (the naive form re-split the text once per language)."""
     toks = f"filter(split(trim({text}), '\\\\s+'), t -> t != '')"
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        marks = ", ".join(f"'{m}'" for m in markers)
-        scores.append(
-            f"named_struct('score', size(filter({toks}, t -> array_contains(array({marks}), t))), "
-            f"'lang', '{lang}')"
-        )
-    # max by (score, lang) — lang desc tie-break is arbitrary but fixed
-    arr = "array(" + ", ".join(scores) + ")"
-    return F.expr(
-        f"aggregate({arr}, named_struct('score', -1, 'lang', ''), "
-        f"(acc, s) -> CASE WHEN s.score > acc.score THEN s ELSE acc END).lang"
+    langs = list(LANG_MARKERS)
+    markers = ", ".join(
+        "array(" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lg]) + ")" for lg in langs
     )
+    lang_arr = "array(" + ", ".join(f"'{lg}'" for lg in langs) + ")"
+    n = len(langs)
+    return F.expr(f"""aggregate(
+        {toks},
+        array_repeat(0, {n}),
+        (acc, t) -> zip_with(acc, array({markers}),
+                             (a, ms) -> a + CASE WHEN array_contains(ms, t) THEN 1 ELSE 0 END),
+        sc -> element_at({lang_arr},
+              aggregate(zip_with(sc, sequence(0, {n - 1}), (v, i) -> struct(v as score, i as idx)),
+                        struct(-1 as score, 0 as idx),
+                        (acc, s) -> CASE WHEN s.score > acc.score THEN s ELSE acc END).idx + 1))""")
 
 
 def quality_cols(df: DataFrame, text: str = "text") -> DataFrame:

@@ -11,8 +11,8 @@ engine components alongside the spatial suite:
   bands (small-bits variant).
 - ngram_jaccard: exact shingle-set jaccard for a given pair table
   (explode + join + group; returns integer intersection/union counts).
-- embedding_neardup_pairs: cosine near-duplicates over embedding
-  vectors via norm-bucketed LSH (see similarity.py for the ANN side).
+- embedding near-duplicates live in similarity.embedding_neardup_pairs
+  (banded random-hyperplane LSH; see similarity.py).
 """
 
 from __future__ import annotations
@@ -65,14 +65,22 @@ def minhash_lsh_pairs(
     ).withColumn("band_hash", F.expr(
         "aggregate(band_sig, cast(7 as bigint), (acc, x) -> (acc * 1048573 + x) % 2147483647)"
     ))
-    a = banded.select(F.col(key).alias("a"), "band", "band_hash")
-    b = banded.select(F.col(key).alias("b"), "band", "band_hash")
-    cand = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    # candidate pairs: group each (band, hash) bucket once and expand
+    # in-bucket pairs JVM-side — ONE evaluation of the signature
+    # pipeline and one shuffle, vs a self-join that recomputes the
+    # signatures on both sides. In-bucket expansion is quadratic in
+    # bucket size by construction of LSH (those pairs ARE the output);
+    # shingle-domain signatures keep buckets small.
+    buckets = banded.groupBy("band", "band_hash") \
+        .agg(F.collect_list(key).alias("_ids")).filter(F.size("_ids") >= 2)
+    pairs_arr = F.expr("""
+        flatten(transform(sequence(0, size(_ids) - 2),
+            i -> transform(slice(_ids, i + 2, size(_ids) - i - 1),
+                 x -> struct(least(element_at(_ids, i + 1), x) as a,
+                             greatest(element_at(_ids, i + 1), x) as b))))
+    """)
+    cand = buckets.select(F.explode(pairs_arr).alias("_p")) \
+        .select("_p.a", "_p.b").distinct()
     verified = ngram_jaccard(df, cand, text=text, key=key, k=shingle_k)
     return verified.filter(
         F.col("inter") * jaccard_den >= F.col("uni") * jaccard_num

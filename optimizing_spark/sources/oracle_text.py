@@ -43,12 +43,14 @@ def shingles_inline(k: int = 3, toks_expr: str | None = None) -> str:
     )
 
 
-def minhash_exprs(n_perms: int = 16) -> list[str]:
-    th = token_hashes()
+def minhash_exprs(n_perms: int = 16, k: int = 3) -> list[str]:
+    """Minhash slots over word k-gram shingles — the same domain the
+    engine signs (functions/text.minhash_signature_col)."""
+    sh = f"list_transform({shingles_inline(k)}, s -> {HP.format(v='s')})"
     out = []
     for a, b in MINHASH_PERMS[:n_perms]:
         out.append(
-            f"coalesce(list_min(list_transform({th}, h -> (h * {a} + {b}) % {M31})), {M31})"
+            f"coalesce(list_min(list_transform({sh}, h -> (h * {a} + {b}) % {M31})), {M31})"
         )
     return out
 

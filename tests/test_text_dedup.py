@@ -42,7 +42,8 @@ def _shingles(s: str, k: int = 3) -> list[str]:
 
 
 def _minhash(s: str, n: int = 16) -> list[int]:
-    hs = [_hp(t) for t in _toks(s)]
+    # shingle-domain minhash (same sets the exact-jaccard verify uses)
+    hs = [_hp(t) for t in _shingles(s)]
     out = []
     for a, b in TX.MINHASH_PERMS[:n]:
         out.append(min(((a * h + b) % TX.MERSENNE31 for h in hs), default=TX.MERSENNE31))
