@@ -128,7 +128,9 @@ def simhash_pairs(
     blocks = max_hamming + 1
     block_bits = bits // blocks
     # bucket by each block's value; pairs agreeing on >= 1 block survive,
-    # then exact hamming verify
+    # then exact hamming verify. Candidates come from per-bucket pair
+    # expansion (one evaluation of the signature pipeline, one shuffle)
+    # — same shape as minhash_lsh_pairs.
     keyed = sig.select(
         F.col(key), F.col("sh"),
         F.posexplode(
@@ -138,10 +140,21 @@ def simhash_pairs(
             )
         ).alias("block", "block_val"),
     )
-    a = keyed.select(F.col(key).alias("a"), F.col("sh").alias("sha"), "block", "block_val")
-    b = keyed.select(F.col(key).alias("b"), F.col("sh").alias("shb"), "block", "block_val")
-    cand = a.join(b, ["block", "block_val"]).filter(F.col("a") < F.col("b")) \
-        .select("a", "b", "sha", "shb").distinct()
+    buckets = keyed.groupBy("block", "block_val").agg(
+        F.collect_list(F.struct(F.col(key).alias("k"), F.col("sh").alias("s"))).alias("_m")
+    ).filter(F.size("_m") >= 2)
+    pairs_arr = F.expr("""
+        flatten(transform(sequence(0, size(_m) - 2),
+            i -> transform(slice(_m, i + 2, size(_m) - i - 1),
+                 x -> CASE WHEN element_at(_m, i + 1).k < x.k
+                      THEN struct(element_at(_m, i + 1).k AS a, element_at(_m, i + 1).s AS sha,
+                                  x.k AS b, x.s AS shb)
+                      ELSE struct(x.k AS a, x.s AS sha,
+                                  element_at(_m, i + 1).k AS b, element_at(_m, i + 1).s AS shb)
+                      END)))
+    """)
+    cand = buckets.select(F.explode(pairs_arr).alias("_p")) \
+        .select("_p.a", "_p.b", "_p.sha", "_p.shb").distinct()
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \
         .select("a", "b", "hamming")

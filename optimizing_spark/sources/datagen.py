@@ -249,7 +249,10 @@ def rays_pandas(
 ) -> pd.DataFrame:
     """One row per (px, py, sample): pinhole camera at (50,52,295.6)
     looking down -z (Raytracing.hpp camera model, simplified; jitter is
-    hash-derived, not MT19937 — FIXTURES.md F5)."""
+    hash-derived, not MT19937 — FIXTURES.md F5) with the reference's
+    TENT filter warp (Raytracing.hpp:473-477): r = 2u; d = sqrt(r)-1
+    if r < 1 else 1-sqrt(2-r) — triangular sample density in [-1, 1)
+    peaked at the pixel center."""
     total = width * height * samples
     i = np.arange(total, dtype=np.uint64) if ids is None else ids.astype(np.uint64)
     ii = i.astype(np.int64)
@@ -257,8 +260,13 @@ def rays_pandas(
     pix = ii // samples
     px = pix % width
     py = pix // width
-    jx = _u01(i, seed, 71) - 0.5
-    jy = _u01(i, seed, 72) - 0.5
+
+    def tent(u: np.ndarray) -> np.ndarray:
+        r = 2.0 * u
+        return np.where(r < 1.0, np.sqrt(r) - 1.0, 1.0 - np.sqrt(2.0 - r))
+
+    jx = 0.5 * tent(_u01(i, seed, 71))
+    jy = 0.5 * tent(_u01(i, seed, 72))
     # normalized device coords in [-1, 1] with jitter
     u = ((px + 0.5 + jx) / width - 0.5) * 2.0
     v = ((py + 0.5 + jy) / height - 0.5) * 2.0

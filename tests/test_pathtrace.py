@@ -24,12 +24,13 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth):
     """Literal NumPy replay of raster.pathtrace: same nearest-hit rule,
     same material branches (Raytracing.hpp:566-635), same jitter
     streams (taken as input — the hash itself is a Spark built-in).
-    Returns radiance per ray_id."""
+    Returns (radiance per ray_id, material-branch hit counts)."""
     IOR = 1.5
     R0 = ((IOR - 1.0) ** 2) / ((IOR + 1.0) ** 2)
     eps_hit, eps_off = 1e-9, 1e-6
     S = scene_pd.reset_index(drop=True)
     out = {}
+    branch_hits = {"DIFFUSE": 0, "SPECULAR": 0, "REFRACTION": 0}
     for _, r in rays_pd.iterrows():
         o = np.array([r.origin_x, r.origin_y, r.origin_z], dtype=np.float64)
         d = np.array([r.dir_x, r.dir_y, r.dir_z], dtype=np.float64)
@@ -63,6 +64,7 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth):
             dot = float(d @ n)
             nl = n if dot < 0 else -n
             u1, u2, u3 = uvals[(int(r.ray_id), bounce)]
+            branch_hits[s.material] += 1
             if s.material == "SPECULAR":
                 nd = d - 2.0 * dot * n
                 w = s.albedo
@@ -97,7 +99,7 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth):
             o = h + nd * eps_off
             d = nd
         out[int(r.ray_id)] = rad
-    return out
+    return out, branch_hits
 
 
 def test_pathtrace_materials_match_numpy_oracle(spark):
@@ -137,12 +139,13 @@ def test_pathtrace_materials_match_numpy_oracle(spark):
 
     got = raster.pathtrace(rays, scene, max_depth=md).toPandas() \
         .sort_values("ray_id").reset_index(drop=True)
-    want = _np_trace(rays_pd, scene_pd, uvals, md)
+    want, branch_hits = _np_trace(rays_pd, scene_pd, uvals, md)
     got_v = got.radiance.to_numpy()
     want_v = np.array([want[int(i)] for i in got.ray_id])
     assert np.allclose(got_v, want_v, rtol=1e-9, atol=1e-12), \
         f"max diff {np.max(np.abs(got_v - want_v))}"
-    assert got_v.max() > 0  # the light is visible through some path
+    # every material branch actually exercised in the replayed paths
+    assert min(branch_hits.values()) > 0, branch_hits
 
 
 def test_pathtrace_deterministic_and_sane(spark):
