@@ -341,9 +341,18 @@ def assign_octree_capacity_pow2(
     child contains the box (box fits depth d+1 iff d+1 <= dmax).
 
     `seq_cols` must totally order rows WITHIN any node partition (ties
-    that are bit-identical rows are harmless). One shuffle per level on
-    the node key; after level 0 key cardinality grows 8x per level so
-    root-level skew vanishes immediately (AQE covers level 0).
+    that are bit-identical rows are harmless).
+
+    SINGLE-LINEAGE plan: one window per level on one DataFrame — the
+    arrival rank at a depth-d node is the running count of rows that
+    descended past depth d-1 (sum-over-window of the descend flag,
+    which equals row_number among descenders for descenders), so no
+    filter/union branching is needed and the physical plan is exactly
+    max_depth+1 Exchange+Sort+Window pairs over ONE scan (a branch-
+    per-level union re-executes every earlier level's shuffle in each
+    branch: O(levels^2) exchanges). Level 0 ranks globally (single
+    partition) — inherent to the sequential insert semantics; key
+    cardinality grows 8x per level after that.
 
     Returns df + (oct_depth, oct_code); code = 3-bit Morton prefix
     (x bit0, y bit1, z bit2 — DynamicOctree.hpp:56-65 child order).
@@ -366,28 +375,35 @@ def assign_octree_capacity_pow2(
     )
     t = df.withColumn("_dmax", depth_expr).withColumn("_m5", m)
 
-    finished = []
-    active = t
+    # _desc{d} = row descends PAST depth d; _rk{d} = arrival rank at its
+    # depth-d node (valid for rows that arrived, i.e. _desc{d-1})
+    prev_desc = None  # level-0 arrival = everyone
     for d in range(max_depth):
         node = F.shiftright(F.col("_m5"), 3 * (max_depth - d))
-        ranked = active.withColumn("_node", node).withColumn(
-            "_rn", F.row_number().over(Window.partitionBy("_node").orderBy(*seq_cols))
-        )
-        stay = (F.col("_rn") <= capacity) | (F.col("_dmax") == d)
-        finished.append(
-            ranked.filter(stay)
-            .withColumn(out_depth, F.lit(d))
-            .withColumn(out_code, F.col("_node"))
-            .drop("_rn", "_node")
-        )
-        active = ranked.filter(~stay).drop("_rn", "_node")
-    finished.append(  # depth-limit nodes keep everything
-        active.withColumn(out_depth, F.lit(max_depth)).withColumn(out_code, F.col("_m5"))
-    )
-    out = finished[0]
-    for f in finished[1:]:
-        out = out.unionByName(f)
-    return out.drop("_dmax", "_m5")
+        w = Window.partitionBy(node).orderBy(*seq_cols) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        arrived_flag = F.lit(1) if prev_desc is None else \
+            F.when(F.col(prev_desc), 1).otherwise(0)
+        t = t.withColumn(f"_rk{d}", F.sum(arrived_flag).over(w))
+        arrived = F.lit(True) if prev_desc is None else F.col(prev_desc)
+        stay = (F.col(f"_rk{d}") <= capacity) | (F.col("_dmax") == d)
+        t = t.withColumn(f"_desc{d}", arrived & ~stay)
+        prev_desc = f"_desc{d}"
+
+    # final assignment: first level not descended past
+    depth_out = F.lit(max_depth)
+    code_out = F.col("_m5")
+    for d in range(max_depth - 1, -1, -1):
+        arrived = F.lit(True) if d == 0 else F.col(f"_desc{d - 1}")
+        stays_here = arrived & ~F.col(f"_desc{d}")
+        depth_out = F.when(stays_here, F.lit(d)).otherwise(depth_out)
+        code_out = F.when(
+            stays_here, F.shiftright(F.col("_m5"), 3 * (max_depth - d))
+        ).otherwise(code_out)
+    out = t.withColumn(out_depth, depth_out).withColumn(out_code, code_out)
+    drop = ["_dmax", "_m5"] + [f"_rk{d}" for d in range(max_depth)] \
+        + [f"_desc{d}" for d in range(max_depth)]
+    return out.drop(*drop)
 
 
 # ---------------------------------------------------------------------------
