@@ -8,7 +8,10 @@
   (ranked by an explicit insert_seq column), pushes the rest down.
   This is also the skew story: a hot cell automatically refines to
   deeper resolution — the reference's "split only hot nodes" heuristic
-  (REPORT.md:10) at cluster scale.
+  (REPORT.md:10) at cluster scale. This float variant keeps exact
+  float-world reference parity; the SCALE path for pow-2 integer
+  worlds is functions/cells.assign_octree_capacity_pow2 (single
+  lineage: 1 scan + one window per level, no branch unions).
 - ``explode_covering_cells``: O9 multi-assign — one row per (object,
   overlapped grid cell) at a fixed depth; the candidate generator for
   range joins.
