@@ -298,6 +298,133 @@ def _oct_capacity_sql(capacity: int = 4, max_depth: int = 5) -> str:
     return "\n".join(parts) + "\n" + " UNION ALL ".join(selects)
 
 
+def q_ray_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20+O22: slab-method ray/AABB nearest hit (Raytracing.hpp:267-289,
+    640-669), oracle-exact: one 2D diagonal d=(1,1) ray per nation so
+    every per-axis t = (edge - origin) / 1 is an integer-valued double;
+    tmin/tmax folds and the nearest-(t, obj_id) argmin are then
+    bit-exact in DuckDB integer arithmetic. 2D keeps the expected hit
+    count per ray ~100 (a 3D diagonal in a 65536^3 world misses every
+    small box)."""
+    from optimizing_spark.operators import raster as R
+
+    o = _objects_boxes(spark, sf_dir)
+    boxes = o.select(
+        "obj_id",
+        F.col("min_x").cast("double").alias("min_x"),
+        F.col("min_y").cast("double").alias("min_y"),
+        F.col("max_x").cast("double").alias("max_x"),
+        F.col("max_y").cast("double").alias("max_y"),
+    )
+    k = F.col("n_nationkey").cast("long")
+    rays = D.load(spark, sf_dir, "nation").select(
+        k.alias("query_id"),
+        ((k * 104729 + 12345) % E).cast("double").alias("ox"),
+        ((k * 48271 + 54321) % E).cast("double").alias("oy"),
+    )
+    t = R.ray_aabb_t(
+        (F.col("ox"), F.col("oy")),
+        (F.lit(1.0), F.lit(1.0)),
+        (F.col("min_x"), F.col("min_y")),
+        (F.col("max_x"), F.col("max_y")),
+    )
+    j = boxes.crossJoin(F.broadcast(rays)).withColumn("t", t) \
+        .filter(F.col("t").isNotNull())
+    w = Window.partitionBy("query_id").orderBy("t", "obj_id")
+    return j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 1) \
+        .select("query_id", "obj_id", F.col("t").cast("long").alias("t"))
+
+
+_SQL_RAY_BOX = f"""
+    WITH objs AS ({{objs}}), rays AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+               (CAST(n_nationkey AS BIGINT) * 104729 + 12345) % {{E}} AS ox,
+               (CAST(n_nationkey AS BIGINT) * 48271 + 54321) % {{E}} AS oy
+        FROM nation
+    ), hits AS (
+        SELECT rays.query_id, objs.obj_id,
+               greatest(ix - ox, iy - oy) AS tmin,
+               least(ix + sx - ox, iy + sy - oy) AS tmax
+        FROM objs CROSS JOIN rays
+    ), t AS (
+        SELECT query_id, obj_id,
+               CASE WHEN tmin >= 0 THEN tmin ELSE tmax END AS t
+        FROM hits WHERE tmax >= tmin AND tmax >= 0
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY t, obj_id) AS rk
+        FROM t
+    )
+    SELECT query_id, obj_id, CAST(t AS BIGINT) AS t FROM r WHERE rk <= 1
+"""
+
+
+def q_ray_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21+O22: ray/sphere quadratic nearest hit (Raytracing.hpp:291-348)
+    in its 2D section (circles), oracle-exact WITHOUT rounding tricks:
+    centers/radii are integers, d = (1/sqrt(2), 1/sqrt(2)) — every op
+    (mul, sub, fold-add, sqrt) is an IEEE-754 correctly-rounded double
+    op evaluated in the same order in both engines, so b, disc, sqrt
+    and the root are bit-identical; t is rounded to 6 only for the
+    output column."""
+    from optimizing_spark.operators import raster as R
+
+    o = D.objects2d(spark, sf_dir)
+    circles = o.select(
+        "obj_id",
+        F.col("ix").cast("double").alias("cx"),
+        F.col("iy").cast("double").alias("cy"),
+        (F.col("sx") + 13).cast("double").alias("radius"),
+    )
+    k = F.col("n_nationkey").cast("long")
+    rays = D.load(spark, sf_dir, "nation").select(
+        k.alias("query_id"),
+        ((k * 104729 + 12345) % E).cast("double").alias("ox"),
+        ((k * 48271 + 54321) % E).cast("double").alias("oy"),
+    )
+    d = F.lit(1.0) / F.sqrt(F.lit(2.0))
+    t = R.ray_sphere_t(
+        (F.col("ox"), F.col("oy")), (d, d),
+        (F.col("cx"), F.col("cy")), F.col("radius"),
+    )
+    j = circles.crossJoin(F.broadcast(rays)).withColumn("t", t) \
+        .filter(F.col("t").isNotNull())
+    w = Window.partitionBy("query_id").orderBy("t", "obj_id")
+    return j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 1) \
+        .select("query_id", "obj_id", F.round(F.col("t"), 6).alias("t"))
+
+
+_SQL_RAY_CIRCLE = """
+    WITH objs AS ({objs}), rays AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+               CAST((CAST(n_nationkey AS BIGINT) * 104729 + 12345) % {E} AS DOUBLE) AS ox,
+               CAST((CAST(n_nationkey AS BIGINT) * 48271 + 54321) % {E} AS DOUBLE) AS oy
+        FROM nation
+    ), q AS (
+        SELECT rays.query_id, objs.obj_id,
+               ((CAST(objs.ix AS DOUBLE) - ox) * (1.0 / sqrt(2.0))
+                + (CAST(objs.iy AS DOUBLE) - oy) * (1.0 / sqrt(2.0))) AS negb,
+               ((ox - CAST(objs.ix AS DOUBLE)) * (ox - CAST(objs.ix AS DOUBLE))
+                + (oy - CAST(objs.iy AS DOUBLE)) * (oy - CAST(objs.iy AS DOUBLE)))
+                - CAST(objs.sx + 13 AS DOUBLE) * CAST(objs.sx + 13 AS DOUBLE) AS c
+        FROM objs CROSS JOIN rays
+    ), roots AS (
+        SELECT query_id, obj_id, negb, c, negb * negb - c AS disc
+        FROM q
+    ), t AS (
+        SELECT query_id, obj_id,
+               CASE WHEN negb - sqrt(greatest(disc, 0.0)) > 1e-9
+                         THEN negb - sqrt(greatest(disc, 0.0))
+                    WHEN negb + sqrt(greatest(disc, 0.0)) > 1e-9
+                         THEN negb + sqrt(greatest(disc, 0.0)) END AS t
+        FROM roots WHERE disc >= 0
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY t, obj_id) AS rk
+        FROM t WHERE t IS NOT NULL
+    )
+    SELECT query_id, obj_id, round(t, 6) AS t FROM r WHERE rk <= 1
+"""
+
+
 def q_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-aggregation sanity (TPC-H Q1 shape, integer-exact sums)."""
     li = D.load(spark, sf_dir, "lineitem")
@@ -580,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_cell": q_topk_per_cell,
         "q_oct_assign": q_oct_assign,
         "q_oct_capacity": q_oct_capacity,
+        "q_ray_box": q_ray_box,
+        "q_ray_circle": q_ray_circle,
         "q_agg_wide": q_agg_wide,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
@@ -722,6 +851,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "q_oct_capacity": _oct_capacity_sql(),
+        "q_ray_box": _SQL_RAY_BOX.format(objs=D.SQL_OBJECTS, E=E),
+        "q_ray_circle": _SQL_RAY_CIRCLE.format(objs=D.SQL_OBJECTS, E=E),
         "q_agg_wide": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
