@@ -48,6 +48,32 @@ def test_checkpoint_and_resume(spark, tmp_path):
     assert r5.inputs == [fp]
 
 
+def test_checkpoint_crash_mid_overwrite_cannot_resume(spark, tmp_path):
+    """The stale manifest must be invalidated BEFORE the data overwrite
+    starts: a crash mid-write then must recompute, never 'resume' from
+    partially-rewritten parquet under the old manifest."""
+    root = str(tmp_path / "ckpt2")
+    docs = datagen.spark_table(spark, "documents", 200, partitions=2)
+    tiled = pipeline.tile_documents(docs, how="jvm")
+    CP.checkpoint_stage(spark, tiled, root, "t", fingerprint="v1")
+    assert CP.load_manifest(root, "t") is not None
+
+    # simulate a crash: writer raises after checkpoint_stage has begun
+    class Boom(RuntimeError):
+        pass
+
+    bad = tiled.withColumn("_x", F.expr("raise_error('boom')"))
+    try:  # new fingerprint -> takes the overwrite path, then crashes
+        CP.checkpoint_stage(spark, bad, root, "t", fingerprint="v2")
+    except Exception:  # noqa: BLE001 (Py4J wraps the raise_error)
+        pass
+    # old manifest is gone -> a later run with the original fingerprint
+    # recomputes instead of silently resuming from corrupt data
+    assert CP.load_manifest(root, "t") is None
+    r = CP.checkpoint_stage(spark, tiled, root, "t", fingerprint="v1")
+    assert not r.resumed and r.rows == 200
+
+
 def test_media_features_and_frames(spark):
     docs = datagen.spark_table(spark, "documents", 300, partitions=3)
     media = MM.synthetic_media(spark, docs).localCheckpoint()
