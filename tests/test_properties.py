@@ -80,3 +80,43 @@ def test_assignment_depth_cell_consistency(bs):
         if r.qt_depth > 0:
             assert r.min_x >= c0x and r.max_x < c1x
             assert r.min_y >= c0y and r.max_y < c1y
+
+
+@st.composite
+def int_boxes3(draw):
+    n = draw(st.integers(min_value=2, max_value=60))
+    c = st.integers(min_value=0, max_value=(1 << 16) - 1)
+    s = st.integers(min_value=1, max_value=5000)
+    return [(draw(c), draw(c), draw(c), draw(s), draw(s), draw(s)) for _ in range(n)]
+
+
+@settings(max_examples=8, deadline=None)
+@given(int_boxes3())
+def test_capacity_octree_invariants(bs):
+    """Capacity-rule invariants on arbitrary integer boxes: depth <=
+    static fitting depth; every non-leaf node holds at most CAPACITY
+    items PLUS straddlers (items whose dmax equals that depth); the
+    node prefix matches the item's Morton path."""
+    from optimizing_spark.functions import cells as C
+
+    spark = _get_spark()
+    pdf = pd.DataFrame(bs, columns=["ix", "iy", "iz", "sx", "sy", "sz"])
+    pdf["obj_id"] = np.arange(len(pdf))
+    df = spark.createDataFrame(pdf).repartition(3)
+    got = C.assign_octree_capacity_pow2(df, capacity=4, max_depth=5) \
+        .toPandas().sort_values("obj_id").reset_index(drop=True)
+    static = C.assign_octree_pow2(spark.createDataFrame(pdf)) \
+        .select("obj_id", "oct_depth", "oct_code").toPandas() \
+        .sort_values("obj_id").reset_index(drop=True)
+    assert (got.oct_depth.to_numpy() <= static.oct_depth.to_numpy()).all()
+    # node prefix consistency: capacity code == static deepest code
+    # shifted up to the assigned depth (cells nest)
+    for r, s in zip(got.itertuples(), static.itertuples()):
+        assert r.oct_code == (s.oct_code >> (3 * (s.oct_depth - r.oct_depth)))
+    # per-node occupancy: <= capacity + straddlers-at-that-depth (+ leaves free)
+    merged = got.merge(static.rename(columns={"oct_depth": "dmax"})[["obj_id", "dmax"]],
+                       on="obj_id")
+    for (d, code), g in merged.groupby(["oct_depth", "oct_code"]):
+        if d < 5:
+            n_deeper = (g.dmax > d).sum()
+            assert n_deeper <= 4, f"node ({d},{code}) holds {n_deeper} non-straddlers"
