@@ -298,6 +298,34 @@ def _oct_capacity_sql(capacity: int = 4, max_depth: int = 5) -> str:
     return "\n".join(parts) + "\n" + " UNION ALL ".join(selects)
 
 
+def q_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 resize/rebuild (DynamicOctree.hpp:76-95): the world shrinks
+    to half extent (2^15), coordinates wrap into the new world, and the
+    whole table re-tiles — cell assignment is a pure function of (box,
+    world), so rebuild IS re-running the projection with new world
+    parameters."""
+    half = 1 << 15
+    o = D.objects2d(spark, sf_dir) \
+        .withColumn("ix", F.col("ix") % half).withColumn("iy", F.col("iy") % half)
+    t = C.assign_quadtree_pow2(o, world_bits=15, max_node_depth=_MAX_ND)
+    return t.select("obj_id", "qt_depth", "qt_code")
+
+
+_SQL_REBUILD = f"""
+    WITH objs0 AS ({{objs}}), objs AS (
+        SELECT obj_id, ix % 32768 AS ix, iy % 32768 AS iy, sx, sy FROM objs0
+    ), t AS (
+        SELECT obj_id, {{fits}} AS qt_depth,
+               {{m4}} AS m4
+        FROM objs
+    )
+    SELECT obj_id, qt_depth,
+           CASE qt_depth WHEN 4 THEN m4 WHEN 3 THEN m4 >> 2 WHEN 2 THEN m4 >> 4
+                WHEN 1 THEN m4 >> 6 ELSE 0 END AS qt_code
+    FROM t
+"""
+
+
 def q_ray_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O20+O22: slab-method ray/AABB nearest hit (Raytracing.hpp:267-289,
     640-669), oracle-exact: one 2D diagonal d=(1,1) ray per nation so
@@ -707,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_cell": q_topk_per_cell,
         "q_oct_assign": q_oct_assign,
         "q_oct_capacity": q_oct_capacity,
+        "q_rebuild": q_rebuild,
         "q_ray_box": q_ray_box,
         "q_ray_circle": q_ray_circle,
         "q_agg_wide": q_agg_wide,
@@ -851,6 +880,10 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "q_oct_capacity": _oct_capacity_sql(),
+        "q_rebuild": _SQL_REBUILD.format(
+            objs=D.SQL_OBJECTS,
+            fits=D.qt_fits_depth_sql(_MAX_ND, world_bits=15),
+            m4=D.morton2d_sql("ix >> 11", "iy >> 11")),
         "q_ray_box": _SQL_RAY_BOX.format(objs=D.SQL_OBJECTS, E=E),
         "q_ray_circle": _SQL_RAY_CIRCLE.format(objs=D.SQL_OBJECTS, E=E),
         "q_agg_wide": """

@@ -176,19 +176,20 @@ SQL_DOCS_CANON = (
 # Closed-form static-quadtree assignment on the pow-2 world (integer exact)
 # ---------------------------------------------------------------------------
 
-def qt_fits_depth_sql(max_node_depth: int = 4) -> str:
+def qt_fits_depth_sql(max_node_depth: int = 4, world_bits: int = B) -> str:
     """DuckDB CASE returning the deepest node depth (0..max_node_depth)
     whose cell contains [ix, ix+sx) x [iy, iy+sy) under the min-closed /
-    max-strict rule — box fits at depth d iff ix>>(16-d) == (ix+sx)>>(16-d)
+    max-strict rule — box fits at depth d iff ix>>(wb-d) == (ix+sx)>>(wb-d)
     (strict upper edge; see .Test/QuadTree.cpp:44-56) and the box stays
     inside the world. Equivalent to the reference's greedy descent because
-    cells nest."""
+    cells nest. ``world_bits`` parameterizes the world edge (O15 rebuild)."""
+    e = 1 << world_bits
     whens = []
     for d in range(max_node_depth, 0, -1):
-        sh = B - d
+        sh = world_bits - d
         whens.append(
-            f"WHEN (ix >> {sh}) = ((ix + sx) >> {sh}) AND (ix + sx) < {E} "
-            f"AND (iy >> {sh}) = ((iy + sy) >> {sh}) AND (iy + sy) < {E} THEN {d}"
+            f"WHEN (ix >> {sh}) = ((ix + sx) >> {sh}) AND (ix + sx) < {e} "
+            f"AND (iy >> {sh}) = ((iy + sy) >> {sh}) AND (iy + sy) < {e} THEN {d}"
         )
     return "CASE " + " ".join(whens) + " ELSE 0 END"
 
