@@ -298,6 +298,12 @@ def _oct_capacity_sql(capacity: int = 4, max_depth: int = 5) -> str:
     return "\n".join(parts) + "\n" + " UNION ALL ".join(selects)
 
 
+def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 full extract (WorldPartition.hpp:143-150): the entire object
+    table with every derived attribute — the items() dump as a scan."""
+    return D.objects2d(spark, sf_dir)
+
+
 def q_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O15 resize/rebuild (DynamicOctree.hpp:76-95): the world shrinks
     to half extent (2^15), coordinates wrap into the new world, and the
@@ -735,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_cell": q_topk_per_cell,
         "q_oct_assign": q_oct_assign,
         "q_oct_capacity": q_oct_capacity,
+        "q_extract": q_extract,
         "q_rebuild": q_rebuild,
         "q_ray_box": q_ray_box,
         "q_ray_circle": q_ray_circle,
@@ -880,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "q_oct_capacity": _oct_capacity_sql(),
+        "q_extract": f"WITH objs AS ({objs}) SELECT * FROM objs",
         "q_rebuild": _SQL_REBUILD.format(
             objs=D.SQL_OBJECTS,
             fits=D.qt_fits_depth_sql(_MAX_ND, world_bits=15),
