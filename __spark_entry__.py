@@ -20,6 +20,15 @@ Operator coverage map (reference file:line cites in the module docs):
 - O25 tone-map                 -> q_tonemap
 - window top-k                 -> q_topk_per_cell
 - partial aggregation          -> q_agg_wide
+- O7 capacity rule (exact)     -> q_oct_capacity
+- O15 world resize/rebuild     -> q_rebuild
+- O19 full extract             -> q_extract
+- O20 ray-AABB slab            -> q_ray_box
+- O21 ray-sphere quadratic     -> q_ray_circle
+- O31 north-rule docs pipeline -> q_docs_pipeline (oracle-exact)
+- banded embedding LSH         -> q_embed_neardup_lsh (oracle-exact)
+plus the text/dedup/similarity/event suite (q_token_count ..
+q_top_customers) — every queries() key has an oracle_sql() twin.
 """
 
 from __future__ import annotations
