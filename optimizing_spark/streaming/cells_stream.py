@@ -47,6 +47,25 @@ def streaming_cell_counts(
     )
 
 
+def streaming_exact_dedup(
+    stream_docs: DataFrame,
+    text: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming exact dedup for the training-data pipeline: first
+    arrival per content hash survives; dedup state is BOUNDED by the
+    event-time watermark (dropDuplicatesWithinWatermark), so state
+    never grows past one watermark interval of distinct hashes — the
+    scale requirement batch exact_dedup (operators/dedup.py) meets by
+    being a grouped one-shot. A duplicate arriving later than the
+    watermark can re-admit its text: the standard bounded-state trade,
+    documented here rather than hidden."""
+    h = stream_docs.withColumn("_fp", F.md5(F.col(text)))
+    return h.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
+
+
 def ring_state_counts(tiled_stream: DataFrame, ttl_batches: int = 3):
     """Custom stateful op: per coarse cell, a running doc count that is
     EVICTED if the cell goes quiet (the unload rule as state TTL).

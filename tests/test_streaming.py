@@ -99,3 +99,28 @@ def test_ring_state_counts(spark, docs_dir):
     live_total = got[~got.evicted].groupby(["cell_x", "cell_y"]).n_docs.max().sum()
     evicted_total = got[got.evicted].n_docs.sum()
     assert live_total + evicted_total >= sum(bmap.values())
+
+
+def test_streaming_exact_dedup_equals_batch_survivor_set(spark, docs_dir):
+    """Streaming dedup must keep exactly one row per distinct text, and
+    the surviving TEXT set must equal the batch exact_dedup's (arrival
+    order may pick a different representative doc_id — the content set
+    is the invariant)."""
+    from optimizing_spark.operators import dedup as DD
+
+    schema = datagen.DOCS_SCHEMA
+    text = F.expr("concat_ws(' ', transform(spans, s -> s.text))")
+    stream = spark.readStream.schema(schema).parquet(docs_dir) \
+        .withColumn("text", text).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.pmod(F.xxhash64("doc_id"), F.lit(100))))
+    out = CS.streaming_exact_dedup(stream)
+    q = out.writeStream.format("memory").queryName("dedup_mem") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.table("dedup_mem").toPandas()
+
+    batch = DD.exact_dedup(
+        spark.read.parquet(docs_dir).withColumn("text", text)).toPandas()
+    assert len(got) == len(batch)  # one survivor per distinct text
+    assert set(got.text) == set(batch.text)
+    assert got.text.nunique() == len(got)  # no duplicate slipped through
