@@ -558,10 +558,14 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs (rounded cos*1000 >= 350; threshold
     sits at the ~99.9th percentile of this table's pair cosines)."""
     e = D.load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+                 SIM.norm2_col("embedding").alias("na"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+                 SIM.norm2_col("embedding").alias("nb"))
     j = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    j = j.withColumn("cos", SIM.cosine_col("ea", "eb"))
+    # norms projected below the join: identical doubles, 1 fold/pair
+    cos = F.round(SIM.dot_col("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), 6)
+    j = j.withColumn("cos", cos)
     return j.filter(F.col("cos") * 1000 >= 350).select("a", "b", "cos")
 
 

@@ -45,9 +45,14 @@ def brute_topk(
     vectors: DataFrame, probes: DataFrame, k: int,
     vec_col: str = "embedding", probe_col: str = "p_embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per probe. probes: (probe_id, p_embedding)."""
-    j = vectors.crossJoin(F.broadcast(probes))
-    j = j.withColumn("cos", cosine_col(vec_col, probe_col))
+    """Exact cosine top-k per probe. probes: (probe_id, p_embedding).
+    Norms are projected once per input row BELOW the join (identical
+    doubles — same fold — but 1 fold/pair instead of 3)."""
+    v = vectors.withColumn("_nv", norm2_col(vec_col))
+    p = probes.withColumn("_np", norm2_col(probe_col))
+    j = v.crossJoin(F.broadcast(p))
+    cos = F.round(dot_col(vec_col, probe_col) / F.sqrt(F.col("_nv") * F.col("_np")), 6)
+    j = j.withColumn("cos", cos)
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
         .select("probe_id", "vec_id", "cos", "rank")
@@ -147,9 +152,12 @@ def embedding_neardup_pairs(
     right = keyed.select(F.col("vec_id").alias("b"), "band", "h")
     pairs = left.join(right, ["band", "h"]).filter(F.col("a") < F.col("b")) \
         .select("a", "b").distinct()
-    ea = vectors.select(F.col("vec_id").alias("a"), F.col(vec_col).alias("ea"))
-    eb = vectors.select(F.col("vec_id").alias("b"), F.col(vec_col).alias("eb"))
-    cand = pairs.join(ea, "a").join(eb, "b").withColumn("cos", cosine_col("ea", "eb"))
+    ea = vectors.select(F.col("vec_id").alias("a"), F.col(vec_col).alias("ea"),
+                        norm2_col(vec_col).alias("_na"))
+    eb = vectors.select(F.col("vec_id").alias("b"), F.col(vec_col).alias("eb"),
+                        norm2_col(vec_col).alias("_nb"))
+    cos = F.round(dot_col("ea", "eb") / F.sqrt(F.col("_na") * F.col("_nb")), 6)
+    cand = pairs.join(ea, "a").join(eb, "b").withColumn("cos", cos)
     return cand.filter(F.col("cos") * 1000 >= threshold_millis).select("a", "b", "cos")
 
 
