@@ -468,6 +468,162 @@ _SQL_RAY_CIRCLE = """
 """
 
 
+def _circles(spark, sf_dir):
+    """Emissive mirror circles derived from supplier (integer centers,
+    radii and cent-scaled emission)."""
+    s = D.load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    return s.select(
+        k.alias("obj_id"),
+        ((k * 48271) % E).cast("double").alias("cx"),
+        ((k * 69621) % E).cast("double").alias("cy"),
+        ((k % 97) + 20).cast("double").alias("radius"),
+        ((k % 11)).cast("double").alias("emit"),
+    )
+
+
+_SQL_CIRCLES = f"""
+    SELECT CAST(s_suppkey AS BIGINT) AS obj_id,
+           CAST((CAST(s_suppkey AS BIGINT) * 48271) % {{E}} AS DOUBLE) AS cx,
+           CAST((CAST(s_suppkey AS BIGINT) * 69621) % {{E}} AS DOUBLE) AS cy,
+           CAST((CAST(s_suppkey AS BIGINT) % 97) + 20 AS DOUBLE) AS radius,
+           CAST(CAST(s_suppkey AS BIGINT) % 11 AS DOUBLE) AS emit
+    FROM supplier
+"""
+
+
+def q_mirror_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 SPECULAR path segment, oracle-exact: two-bounce radiance
+    over emissive mirror circles (compute_radiance's specular branch,
+    Raytracing.hpp:581-587, unrolled twice). Every step — quadratic
+    nearest hit, normal (p-c)/r, mirror reflect d-2(d.n)n, radiance
+    emit1 + 0.5*emit2 — is correctly-rounded IEEE double arithmetic in
+    a fixed evaluation order, so DuckDB reproduces it bit-for-bit. The
+    DIFFUSE/REFRACTION branches need trig + hash streams that are not
+    SQL-portable; those are certified by the NumPy replay test."""
+    from optimizing_spark.operators import raster as R
+
+    circles = _circles(spark, sf_dir)
+    k = F.col("n_nationkey").cast("long")
+    rays = D.load(spark, sf_dir, "nation").select(
+        k.alias("query_id"),
+        ((k * 104729 + 12345) % E).cast("double").alias("ox"),
+        ((k * 48271 + 54321) % E).cast("double").alias("oy"),
+    )
+    d = F.lit(1.0) / F.sqrt(F.lit(2.0))
+
+    def nearest(rdf, dx_col, dy_col):
+        t = R.ray_sphere_t(
+            (F.col("ox"), F.col("oy")), (dx_col, dy_col),
+            (F.col("cx"), F.col("cy")), F.col("radius"),
+        )
+        j = rdf.crossJoin(F.broadcast(circles)).withColumn("t", t) \
+            .filter(F.col("t").isNotNull())
+        w = Window.partitionBy("query_id").orderBy("t", "obj_id")
+        return j.withColumn("_rk", F.row_number().over(w)) \
+            .filter(F.col("_rk") <= 1).drop("_rk")
+
+    h1 = nearest(rays.withColumn("dx", d).withColumn("dy", d),
+                 F.col("dx"), F.col("dy"))
+    # hit point, outward normal, mirror reflection
+    h1 = h1.withColumns({
+        "px": F.col("ox") + F.col("dx") * F.col("t"),
+        "py": F.col("oy") + F.col("dy") * F.col("t"),
+    })
+    h1 = h1.withColumns({
+        "nx": (F.col("px") - F.col("cx")) / F.col("radius"),
+        "ny": (F.col("py") - F.col("cy")) / F.col("radius"),
+    })
+    dot = F.col("dx") * F.col("nx") + F.col("dy") * F.col("ny")
+    h1 = h1.withColumn("_dot", dot).withColumns({
+        "rdx": F.col("dx") - 2.0 * F.col("_dot") * F.col("nx"),
+        "rdy": F.col("dy") - 2.0 * F.col("_dot") * F.col("ny"),
+    })
+    seg1 = h1.select(
+        "query_id", F.col("obj_id").alias("obj1"), F.col("emit").alias("emit1"),
+        (F.col("px") + F.col("rdx") * 1e-6).alias("ox"),
+        (F.col("py") + F.col("rdy") * 1e-6).alias("oy"),
+        F.col("rdx").alias("dx"), F.col("rdy").alias("dy"),
+    )
+    h2 = nearest(seg1, F.col("dx"), F.col("dy"))
+    hit2 = h2.select(
+        "query_id", "obj1", "emit1",
+        F.col("obj_id").alias("obj2"),
+        (F.col("emit1") + 0.5 * F.col("emit")).alias("radiance"),
+    )
+    # rays whose reflection escapes the scene keep only emit1
+    miss2 = seg1.join(h2.select("query_id"), "query_id", "left_anti").select(
+        "query_id", "obj1", "emit1",
+        F.lit(None).cast("long").alias("obj2"),
+        F.col("emit1").alias("radiance"),
+    )
+    return hit2.unionByName(miss2).select("query_id", "obj1", "obj2", "radiance")
+
+
+def _mirror_bounce_sql() -> str:
+    dd = "(1.0 / sqrt(2.0))"
+    sq = "sqrt(greatest(disc, 0.0))"
+    root = (f"CASE WHEN -b - {sq} > 1e-9 THEN -b - {sq} "
+            f"WHEN -b + {sq} > 1e-9 THEN -b + {sq} END")
+    return f"""
+        WITH circles AS ({_SQL_CIRCLES.format(E=E)}), rays AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+                   CAST((CAST(n_nationkey AS BIGINT) * 104729 + 12345) % {E} AS DOUBLE) AS ox,
+                   CAST((CAST(n_nationkey AS BIGINT) * 48271 + 54321) % {E} AS DOUBLE) AS oy
+            FROM nation
+        ), q1 AS (
+            SELECT r.query_id, r.ox, r.oy, c.obj_id, c.cx, c.cy, c.radius, c.emit,
+                   ((r.ox - c.cx) * {dd} + (r.oy - c.cy) * {dd}) AS b,
+                   ((r.ox - c.cx) * (r.ox - c.cx) + (r.oy - c.cy) * (r.oy - c.cy))
+                     - c.radius * c.radius AS cc
+            FROM rays r CROSS JOIN circles c
+        ), d1 AS (SELECT *, b * b - cc AS disc FROM q1
+        ), t1 AS (
+            SELECT query_id, obj_id, cx, cy, radius, emit, ox, oy, {root} AS t
+            FROM d1 WHERE disc >= 0
+        ), h1 AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY t, obj_id) AS rk
+            FROM t1 WHERE t IS NOT NULL
+        ), s1 AS (
+            SELECT query_id, obj_id AS obj1, emit AS emit1,
+                   ox + {dd} * t AS px, oy + {dd} * t AS py, cx, cy, radius
+            FROM h1 WHERE rk = 1
+        ), n1 AS (
+            SELECT query_id, obj1, emit1, px, py,
+                   (px - cx) / radius AS nx, (py - cy) / radius AS ny
+            FROM s1
+        ), r2 AS (
+            SELECT query_id, obj1, emit1,
+                   px + ({dd} - 2.0 * ({dd} * nx + {dd} * ny) * nx) * 1e-6 AS ox,
+                   py + ({dd} - 2.0 * ({dd} * nx + {dd} * ny) * ny) * 1e-6 AS oy,
+                   {dd} - 2.0 * ({dd} * nx + {dd} * ny) * nx AS dx,
+                   {dd} - 2.0 * ({dd} * nx + {dd} * ny) * ny AS dy
+            FROM n1
+        ), q2 AS (
+            SELECT r.query_id, r.obj1, r.emit1, c.obj_id, c.emit,
+                   ((r.ox - c.cx) * r.dx + (r.oy - c.cy) * r.dy) AS b,
+                   ((r.ox - c.cx) * (r.ox - c.cx) + (r.oy - c.cy) * (r.oy - c.cy))
+                     - c.radius * c.radius AS cc
+            FROM r2 r CROSS JOIN circles c
+        ), d2 AS (SELECT *, b * b - cc AS disc FROM q2
+        ), t2 AS (
+            SELECT query_id, obj1, emit1, obj_id, emit, {root} AS t
+            FROM d2 WHERE disc >= 0
+        ), h2 AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY t, obj_id) AS rk
+            FROM t2 WHERE t IS NOT NULL
+        ), hit2 AS (
+            SELECT query_id, obj1, obj_id AS obj2, emit1 + 0.5 * emit AS radiance
+            FROM h2 WHERE rk = 1
+        )
+        SELECT query_id, obj1, obj2, radiance FROM hit2
+        UNION ALL
+        SELECT r2.query_id, r2.obj1, CAST(NULL AS BIGINT) AS obj2, r2.emit1 AS radiance
+        FROM r2 LEFT JOIN hit2 ON hit2.query_id = r2.query_id
+        WHERE hit2.query_id IS NULL
+    """
+
+
 def q_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-aggregation sanity (TPC-H Q1 shape, integer-exact sums)."""
     li = D.load(spark, sf_dir, "lineitem")
@@ -758,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rebuild": q_rebuild,
         "q_ray_box": q_ray_box,
         "q_ray_circle": q_ray_circle,
+        "q_mirror_bounce": q_mirror_bounce,
         "q_agg_wide": q_agg_wide,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
@@ -907,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
             m4=D.morton2d_sql("ix >> 11", "iy >> 11")),
         "q_ray_box": _SQL_RAY_BOX.format(objs=D.SQL_OBJECTS, E=E),
         "q_ray_circle": _SQL_RAY_CIRCLE.format(objs=D.SQL_OBJECTS, E=E),
+        "q_mirror_bounce": _mirror_bounce_sql(),
         "q_agg_wide": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
