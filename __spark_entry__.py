@@ -1133,8 +1133,11 @@ def _text_oracles() -> dict[str, str]:
         WITH sigs AS (
             SELECT doc_id, [{', '.join(sig_entries)}] AS sig FROM documents
         ), bands AS (
+            -- zero-shingle docs (all-sentinel signature) are excluded
+            -- from banding, mirroring the engine (dedup.minhash_lsh_pairs)
             SELECT doc_id, s.band AS band, s.h AS h
-            FROM (SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS s FROM sigs)
+            FROM (SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS s FROM sigs
+                  WHERE sig[1] < 2147483647)
         ), cand AS (
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h

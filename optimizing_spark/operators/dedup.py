@@ -30,8 +30,44 @@ def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
     return h.join(keep, ["_fp", key], "left_semi").drop("_fp")
 
 
-def minhash_signatures(df: DataFrame, text: str = "text", n_perms: int = 16) -> DataFrame:
-    return df.withColumn("mh_sig", TX.minhash_signature_col(text, n_perms))
+def minhash_signatures(
+    df: DataFrame, text: str = "text", n_perms: int = 16, k: int = 3
+) -> DataFrame:
+    """Signatures over word-k-gram shingles — the SAME k the exact
+    verify uses (a signature domain diverging from the verified metric
+    silently degrades recall)."""
+    return df.withColumn("mh_sig", TX.minhash_signature_col(text, n_perms, k))
+
+
+def _bucket_pairs(
+    keyed: DataFrame, bucket_cols: list[str], key: str, max_bucket_rows: int
+) -> DataFrame:
+    """Distinct in-bucket (a < b) pairs. Cold buckets (<= max_bucket_rows
+    rows) expand JVM-side from one collect_list per bucket; hot buckets
+    are routed through an equi self-join (shuffle-partitioned pair
+    expansion, no single-task array) so one skewed bucket cannot OOM an
+    executor the way an unbounded collect_list can. The hot-key set is
+    aggregated first and broadcast — it is tiny by construction (LSH
+    keeps buckets small; hot keys are the exception being guarded)."""
+    sizes = keyed.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
+    hot = sizes.filter(F.col("_bn") > max_bucket_rows).select(*bucket_cols)
+    cold = keyed.join(F.broadcast(hot), bucket_cols, "left_anti")
+    buckets = cold.groupBy(*bucket_cols) \
+        .agg(F.collect_list(key).alias("_ids")).filter(F.size("_ids") >= 2)
+    pairs_arr = F.expr("""
+        flatten(transform(sequence(0, size(_ids) - 2),
+            i -> transform(slice(_ids, i + 2, size(_ids) - i - 1),
+                 x -> struct(least(element_at(_ids, i + 1), x) as a,
+                             greatest(element_at(_ids, i + 1), x) as b))))
+    """)
+    cold_pairs = buckets.select(F.explode(pairs_arr).alias("_p")) \
+        .select("_p.a", "_p.b")
+    hot_rows = keyed.join(F.broadcast(hot), bucket_cols, "left_semi")
+    lhs = hot_rows.select(*bucket_cols, F.col(key).alias("a"))
+    rhs = hot_rows.select(*bucket_cols, F.col(key).alias("b"))
+    hot_pairs = lhs.join(rhs, bucket_cols).filter(F.col("a") < F.col("b")) \
+        .select("a", "b")
+    return cold_pairs.unionByName(hot_pairs).distinct()
 
 
 def minhash_lsh_pairs(
@@ -43,6 +79,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_num: int = 8,
     jaccard_den: int = 10,
+    max_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with exact shingle-set jaccard
     verification, expressed as integers: keep pairs with
@@ -53,7 +90,15 @@ def minhash_lsh_pairs(
     Returns (a, b, inter, uni).
     """
     rows = n_perms // bands
-    sig = minhash_signatures(df.select(key, text), text, n_perms)
+    sig = minhash_signatures(df.select(key, text), text, n_perms, k=shingle_k)
+    # Shingle-less docs (< shingle_k tokens) carry the all-sentinel
+    # signature: every one of them would land in the SAME bucket in
+    # every band (a quadratic hot bucket of unrelated tiny docs) and a
+    # pair of two such docs has inter=0, uni=0 — vacuously passing the
+    # jaccard filter. They can never legitimately reach a positive
+    # jaccard threshold, so drop them before banding. Sentinel check:
+    # any real shingle yields sig[0] < M31; shingle-less == M31.
+    sig = sig.filter(F.expr("element_at(mh_sig, 1) < 2147483647"))
     banded = sig.select(
         F.col(key),
         F.posexplode(
@@ -64,23 +109,16 @@ def minhash_lsh_pairs(
         ).alias("band", "band_sig"),
     ).withColumn("band_hash", F.expr(
         "aggregate(band_sig, cast(7 as bigint), (acc, x) -> (acc * 1048573 + x) % 2147483647)"
-    ))
+    )).drop("band_sig")
     # candidate pairs: group each (band, hash) bucket once and expand
     # in-bucket pairs JVM-side — ONE evaluation of the signature
     # pipeline and one shuffle, vs a self-join that recomputes the
     # signatures on both sides. In-bucket expansion is quadratic in
     # bucket size by construction of LSH (those pairs ARE the output);
-    # shingle-domain signatures keep buckets small.
-    buckets = banded.groupBy("band", "band_hash") \
-        .agg(F.collect_list(key).alias("_ids")).filter(F.size("_ids") >= 2)
-    pairs_arr = F.expr("""
-        flatten(transform(sequence(0, size(_ids) - 2),
-            i -> transform(slice(_ids, i + 2, size(_ids) - i - 1),
-                 x -> struct(least(element_at(_ids, i + 1), x) as a,
-                             greatest(element_at(_ids, i + 1), x) as b))))
-    """)
-    cand = buckets.select(F.explode(pairs_arr).alias("_p")) \
-        .select("_p.a", "_p.b").distinct()
+    # shingle-domain signatures keep buckets small. Buckets above
+    # max_bucket_rows are routed through an equi self-join instead of
+    # being materialized as one array in a single task (OOM guard).
+    cand = _bucket_pairs(banded, ["band", "band_hash"], key, max_bucket_rows)
     verified = ngram_jaccard(df, cand, text=text, key=key, k=shingle_k)
     return verified.filter(
         F.col("inter") * jaccard_den >= F.col("uni") * jaccard_num
@@ -118,21 +156,24 @@ def ngram_jaccard(
 
 def simhash_pairs(
     df: DataFrame, text: str = "text", key: str = "doc_id",
-    bits: int = 16, max_hamming: int = 2,
+    bits: int = 16, max_hamming: int = 2, max_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Candidate pairs whose simhash signatures differ in <= max_hamming
     bits. Small-bits variant: bucket on the signature with each single
     bit (and the identity) masked out — catches Hamming <= 2 via the
-    pigeonhole split of the bit space into (max_hamming+1) blocks."""
+    pigeonhole split of the bit space into (max_hamming+1) blocks.
+
+    Candidates come from per-bucket pair expansion (one evaluation of
+    the signature pipeline, one shuffle) with the same hot-bucket
+    self-join guard as minhash_lsh_pairs — relevant here because every
+    empty doc hashes to simhash 0 and shares one bucket (those pairs
+    ARE duplicates — identical empty texts — but the bucket must not
+    materialize as a single-task array)."""
     sig = df.select(key, TX.simhash_col(text, bits).alias("sh"))
     blocks = max_hamming + 1
     block_bits = bits // blocks
-    # bucket by each block's value; pairs agreeing on >= 1 block survive,
-    # then exact hamming verify. Candidates come from per-bucket pair
-    # expansion (one evaluation of the signature pipeline, one shuffle)
-    # — same shape as minhash_lsh_pairs.
     keyed = sig.select(
-        F.col(key), F.col("sh"),
+        F.col(key),
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {blocks - 1}), "
@@ -140,21 +181,10 @@ def simhash_pairs(
             )
         ).alias("block", "block_val"),
     )
-    buckets = keyed.groupBy("block", "block_val").agg(
-        F.collect_list(F.struct(F.col(key).alias("k"), F.col("sh").alias("s"))).alias("_m")
-    ).filter(F.size("_m") >= 2)
-    pairs_arr = F.expr("""
-        flatten(transform(sequence(0, size(_m) - 2),
-            i -> transform(slice(_m, i + 2, size(_m) - i - 1),
-                 x -> CASE WHEN element_at(_m, i + 1).k < x.k
-                      THEN struct(element_at(_m, i + 1).k AS a, element_at(_m, i + 1).s AS sha,
-                                  x.k AS b, x.s AS shb)
-                      ELSE struct(x.k AS a, x.s AS sha,
-                                  element_at(_m, i + 1).k AS b, element_at(_m, i + 1).s AS shb)
-                      END)))
-    """)
-    cand = buckets.select(F.explode(pairs_arr).alias("_p")) \
-        .select("_p.a", "_p.b", "_p.sha", "_p.shb").distinct()
+    cand = _bucket_pairs(keyed, ["block", "block_val"], key, max_bucket_rows)
+    sa = sig.select(F.col(key).alias("a"), F.col("sh").alias("sha"))
+    sb = sig.select(F.col(key).alias("b"), F.col("sh").alias("shb"))
+    j = cand.join(sa, "a").join(sb, "b")
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \
+    return j.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \
         .select("a", "b", "hamming")

