@@ -41,12 +41,55 @@ def _session(cores: int):
                      shuffle_partitions=max(cores, 16))
 
 
+HEADLINE_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _spin_small(_):
+    x = 0
+    for i in range(8_000_000):
+        x += i * i
+    return x
+
+
+def _quick_calibration(width: int) -> dict:
+    """Cheap pure-CPU probe of what this host can deliver right now:
+    one solo spin vs `width` concurrent spins. wide_efficiency ~1 on an
+    idle host; shared-host contention / downclocking pushes it down —
+    the context any recorded query time must be read against (the
+    round-2 driver bench read 2x high inside such a window)."""
+    from multiprocessing import Pool
+
+    t0 = time.time()
+    _spin_small(0)
+    solo = time.time() - t0
+    with Pool(width) as p:
+        p.map(_spin_small, range(width))  # warm the pool
+        t0 = time.time()
+        p.map(_spin_small, range(width))
+        wide = time.time() - t0
+    return {
+        "solo_sec": round(solo, 3),
+        "wide_sec": round(wide, 3),
+        "wide_efficiency": round(solo / wide, 3) if wide else None,
+    }
+
+
 def run_headline() -> dict:
+    """Each headline query runs HEADLINE_REPEATS (>=3) times; the
+    recorded per-query number is the MIN (least host-noise-perturbed
+    execution of an identical plan), with the full spread kept
+    alongside. A pure-CPU calibration before and after bounds how
+    contended the host was during the run — a single-shot bench on this
+    shared VM can read 2x high (round-2 record), so the robust minimum
+    plus the calibration evidence is what BENCH_r{N} should be read
+    from."""
     import __spark_entry__ as entry
 
+    calib_before = _quick_calibration(CPUS)
     spark = _session(CPUS)
     qs = entry.queries()
     times: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     total = 0.0
     # warm-up at the smallest sf: codegen compile, file listing, JIT —
     # measured numbers then reflect steady-state execution
@@ -57,12 +100,24 @@ def run_headline() -> dict:
             pass
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()  # count() forces full execution
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        runs = []
+        n = 0
+        for _ in range(HEADLINE_REPEATS):
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()  # count() forces full execution
+            runs.append(time.time() - t0)
+        best = min(runs)
+        times[name] = round(best, 3)
+        spreads[name] = [round(x, 3) for x in runs]
+        total += best
+        print(f"# {name}: {n} rows, min {best:.2f}s of {spreads[name]}",
+              file=sys.stderr)
+    calib_after = _quick_calibration(CPUS)
+    drift = (
+        round(abs(calib_after["wide_sec"] - calib_before["wide_sec"])
+              / calib_before["wide_sec"], 3)
+        if calib_before["wide_sec"] else None
+    )
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     return {
         "metric": "headline_queries_total_time",
@@ -70,6 +125,18 @@ def run_headline() -> dict:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "repeats": HEADLINE_REPEATS,
+        "spread": spreads,
+        "calibration": {
+            "before": calib_before,
+            "after": calib_after,
+            "wide_sec_drift": drift,
+            "host_contended": bool(
+                (drift or 0) > 0.3
+                or min(calib_before["wide_efficiency"] or 1,
+                       calib_after["wide_efficiency"] or 1) < 0.35
+            ),
+        },
     }
 
 

@@ -155,6 +155,7 @@ def knn_join(
     k: int,
     oversample: int = 8,
     checkpoint: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact kNN (queries: query_id, x, y; objects: obj_id, x, y).
 
@@ -215,7 +216,14 @@ def knn_join(
                 F.greatest(F.lit(0), F.col("qcy") - F.col("_r")),
                 F.least(F.lit(n - 1), F.col("qcy") + F.col("_r")))))
         )
-        c = qq.join(o, ["cell_x", "cell_y"])
+        # broadcast_queries=True (the reference workload: a handful of
+        # viewport/player queries vs a huge object table): the exploded
+        # query-ring side broadcasts and objects STREAM through a
+        # BroadcastHashJoin — zero shuffle of the big side. With query
+        # sets too large to broadcast, set False for the shuffle
+        # equi-join on cell keys.
+        c = (F.broadcast(qq) if broadcast_queries else qq) \
+            .join(o, ["cell_x", "cell_y"])
         ddx = F.col("ox") - F.col("qx")
         ddy = F.col("oy") - F.col("qy")
         return c.select(
@@ -247,8 +255,13 @@ def knn_join(
     )
     if checkpoint:
         stats = stats.localCheckpoint()
+    # Exact disc-cover bound: a point within Euclid distance d of the
+    # query lies in a cell whose per-axis index differs by at most
+    # floor(d / cell_axis) + 1 (the +1 absorbs the query's intra-cell
+    # offset). floor, NOT ceil+1: the looser form can never be <= r0=1,
+    # which silently forced the second ring join for EVERY query.
     bnd = F.least(
-        F.lit(n), (F.ceil(F.sqrt(F.col("_dk2")) / F.lit(cellw)) + 1).cast("int")
+        F.lit(n), (F.floor(F.sqrt(F.col("_dk2")) / F.lit(cellw)) + 1).cast("int")
     )
     sat = (F.col("_cnt") >= k)
 
@@ -292,13 +305,33 @@ def knn_join(
     rq = rq.withColumn(
         "_rg",
         F.least(F.lit(n),
-                (F.ceil((F.col("_rq") + 1) * F.lit(diag)) + 1).cast("int")),
+                (F.floor((F.col("_rq") + 1) * F.lit(diag)) + 1).cast("int")),
     ).drop("_rq")
     starved_cand = ring_candidates(rq, F.col("_rg")).drop("_rg")
     starved_out = starved_cand.withColumn("rank", F.row_number().over(wk)) \
         .filter(F.col("rank") <= k).select("query_id", "obj_id", "d2", "rank")
 
-    return fast.unionByName(redo).unionByName(starved_out)
+    if not checkpoint:
+        return fast.unionByName(redo).unionByName(starved_out)
+
+    # Runtime branch pruning on the materialized stats — the same
+    # empty-relation propagation AQE applies inside a stage, extended
+    # across the checkpoint boundary AQE cannot see: one tiny job over
+    # the checkpointed candidates decides whether the redo / starved
+    # branches exist at all. In the common (near-uniform density) case
+    # both counts are 0 and the returned plan makes ZERO further passes
+    # over the object table (no occupied-cell summary, no second ring).
+    flags = stats.filter(F.col("_rk") == 1).agg(
+        F.coalesce(F.sum(F.when(sat & (bnd > F.col("_r0")), 1)), F.lit(0))
+        .alias("n_redo"),
+        F.coalesce(F.sum(F.when(sat, 1)), F.lit(0)).alias("n_sat"),
+    ).collect()[0]
+    out = fast
+    if flags["n_redo"] > 0:
+        out = out.unionByName(redo)
+    if queries.count() - flags["n_sat"] > 0:
+        out = out.unionByName(starved_out)
+    return out
 
 
 def nearest_hit_xy(queries: DataFrame, objects: DataFrame) -> DataFrame:
