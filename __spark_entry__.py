@@ -624,6 +624,185 @@ def _mirror_bounce_sql() -> str:
     """
 
 
+_MIRROR_DEPTH = 5  # reference recursion cap (Raytracing.hpp:692)
+_MIRROR_REGION = 4096  # dense-corridor edge: ~20% circle coverage, so
+#                        rays chain multiple specular segments and the
+#                        depth cap is actually exercised at sf0.01
+
+
+def _circles_dense(spark, sf_dir):
+    """Mirror circles packed into a [0, _MIRROR_REGION)^2 corridor —
+    dense enough that reflected rays keep hitting (the depth-cap test
+    scene; the sparse world of _circles dies at segment 1)."""
+    s = D.load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    return s.select(
+        k.alias("obj_id"),
+        ((k * 48271) % _MIRROR_REGION).cast("double").alias("cx"),
+        ((k * 69621) % _MIRROR_REGION).cast("double").alias("cy"),
+        ((k % 97) + 60).cast("double").alias("radius"),
+        ((k % 11)).cast("double").alias("emit"),
+    )
+
+
+_SQL_CIRCLES_DENSE = f"""
+    SELECT CAST(s_suppkey AS BIGINT) AS obj_id,
+           CAST((CAST(s_suppkey AS BIGINT) * 48271) % {_MIRROR_REGION} AS DOUBLE) AS cx,
+           CAST((CAST(s_suppkey AS BIGINT) * 69621) % {_MIRROR_REGION} AS DOUBLE) AS cy,
+           CAST((CAST(s_suppkey AS BIGINT) % 97) + 60 AS DOUBLE) AS radius,
+           CAST(CAST(s_suppkey AS BIGINT) % 11 AS DOUBLE) AS emit
+    FROM supplier
+"""
+
+
+def q_mirror_depth5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 SPECULAR chain at the reference's FULL depth cap 5
+    (compute_radiance specular branch Raytracing.hpp:581-587 recursing
+    to the depth cap :692), unrolled: each segment is a nearest-hit
+    quadratic + mirror reflect; a ray dies when it escapes or after 5
+    hits. radiance = sum over hit segments of 0.5^(i-1) * emit_i —
+    emissions are INTEGERS and the weights are powers of two, so the
+    accumulation is exact dyadic arithmetic (no rounding, any order),
+    and every geometric step is correctly-rounded IEEE double in a
+    fixed expression order — DuckDB reproduces all five segments
+    bit-for-bit. Output: (query_id, n_hits, last_obj, radiance); rays
+    missing everything at segment 1 produce no row (raycast false)."""
+    from optimizing_spark.operators import raster as R
+
+    circles = _circles_dense(spark, sf_dir)
+    k = F.col("n_nationkey").cast("long")
+    d = F.lit(1.0) / F.sqrt(F.lit(2.0))
+    state = D.load(spark, sf_dir, "nation").select(
+        k.alias("query_id"),
+        ((k * 104729 + 12345) % _MIRROR_REGION).cast("double").alias("ox"),
+        ((k * 48271 + 54321) % _MIRROR_REGION).cast("double").alias("oy"),
+    ).withColumn("dx", d).withColumn("dy", d) \
+     .withColumn("acc", F.lit(0.0)) \
+     .withColumn("last_obj", F.lit(None).cast("long"))
+
+    def nearest(rdf):
+        t = R.ray_sphere_t(
+            (F.col("ox"), F.col("oy")), (F.col("dx"), F.col("dy")),
+            (F.col("cx"), F.col("cy")), F.col("radius"),
+        )
+        j = rdf.crossJoin(F.broadcast(circles)).withColumn("t", t) \
+            .filter(F.col("t").isNotNull())
+        w = Window.partitionBy("query_id").orderBy("t", "obj_id")
+        return j.withColumn("_rk", F.row_number().over(w)) \
+            .filter(F.col("_rk") <= 1).drop("_rk")
+
+    outs = []
+    for i in range(1, _MIRROR_DEPTH + 1):
+        h = nearest(state).withColumn(
+            "acc", F.col("acc") + F.lit(0.5 ** (i - 1)) * F.col("emit"))
+        if i > 1:
+            miss = state.join(h.select("query_id"), "query_id", "left_anti")
+            outs.append(miss.select(
+                "query_id", F.lit(i - 1).alias("n_hits"), "last_obj",
+                F.col("acc").alias("radiance")))
+        if i < _MIRROR_DEPTH:
+            h = h.withColumns({
+                "px": F.col("ox") + F.col("dx") * F.col("t"),
+                "py": F.col("oy") + F.col("dy") * F.col("t"),
+            })
+            h = h.withColumns({
+                "nx": (F.col("px") - F.col("cx")) / F.col("radius"),
+                "ny": (F.col("py") - F.col("cy")) / F.col("radius"),
+            })
+            dot = F.col("dx") * F.col("nx") + F.col("dy") * F.col("ny")
+            h = h.withColumn("_dot", dot).withColumns({
+                "rdx": F.col("dx") - 2.0 * F.col("_dot") * F.col("nx"),
+                "rdy": F.col("dy") - 2.0 * F.col("_dot") * F.col("ny"),
+            })
+            state = h.select(
+                "query_id",
+                (F.col("px") + F.col("rdx") * 1e-6).alias("ox"),
+                (F.col("py") + F.col("rdy") * 1e-6).alias("oy"),
+                F.col("rdx").alias("dx"), F.col("rdy").alias("dy"),
+                "acc", F.col("obj_id").alias("last_obj"),
+            )
+        else:
+            outs.append(h.select(
+                "query_id", F.lit(_MIRROR_DEPTH).alias("n_hits"),
+                F.col("obj_id").alias("last_obj"),
+                F.col("acc").alias("radiance")))
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _mirror_depth5_sql(depth: int = _MIRROR_DEPTH) -> str:
+    """DuckDB twin of q_mirror_depth5: the same five unrolled segments
+    as CTE chains, expression-order-identical to the Spark columns."""
+    dd = "(1.0 / sqrt(2.0))"
+    sq = "sqrt(greatest(disc, 0.0))"
+    root = (f"CASE WHEN -b - {sq} > 1e-9 THEN -b - {sq} "
+            f"WHEN -b + {sq} > 1e-9 THEN -b + {sq} END")
+    ctes = [f"circles AS ({_SQL_CIRCLES_DENSE})", f"""st1 AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+               CAST((CAST(n_nationkey AS BIGINT) * 104729 + 12345) % {_MIRROR_REGION} AS DOUBLE) AS ox,
+               CAST((CAST(n_nationkey AS BIGINT) * 48271 + 54321) % {_MIRROR_REGION} AS DOUBLE) AS oy,
+               {dd} AS dx, {dd} AS dy, 0.0 AS acc, CAST(NULL AS BIGINT) AS last_obj
+        FROM nation)"""]
+    outs = []
+    for i in range(1, depth + 1):
+        w = repr(0.5 ** (i - 1))
+        ctes.append(f"""q{i} AS (
+            SELECT s.query_id, s.ox, s.oy, s.dx, s.dy, s.acc, s.last_obj,
+                   c.obj_id, c.cx, c.cy, c.radius, c.emit,
+                   ((s.ox - c.cx) * s.dx + (s.oy - c.cy) * s.dy) AS b,
+                   ((s.ox - c.cx) * (s.ox - c.cx) + (s.oy - c.cy) * (s.oy - c.cy))
+                     - c.radius * c.radius AS cc
+            FROM st{i} s CROSS JOIN circles c)""")
+        ctes.append(f"d{i} AS (SELECT *, b * b - cc AS disc FROM q{i})")
+        ctes.append(f"""t{i} AS (
+            SELECT query_id, ox, oy, dx, dy, last_obj, obj_id, cx, cy, radius,
+                   acc, emit, {root} AS t
+            FROM d{i} WHERE disc >= 0)""")
+        ctes.append(f"""h{i} AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY t, obj_id) AS rk
+            FROM t{i} WHERE t IS NOT NULL)""")
+        ctes.append(f"""g{i} AS (
+            SELECT query_id, ox, oy, dx, dy, obj_id, cx, cy, radius, t,
+                   acc + {w} * emit AS acc
+            FROM h{i} WHERE rk = 1)""")
+        if i > 1:
+            outs.append(f"""
+            SELECT s.query_id, CAST({i - 1} AS INTEGER) AS n_hits,
+                   s.last_obj, s.acc AS radiance
+            FROM st{i} s LEFT JOIN g{i} g ON g.query_id = s.query_id
+            WHERE g.query_id IS NULL""")
+        if i < depth:
+            ctes.append(f"""p{i} AS (
+                SELECT query_id, dx, dy, obj_id, cx, cy, radius, acc,
+                       ox + dx * t AS px, oy + dy * t AS py
+                FROM g{i})""")
+            ctes.append(f"""n{i} AS (
+                SELECT query_id, dx, dy, obj_id, acc, px, py,
+                       (px - cx) / radius AS nx, (py - cy) / radius AS ny
+                FROM p{i})""")
+            ctes.append(f"""rf{i} AS (
+                SELECT query_id, dx, dy, obj_id, acc, px, py, nx, ny,
+                       dx * nx + dy * ny AS dt
+                FROM n{i})""")
+            ctes.append(f"""st{i + 1} AS (
+                SELECT query_id,
+                       px + (dx - 2.0 * dt * nx) * 1e-6 AS ox,
+                       py + (dy - 2.0 * dt * ny) * 1e-6 AS oy,
+                       dx - 2.0 * dt * nx AS dx,
+                       dy - 2.0 * dt * ny AS dy,
+                       acc, obj_id AS last_obj
+                FROM rf{i})""")
+        else:
+            outs.append(f"""
+            SELECT query_id, CAST({depth} AS INTEGER) AS n_hits,
+                   obj_id AS last_obj, acc AS radiance
+            FROM g{i}""")
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + \
+        "\nUNION ALL".join(outs) + ")"
+
+
 def q_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-aggregation sanity (TPC-H Q1 shape, integer-exact sums)."""
     li = D.load(spark, sf_dir, "lineitem")
@@ -915,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ray_box": q_ray_box,
         "q_ray_circle": q_ray_circle,
         "q_mirror_bounce": q_mirror_bounce,
+        "q_mirror_depth5": q_mirror_depth5,
         "q_agg_wide": q_agg_wide,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
@@ -1065,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ray_box": _SQL_RAY_BOX.format(objs=D.SQL_OBJECTS, E=E),
         "q_ray_circle": _SQL_RAY_CIRCLE.format(objs=D.SQL_OBJECTS, E=E),
         "q_mirror_bounce": _mirror_bounce_sql(),
+        "q_mirror_depth5": _mirror_depth5_sql(),
         "q_agg_wide": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
