@@ -333,6 +333,9 @@ def run_lshstats() -> dict:
         "n_vectors": n_vec,
         "bands": per_band,
         "max_bucket_frac": round(mx / n_vec, 4),
+        # lsh_topk shares these exact band/plane streams since round 3,
+        # so this histogram bounds ITS per-key fan-out too
+        "operators_covered": ["embedding_neardup_pairs", "lsh_topk"],
     }
 
 

@@ -91,30 +91,59 @@ def make_planes(
 
 def lsh_topk(
     vectors: DataFrame, probes: DataFrame, k: int, dim: int,
-    n_planes: int = 8, vec_col: str = "embedding", probe_col: str = "p_embedding",
+    n_planes: int = 8, n_bands: int = 4,
+    vec_col: str = "embedding", probe_col: str = "p_embedding",
     multiprobe: bool = True,
 ) -> DataFrame:
-    """ANN top-k: score only candidates in the probe's LSH bucket
-    (plus flip-1-bit neighbor buckets when multiprobe). Approximate —
-    validated against brute_topk recall in tests. Probes whose buckets
-    hold fewer than k candidates fall back to exact brute_topk (an
-    anti-join drives the fallback, so it costs nothing when buckets are
-    full — at scale the fallback set is a tiny fraction of probes)."""
-    planes = make_planes(dim, n_planes)
-    v = vectors.withColumn("sig", _rh_signature(vec_col, planes))
-    p = probes.withColumn("sig0", _rh_signature(probe_col, planes))
+    """ANN top-k with BANDED random-hyperplane LSH — the same
+    OR-of-ANDs construction (and the same deterministic plane streams)
+    as embedding_neardup_pairs, so band_bucket_stats dashboards both
+    operators: a candidate shares at least one full band bucket with
+    the probe, with flip-1-bit multiprobe within every band. The
+    round-2 single-signature shape kept a hot-bucket exposure on
+    correlated embeddings; banding bounds per-band bucket fan-out while
+    n_bands independent chances to collide raise recall.
+
+    Plan (100 TB): key-only explode -> equi join per (band, h) ->
+    DISTINCT (probe, vec) candidates -> re-join embeddings for the
+    exact cosine scoring -> window top-k. Probes whose candidate sets
+    hold < k rows fall back to exact brute_topk via an anti-join (free
+    when buckets are full)."""
+    v = vectors.select("vec_id", vec_col)
+    p = probes.select("probe_id", probe_col)
+    for b in range(n_bands):
+        planes = make_planes(dim, n_planes, base_stream=1000 + b * n_planes)
+        v = v.withColumn(f"_sig{b}", _rh_signature(vec_col, planes))
+        p = p.withColumn(f"_sig{b}", _rh_signature(probe_col, planes))
+    vbands = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"_sig{b}").alias("h"))
+        for b in range(n_bands)
+    ])
+    vk = v.select("vec_id", F.explode(vbands).alias("_b")) \
+        .select("vec_id", "_b.band", "_b.h")
     if multiprobe:
-        sigs = F.array(
-            F.col("sig0"), *[F.col("sig0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-        )
-        p = p.withColumn("sig", F.explode(sigs))
+        probe_sigs = [
+            (b, hcol) for b in range(n_bands)
+            for hcol in [F.col(f"_sig{b}")]
+            + [F.col(f"_sig{b}").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        ]
     else:
-        p = p.withColumn("sig", F.col("sig0"))
-    j = p.join(v, "sig").withColumn("cos", cosine_col(vec_col, probe_col))
+        probe_sigs = [(b, F.col(f"_sig{b}")) for b in range(n_bands)]
+    pbands = F.array(*[
+        F.struct(F.lit(b).alias("band"), hcol.alias("h")) for b, hcol in probe_sigs
+    ])
+    pk = p.select("probe_id", F.explode(pbands).alias("_b")) \
+        .select("probe_id", "_b.band", "_b.h")
+    cand = pk.join(vk, ["band", "h"]).select("probe_id", "vec_id").distinct()
+    vemb = vectors.select("vec_id", vec_col, norm2_col(vec_col).alias("_nv"))
+    pemb = probes.select("probe_id", probe_col, norm2_col(probe_col).alias("_np"))
+    j = cand.join(vemb, "vec_id").join(pemb, "probe_id")
+    cos = F.round(dot_col(vec_col, probe_col) / F.sqrt(F.col("_nv") * F.col("_np")), 6)
+    j = j.withColumn("cos", cos)
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     hit = j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
         .select("probe_id", "vec_id", "cos", "rank")
-    # fallback: probes with < k bucket hits get the exact answer
+    # fallback: probes with < k candidates get the exact answer
     full = hit.groupBy("probe_id").agg(F.count("*").alias("_n")) \
         .filter(F.col("_n") >= k).select("probe_id")
     starved = probes.join(full, "probe_id", "left_anti")

@@ -124,3 +124,25 @@ def test_embedding_neardup_pairs(spark, vec_df):
     for a, b in got:
         cos = float(m[a] @ m[b] / (norms[a] * norms[b]))
         assert round(cos, 6) >= 0.990
+
+
+def test_lsh_topk_banding_recall_not_worse(spark, vec_df):
+    """The banded OR-of-ANDs top-k (round-3 shape) must recall at least
+    as much as the round-2 single-signature shape (n_bands=1) on the
+    same vectors — banding adds independent chances to collide."""
+    m = _vectors()
+    probes = list(range(0, 50, 5))
+    k = 5
+    want = _topk_oracle(m, probes, k)
+
+    def recall(n_bands):
+        got = SIM.lsh_topk(vec_df, _probes_df(spark, m, probes), k=k,
+                           dim=DIM, n_planes=8, n_bands=n_bands).toPandas()
+        hits = total = 0
+        for pi in probes:
+            g = set(got[got.probe_id == pi].vec_id.tolist())
+            hits += len(g & set(want[pi]))
+            total += len(want[pi])
+        return hits / total
+
+    assert recall(4) >= recall(1)
