@@ -339,6 +339,68 @@ def run_lshstats() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """Hot-cell A/B (SURVEY §4 skew hook): a fact table with 30% of
+    rows in ONE qt_code joins a per-cell dim three ways — (a) raw key,
+    AQE skew-join off: one straggler task owns the hot cell; (b) the
+    refine_hot_cells salted key (dim exploded x salt): load spread
+    evenly; (c) raw key with AQE skew-join on: the runtime backstop.
+    Broadcast is disabled so the shuffle join's skew is actually
+    exercised (at 100 TB the dim side isn't always broadcastable)."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.plans import pipeline
+
+    n = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "8000000"))
+    hot_code, salt_buckets = 77, 32
+    spark = _session(CPUS)
+    conf = spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    fact = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(4).alias("qt_depth"),
+        F.when(F.col("id") < int(n * 0.3), F.lit(hot_code))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(256))).alias("qt_code"),
+        F.pmod(F.col("id") * 7919, F.lit(1 << 16)).alias("w"),
+    ).localCheckpoint()
+    salted_fact = pipeline.refine_hot_cells(
+        fact, max_rows_per_cell=n // 50, salt_buckets=salt_buckets
+    ).localCheckpoint()
+    dim = spark.range(256).select(
+        F.lit(4).alias("qt_depth"), F.col("id").alias("qt_code"),
+        (F.col("id") * 3).alias("cell_meta")).localCheckpoint()
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).localCheckpoint()
+
+    def timed(df) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            df.agg(F.sum(F.col("w") + F.col("cell_meta"))).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    t_unsalted = timed(fact.join(dim, ["qt_depth", "qt_code"]))
+    t_salted = timed(
+        salted_fact.join(dim_salted, ["qt_depth", "qt_code", "salt"]))
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    t_aqe = timed(fact.join(dim, ["qt_depth", "qt_code"]))
+    return {
+        "metric": "skew_salted_speedup",
+        "value": round(t_unsalted / t_salted, 2),
+        "unit": "x",
+        "rows": n,
+        "hot_frac": 0.3,
+        "salt_buckets": salt_buckets,
+        "unsalted_sec": t_unsalted,
+        "salted_sec": t_salted,
+        "aqe_skewjoin_sec": t_aqe,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -346,5 +408,7 @@ if __name__ == "__main__":
         print(json.dumps(run_refscale()))
     elif "--lshstats" in sys.argv:
         print(json.dumps(run_lshstats()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_headline()))
