@@ -66,9 +66,13 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
 
 
-def ring_state_counts(tiled_stream: DataFrame, ttl_batches: int = 3):
+def ring_state_counts(
+    tiled_stream: DataFrame, ttl_batches: int = 3, ttl_ms: int | None = None
+):
     """Custom stateful op: per coarse cell, a running doc count that is
     EVICTED if the cell goes quiet (the unload rule as state TTL).
+    ``ttl_ms`` overrides the default ttl_batches * 10 s wall-clock
+    timeout (tests use a short TTL to observe real evictions).
 
     Returns (func, schema pair) usable with applyInPandasWithState on
     groupBy(cell). Kept as a builder so batch tests can also exercise
@@ -94,7 +98,8 @@ def ring_state_counts(tiled_stream: DataFrame, ttl_batches: int = 3):
         n, quiet = state.get if state.exists else (0, 0)
         n += n_new
         state.update((n, 0 if n_new else quiet + 1))
-        state.setTimeoutDuration(ttl_batches * 10_000)
+        state.setTimeoutDuration(ttl_ms if ttl_ms is not None
+                                 else ttl_batches * 10_000)
         yield pd.DataFrame(
             {"cell_x": [key[0]], "cell_y": [key[1]], "n_docs": [n], "evicted": [False]}
         )

@@ -124,3 +124,56 @@ def test_streaming_exact_dedup_equals_batch_survivor_set(spark, docs_dir):
     assert len(got) == len(batch)  # one survivor per distinct text
     assert set(got.text) == set(batch.text)
     assert got.text.nunique() == len(got)  # no duplicate slipped through
+
+
+def test_ring_state_ttl_eviction_fires(spark, tmp_path):
+    """Drive ring_state_counts through a REAL ProcessingTime trigger
+    sequence (not availableNow): a cell that goes quiet past its TTL
+    must produce an evicted=True row from the timeout path
+    (state.hasTimedOut -> remove) in a later micro-batch — the unload
+    rule (WorldPartition.hpp:206-212) under wall-clock timeouts."""
+    import time
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = str(tmp_path / "ttl_src")
+
+    def feed(cx, cy, n):
+        spark.createDataFrame(
+            [(cx, cy, i) for i in range(n)], "cell_x int, cell_y int, doc_id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    feed(1, 1, 5)  # the cell that will go quiet
+    stream = spark.readStream.schema(
+        "cell_x int, cell_y int, doc_id long").parquet(src)
+    fn, out_schema, state_schema = CS.ring_state_counts(stream, ttl_ms=3000)
+    res = stream.groupBy("cell_x", "cell_y").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.ProcessingTimeTimeout)
+    q = res.writeStream.format("memory").queryName("ttl_mem") \
+        .outputMode("update").trigger(processingTime="1 second").start()
+    try:
+        evicted = None
+        deadline = time.time() + 90
+        beat = 0
+        while time.time() < deadline:
+            time.sleep(2)
+            beat += 1
+            feed(2, 2, 1)  # heartbeat traffic on ANOTHER cell only
+            got = spark.table("ttl_mem").toPandas()
+            ev = got[(got.cell_x == 1) & (got.cell_y == 1) & got.evicted]
+            if len(ev):
+                evicted = ev
+                break
+        assert evicted is not None, "TTL eviction never fired"
+        # the eviction row reports the full count the cell had loaded
+        assert evicted.n_docs.iloc[0] == 5
+        got = spark.table("ttl_mem").toPandas()
+        # the quiet cell was updated (non-evicted) before the eviction
+        pre = got[(got.cell_x == 1) & (got.cell_y == 1) & ~got.evicted]
+        assert len(pre) >= 1 and (pre.n_docs == 5).all()
+        # the live cell kept accumulating, never evicted mid-traffic
+        live = got[(got.cell_x == 2) & (got.cell_y == 2)]
+        assert len(live) >= 1 and not live.evicted.any()
+    finally:
+        q.stop()
