@@ -181,3 +181,43 @@ def test_knn_pathological_skew_exact_no_bnlj(spark):
         .groupby("query_id").obj_id.apply(list)
     for qid in range(30):
         assert [int(v) for v in got_lists[qid]] == want[qid], f"query {qid}"
+
+
+def test_knn_lazy_mode_matches_oracle(spark):
+    """checkpoint=False keeps knn_join a single fully-lazy plan (no
+    driver actions — the shape streaming/compose-into-bigger-plan
+    callers need); it must stay exact, including its un-pruned starved
+    branch."""
+    k = 4
+    objs = datagen.spark_table(spark, "quadtree_objects", 1500, partitions=4)
+    qpdf = datagen.quadtree_objects_pandas(40, seed=13)[["obj_id", "x", "y"]] \
+        .rename(columns={"obj_id": "query_id"})
+    qs = spark.createDataFrame(qpdf)
+    got = joins.knn_join(qs, objs, QT_BENCH_WORLD, depth=5, k=k,
+                         checkpoint=False).toPandas()
+    opdf = datagen.quadtree_objects_pandas(1500)
+    want = oracle.knn_oracle(
+        qpdf.x.to_numpy(), qpdf.y.to_numpy(),
+        opdf.x.to_numpy(), opdf.y.to_numpy(), opdf.obj_id.to_numpy(), k)
+    got_lists = got.sort_values(["query_id", "rank"]) \
+        .groupby("query_id").obj_id.apply(list)
+    for qid in range(40):
+        assert [int(v) for v in got_lists[qid]] == want[qid], f"query {qid}"
+
+
+def test_knn_empty_objects_graceful(spark):
+    """kNN against an empty object table must return an empty result,
+    not raise (the unguarded density division used to overflow at
+    F.ceil under ANSI mode)."""
+    import pandas as pd
+
+    objs = spark.createDataFrame(
+        pd.DataFrame({"obj_id": [], "x": [], "y": []}),
+        "obj_id long, x double, y double")
+    qpdf = datagen.quadtree_objects_pandas(5, seed=2)[["obj_id", "x", "y"]] \
+        .rename(columns={"obj_id": "query_id"})
+    qs = spark.createDataFrame(qpdf)
+    for cp in (True, False):
+        got = joins.knn_join(qs, objs, QT_BENCH_WORLD, depth=5, k=3,
+                             checkpoint=cp)
+        assert got.count() == 0
