@@ -159,7 +159,10 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj_id", F.col("ix").alias("x"), F.col("iy").alias("y"))
     q = D.knn_queries(spark, sf_dir).select(
         "query_id", F.col("qx").alias("x"), F.col("qy").alias("y"))
-    return J.knn_join(q, o, POW2_WORLD_2D, depth=6, k=5)
+    # 25 viewport-style queries vs the full object table: the explicit
+    # broadcast opt-in streams the objects with zero big-side shuffle
+    return J.knn_join(q, o, POW2_WORLD_2D, depth=6, k=5,
+                      broadcast_queries=True)
 
 
 def q_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:

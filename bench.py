@@ -41,7 +41,7 @@ def _session(cores: int):
                      shuffle_partitions=max(cores, 16))
 
 
-HEADLINE_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+HEADLINE_REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 
 def _spin_small(_):

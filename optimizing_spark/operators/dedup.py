@@ -159,9 +159,12 @@ def simhash_pairs(
     bits: int = 16, max_hamming: int = 2, max_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Candidate pairs whose simhash signatures differ in <= max_hamming
-    bits. Small-bits variant: bucket on the signature with each single
-    bit (and the identity) masked out — catches Hamming <= 2 via the
-    pigeonhole split of the bit space into (max_hamming+1) blocks.
+    bits, via the pigeonhole split: the bit space divides into
+    (max_hamming+1) contiguous blocks of bits // (max_hamming+1) bits,
+    and two signatures within max_hamming Hamming distance must agree
+    on at least one whole block — so bucketing on each block's value
+    catches every qualifying pair, then the exact Hamming filter
+    verifies.
 
     Candidates come from per-bucket pair expansion (one evaluation of
     the signature pipeline, one shuffle) with the same hot-bucket

@@ -11,9 +11,11 @@
   unique cell containing the overlap region's min corner).
 - ``knn_join``: O17/O22 — cell-local kNN: ring-expansion candidate
   generation (the 3x3 load ring of WorldPartition::update,
-  hpp:198-204) with driver-side escalation for starved queries, then a
-  correctness pass bounded by the k-th candidate distance, then
-  row_number() top-k. Provably exact, no cross join.
+  hpp:198-204), a fast path when the k-th-distance disc provably fits
+  the searched ring, a bound pass otherwise, and a plan-side starved
+  path whose per-query radius comes from a broadcast occupied-cell
+  summary (no driver loop, no nested-loop join over the objects).
+  Provably exact; checkpoint mode prunes empty branches at runtime.
 - ``ring_semi_join``: O17 — objects residing in the Chebyshev-<=k ring
   of each query's cell.
 - ``nearest_hit``: O22 — argmin join via min_by (k=1 fast path).
@@ -155,7 +157,7 @@ def knn_join(
     k: int,
     oversample: int = 8,
     checkpoint: bool = True,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Exact kNN (queries: query_id, x, y; objects: obj_id, x, y).
 
@@ -216,12 +218,14 @@ def knn_join(
                 F.greatest(F.lit(0), F.col("qcy") - F.col("_r")),
                 F.least(F.lit(n - 1), F.col("qcy") + F.col("_r")))))
         )
-        # broadcast_queries=True (the reference workload: a handful of
-        # viewport/player queries vs a huge object table): the exploded
-        # query-ring side broadcasts and objects STREAM through a
-        # BroadcastHashJoin — zero shuffle of the big side. With query
-        # sets too large to broadcast, set False for the shuffle
-        # equi-join on cell keys.
+        # broadcast_queries=True is the fast path for the reference
+        # workload (a handful of viewport/player queries vs a huge
+        # object table): the exploded query-ring side broadcasts and
+        # objects STREAM through a BroadcastHashJoin — zero shuffle of
+        # the big side. It is an explicit opt-in, NOT the default: the
+        # hint bypasses autoBroadcastJoinThreshold, and a large query
+        # set exploded x (2r+1)^2 ring cells would OOM the driver
+        # where the default shuffle equi-join on cell keys is safe.
         c = (F.broadcast(qq) if broadcast_queries else qq) \
             .join(o, ["cell_x", "cell_y"])
         ddx = F.col("ox") - F.col("qx")
@@ -329,7 +333,11 @@ def knn_join(
     out = fast
     if flags["n_redo"] > 0:
         out = out.unionByName(redo)
-    if queries.count() - flags["n_sat"] > 0:
+    # starved probe: one anti-join against the checkpointed sat set —
+    # exact under duplicate query ids and never re-executes anything
+    # beyond the queries scan itself (a queries.count() comparison
+    # would miscount duplicates and pay the same scan anyway)
+    if not starved.isEmpty():
         out = out.unionByName(starved_out)
     return out
 

@@ -89,6 +89,35 @@ def make_planes(
     return out
 
 
+def _banded_keys(
+    df: DataFrame, id_col: str, vec_col: str, dim: int,
+    n_planes: int, n_bands: int, multiprobe: bool = False,
+) -> DataFrame:
+    """(id, band, h) keys of the banded random-hyperplane index — the
+    ONE definition of the plane streams (band b draws from base_stream
+    1000 + b*n_planes) shared by lsh_topk, embedding_neardup_pairs and
+    band_bucket_stats, so the bucket-stats dashboard provably describes
+    the operators' actual buckets. multiprobe additionally emits every
+    flip-1-bit neighbor signature per band (probe side of top-k)."""
+    v = df
+    for b in range(n_bands):
+        planes = make_planes(dim, n_planes, base_stream=1000 + b * n_planes)
+        v = v.withColumn(f"_sig{b}", _rh_signature(vec_col, planes))
+    if multiprobe:
+        entries = [
+            (b, hcol) for b in range(n_bands)
+            for hcol in [F.col(f"_sig{b}")]
+            + [F.col(f"_sig{b}").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        ]
+    else:
+        entries = [(b, F.col(f"_sig{b}")) for b in range(n_bands)]
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"), hcol.alias("h")) for b, hcol in entries
+    ])
+    return v.select(id_col, F.explode(bands).alias("_b")) \
+        .select(id_col, "_b.band", "_b.h")
+
+
 def lsh_topk(
     vectors: DataFrame, probes: DataFrame, k: int, dim: int,
     n_planes: int = 8, n_bands: int = 4,
@@ -109,31 +138,10 @@ def lsh_topk(
     exact cosine scoring -> window top-k. Probes whose candidate sets
     hold < k rows fall back to exact brute_topk via an anti-join (free
     when buckets are full)."""
-    v = vectors.select("vec_id", vec_col)
-    p = probes.select("probe_id", probe_col)
-    for b in range(n_bands):
-        planes = make_planes(dim, n_planes, base_stream=1000 + b * n_planes)
-        v = v.withColumn(f"_sig{b}", _rh_signature(vec_col, planes))
-        p = p.withColumn(f"_sig{b}", _rh_signature(probe_col, planes))
-    vbands = F.array(*[
-        F.struct(F.lit(b).alias("band"), F.col(f"_sig{b}").alias("h"))
-        for b in range(n_bands)
-    ])
-    vk = v.select("vec_id", F.explode(vbands).alias("_b")) \
-        .select("vec_id", "_b.band", "_b.h")
-    if multiprobe:
-        probe_sigs = [
-            (b, hcol) for b in range(n_bands)
-            for hcol in [F.col(f"_sig{b}")]
-            + [F.col(f"_sig{b}").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-        ]
-    else:
-        probe_sigs = [(b, F.col(f"_sig{b}")) for b in range(n_bands)]
-    pbands = F.array(*[
-        F.struct(F.lit(b).alias("band"), hcol.alias("h")) for b, hcol in probe_sigs
-    ])
-    pk = p.select("probe_id", F.explode(pbands).alias("_b")) \
-        .select("probe_id", "_b.band", "_b.h")
+    vk = _banded_keys(vectors.select("vec_id", vec_col), "vec_id", vec_col,
+                      dim, n_planes, n_bands)
+    pk = _banded_keys(probes.select("probe_id", probe_col), "probe_id",
+                      probe_col, dim, n_planes, n_bands, multiprobe=multiprobe)
     cand = pk.join(vk, ["band", "h"]).select("probe_id", "vec_id").distinct()
     vemb = vectors.select("vec_id", vec_col, norm2_col(vec_col).alias("_nv"))
     pemb = probes.select("probe_id", probe_col, norm2_col(probe_col).alias("_np"))
@@ -167,16 +175,8 @@ def embedding_neardup_pairs(
     Plan shape (100 TB): explode to (band, sig) rows -> equi self-join
     per band bucket -> DISTINCT pair keys -> re-join embeddings for the
     exact cosine verify. Never all-pairs; the verify is pair-driven."""
-    v = vectors
-    for b in range(n_bands):
-        planes = make_planes(dim, n_planes, base_stream=1000 + b * n_planes)
-        v = v.withColumn(f"_sig{b}", _rh_signature(vec_col, planes))
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"), F.col(f"_sig{b}").alias("h"))
-        for b in range(n_bands)
-    ])
-    keyed = v.select("vec_id", F.explode(bands).alias("_b")) \
-        .select("vec_id", F.col("_b.band").alias("band"), F.col("_b.h").alias("h"))
+    keyed = _banded_keys(vectors.select("vec_id", vec_col), "vec_id", vec_col,
+                         dim, n_planes, n_bands)
     left = keyed.select(F.col("vec_id").alias("a"), "band", "h")
     right = keyed.select(F.col("vec_id").alias("b"), "band", "h")
     pairs = left.join(right, ["band", "h"]).filter(F.col("a") < F.col("b")) \
@@ -198,15 +198,7 @@ def band_bucket_stats(
     (band, bucket-size) with the number of buckets that size. The
     scale dashboard for hot-bucket risk — max size bounds the per-key
     join fan-out at 100 TB."""
-    v = vectors
-    for b in range(n_bands):
-        planes = make_planes(dim, n_planes, base_stream=1000 + b * n_planes)
-        v = v.withColumn(f"_sig{b}", _rh_signature(vec_col, planes))
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"), F.col(f"_sig{b}").alias("h"))
-        for b in range(n_bands)
-    ])
-    keyed = v.select("vec_id", F.explode(bands).alias("_b")) \
-        .select(F.col("_b.band").alias("band"), F.col("_b.h").alias("h"))
+    keyed = _banded_keys(vectors.select("vec_id", vec_col), "vec_id", vec_col,
+                         dim, n_planes, n_bands)
     sizes = keyed.groupBy("band", "h").agg(F.count("*").alias("bucket_size"))
     return sizes.groupBy("band", "bucket_size").agg(F.count("*").alias("n_buckets"))

@@ -126,23 +126,25 @@ def test_embedding_neardup_pairs(spark, vec_df):
         assert round(cos, 6) >= 0.990
 
 
-def test_lsh_topk_banding_recall_not_worse(spark, vec_df):
-    """The banded OR-of-ANDs top-k (round-3 shape) must recall at least
-    as much as the round-2 single-signature shape (n_bands=1) on the
-    same vectors — banding adds independent chances to collide."""
-    m = _vectors()
-    probes = list(range(0, 50, 5))
-    k = 5
-    want = _topk_oracle(m, probes, k)
+def test_lsh_topk_banding_grows_candidates(spark, vec_df):
+    """The sound banding invariant: band 0 of the n_bands=4 index IS
+    the n_bands=1 index (same plane stream), so the 4-band CANDIDATE
+    set is a superset of the single-band one per probe — banding adds
+    independent chances to collide. (Final top-k recall is NOT
+    monotonic in general: the brute fallback hands starved probes
+    exact answers, and fewer bands starve more probes.)"""
+    probes_df = vec_df.select(F.col("vec_id").alias("probe_id"),
+                              F.col("embedding").alias("p_embedding")) \
+        .filter(F.col("probe_id") < 20)
 
-    def recall(n_bands):
-        got = SIM.lsh_topk(vec_df, _probes_df(spark, m, probes), k=k,
-                           dim=DIM, n_planes=8, n_bands=n_bands).toPandas()
-        hits = total = 0
-        for pi in probes:
-            g = set(got[got.probe_id == pi].vec_id.tolist())
-            hits += len(g & set(want[pi]))
-            total += len(want[pi])
-        return hits / total
+    def cand_pairs(n_bands):
+        vk = SIM._banded_keys(vec_df, "vec_id", "embedding", DIM, 8, n_bands)
+        pk = SIM._banded_keys(probes_df, "probe_id", "p_embedding",
+                              DIM, 8, n_bands, multiprobe=True)
+        got = pk.join(vk, ["band", "h"]).select("probe_id", "vec_id") \
+            .distinct().toPandas()
+        return set(zip(got.probe_id, got.vec_id))
 
-    assert recall(4) >= recall(1)
+    c1, c4 = cand_pairs(1), cand_pairs(4)
+    assert c1 <= c4
+    assert len(c4) > len(c1)  # the extra bands genuinely add candidates
