@@ -1,0 +1,189 @@
+"""Snapshot log + time travel over the parquet/manifest layer — the
+Iceberg-snapshot analog of SURVEY §7's fallback storage (no Iceberg
+runtime jar in this sandbox; the swap to `writeTo(...).createOrReplace`
+remains a config change, not a redesign).
+
+Semantics mirror the reference's persistent-structure discussion
+(REPORT.md:17-21: pointer-free persistent trees; .Test/QuadTree.cpp
+E2: "deletes = anti-join producing a new table version"):
+
+- A TABLE is a directory holding immutable snapshot data dirs
+  (``snap-<version>/data``) plus one atomically-swapped log file
+  (``snapshots.json``) whose last entry is the current version.
+- ``append`` commits write ONLY the delta dir; the new snapshot's
+  file-set = parent's dir list + the delta dir. Old data is never
+  rewritten — earlier versions stay readable forever (time travel),
+  exactly the shared-substructure property of a persistent tree.
+- ``overwrite`` commits write a full new state dir and reference only
+  it (the full re-tile / resize path, O15).
+- ``rollback`` moves the current pointer by appending a log entry that
+  references an old snapshot's dirs — data untouched, O(1).
+- Crash safety: data dirs land first, the log swaps last via
+  tmp+rename. A crash mid-commit leaves an orphan ``snap-*`` dir and
+  an unchanged log — the table still reads consistently at the old
+  version; the orphan is overwritten by the next commit of that
+  version number or ignored.
+
+At 100 TB this is the layout that makes remove/relocate (O12-O14)
+cheap: a delete is an anti-join materialized as an overwrite commit
+(or, for append-mostly flows, a new delta of survivors), and readers
+pin a snapshot version for a consistent scan while writers commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG = "snapshots.json"
+
+
+@dataclass
+class SnapshotInfo:
+    table: str
+    version: int
+    operation: str
+    rows: int
+    data_dirs: list[str]
+    parent: int | None
+
+
+def _log_path(root: str, table: str) -> str:
+    return os.path.join(root, table, LOG)
+
+
+def snapshot_log(root: str, table: str) -> list[dict]:
+    """The committed snapshot log, oldest first ([] for a new table)."""
+    p = _log_path(root, table)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def current_version(root: str, table: str) -> int | None:
+    log = snapshot_log(root, table)
+    return log[-1]["version"] if log else None
+
+
+def _swap_log(root: str, table: str, entries: list[dict]) -> None:
+    p = _log_path(root, table)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entries, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)  # atomic: readers see the old or the new log
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    table: str,
+    operation: str = "append",
+    partition_by: list[str] | None = None,
+) -> SnapshotInfo:
+    """Commit df as the next snapshot of the table.
+
+    operation='append': df becomes a new delta dir; the snapshot reads
+    parent dirs + delta (old files shared, never rewritten).
+    operation='overwrite': df becomes the entire new table state.
+    The snapshot data is fully written BEFORE the log swap commits it.
+    """
+    if operation not in ("append", "overwrite"):
+        raise ValueError(f"unknown operation {operation!r}")
+    log = snapshot_log(root, table)
+    parent = log[-1] if log else None
+    version = (parent["version"] + 1) if parent else 1
+    snap_rel = f"snap-{version}"
+    data_dir = os.path.join(root, table, snap_rel, "data")
+
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(data_dir)
+    delta_rows = spark.read.parquet(data_dir).count()
+
+    if operation == "append" and parent is not None:
+        dirs = list(parent["data_dirs"]) + [os.path.join(snap_rel, "data")]
+        rows = parent["rows"] + delta_rows
+    else:
+        dirs = [os.path.join(snap_rel, "data")]
+        rows = delta_rows
+    entry = {
+        "version": version,
+        "operation": operation,
+        "rows": rows,
+        "delta_rows": delta_rows,
+        "data_dirs": dirs,
+        "parent": parent["version"] if parent else None,
+        "schema": df.schema.jsonValue(),
+    }
+    _swap_log(root, table, log + [entry])
+    return SnapshotInfo(table=table, version=version, operation=operation,
+                        rows=rows, data_dirs=dirs,
+                        parent=parent["version"] if parent else None)
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, table: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at the given version (default: current) — time
+    travel is just resolving a different log entry's dir list."""
+    log = snapshot_log(root, table)
+    if not log:
+        raise FileNotFoundError(f"no snapshots for table {table!r} under {root}")
+    if version is None:
+        entry = log[-1]
+    else:
+        matches = [e for e in log if e["version"] == version]
+        if not matches:
+            raise FileNotFoundError(
+                f"table {table!r} has no snapshot version {version}")
+        entry = matches[0]
+    paths = [os.path.join(root, table, d) for d in entry["data_dirs"]]
+    return spark.read.parquet(*paths)
+
+
+def rollback(root: str, table: str, to_version: int) -> SnapshotInfo:
+    """Append a new snapshot whose state IS an earlier version's (data
+    untouched, O(1) pointer move — the persistent-tree property)."""
+    log = snapshot_log(root, table)
+    matches = [e for e in log if e["version"] == to_version]
+    if not matches:
+        raise FileNotFoundError(
+            f"table {table!r} has no snapshot version {to_version}")
+    src = matches[0]
+    version = log[-1]["version"] + 1
+    entry = {
+        "version": version,
+        "operation": f"rollback:{to_version}",
+        "rows": src["rows"],
+        "delta_rows": 0,
+        "data_dirs": list(src["data_dirs"]),
+        "parent": log[-1]["version"],
+        "schema": src["schema"],
+    }
+    _swap_log(root, table, log + [entry])
+    return SnapshotInfo(table=table, version=version,
+                        operation=entry["operation"], rows=src["rows"],
+                        data_dirs=entry["data_dirs"], parent=entry["parent"])
+
+
+def delete_commit(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    dead_keys: DataFrame,
+    key: str = "obj_id",
+) -> SnapshotInfo:
+    """O12/O13 at table scope: remove-by-key as a NEW VERSION — an
+    anti-join of the current snapshot against the dead keys,
+    materialized as an overwrite commit (E2's 'deletes = anti-join
+    producing a new table version'). Readers pinned to older versions
+    still see the deleted rows; nothing is mutated in place."""
+    cur = read_snapshot(spark, root, table)
+    survivors = cur.join(dead_keys.select(key), key, "left_anti")
+    return commit_snapshot(spark, survivors, root, table, operation="overwrite")

@@ -1,0 +1,93 @@
+"""Snapshot log / time travel (plans.snapshots): append shares old
+files, every version stays readable, rollback is a pointer move, and
+deletes are new versions (E2: 'anti-join producing a new table
+version'); a crashed commit (orphan data dir, unswapped log) must not
+change what readers see."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from optimizing_spark.plans import snapshots as S
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("obj_id"),
+        F.pmod(F.col("id") * 7919, F.lit(1 << 16)).alias("ix"),
+    )
+
+
+def test_append_time_travel_and_shared_files(spark, root):
+    s1 = S.commit_snapshot(spark, _df(spark, 0, 100), root, "objs")
+    s2 = S.commit_snapshot(spark, _df(spark, 100, 150), root, "objs")
+    s3 = S.commit_snapshot(spark, _df(spark, 150, 160), root, "objs")
+    assert (s1.version, s2.version, s3.version) == (1, 2, 3)
+    assert S.read_snapshot(spark, root, "objs").count() == 160  # current
+    # time travel: every historical version still reads exactly
+    assert S.read_snapshot(spark, root, "objs", version=1).count() == 100
+    assert S.read_snapshot(spark, root, "objs", version=2).count() == 150
+    # append shares parent dirs instead of rewriting (persistent tree)
+    assert s2.data_dirs[:1] == s1.data_dirs
+    assert len(s3.data_dirs) == 3
+    # v1's files untouched by later commits
+    ids = sorted(r.obj_id for r in
+                 S.read_snapshot(spark, root, "objs", version=1).collect())
+    assert ids == list(range(100))
+
+
+def test_overwrite_and_rollback(spark, root):
+    S.commit_snapshot(spark, _df(spark, 0, 50), root, "t")
+    S.commit_snapshot(spark, _df(spark, 500, 520), root, "t",
+                      operation="overwrite")
+    assert S.read_snapshot(spark, root, "t").count() == 20
+    assert S.read_snapshot(spark, root, "t", version=1).count() == 50
+    rb = S.rollback(root, "t", to_version=1)
+    assert rb.version == 3 and rb.rows == 50
+    got = sorted(r.obj_id for r in S.read_snapshot(spark, root, "t").collect())
+    assert got == list(range(50))
+    # the rolled-back-over state remains time-travelable
+    assert S.read_snapshot(spark, root, "t", version=2).count() == 20
+
+
+def test_delete_commit_is_new_version(spark, root):
+    S.commit_snapshot(spark, _df(spark, 0, 100), root, "d")
+    dead = spark.range(0, 100, 2).select(F.col("id").alias("obj_id"))
+    s = S.delete_commit(spark, root, "d", dead)
+    assert s.operation == "overwrite" and s.rows == 50
+    got = sorted(r.obj_id for r in S.read_snapshot(spark, root, "d").collect())
+    assert got == list(range(1, 100, 2))
+    # pinned readers still see the pre-delete state
+    assert S.read_snapshot(spark, root, "d", version=1).count() == 100
+
+
+def test_crashed_commit_is_invisible(spark, root):
+    S.commit_snapshot(spark, _df(spark, 0, 30), root, "c")
+    # simulate a crash AFTER data landed but BEFORE the log swap:
+    # orphan snap dir present, log unchanged
+    orphan = os.path.join(root, "c", "snap-2", "data")
+    _df(spark, 999, 1999).write.parquet(orphan)
+    assert S.current_version(root, "c") == 1
+    assert S.read_snapshot(spark, root, "c").count() == 30
+    # the next real commit claims version 2 and overwrites the orphan
+    s = S.commit_snapshot(spark, _df(spark, 30, 40), root, "c")
+    assert s.version == 2
+    assert S.read_snapshot(spark, root, "c").count() == 40
+    # no tmp log file left behind by successful swaps
+    assert not os.path.exists(os.path.join(root, "c", S.LOG + ".tmp"))
+
+
+def test_unknown_version_and_empty_table_raise(spark, root):
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, root, "nope")
+    S.commit_snapshot(spark, _df(spark, 0, 5), root, "e")
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, root, "e", version=9)
+    with pytest.raises(FileNotFoundError):
+        S.rollback(root, "e", to_version=9)
