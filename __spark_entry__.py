@@ -1015,6 +1015,40 @@ def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_total_c"))
 
 
+def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12/O13 + O32 at table scope, through the REAL snapshot layer
+    (plans/snapshots): commit nation as version 1, delete even keys as
+    version 2 (anti-join materialized as an overwrite commit), then
+    read BOTH versions by time travel — deleted rows must remain
+    visible at version 1 and gone at version 2. The oracle is plain
+    SQL because the version states are pure functions of the input:
+    v1 = nation, v2 = odd keys only."""
+    import tempfile
+
+    from optimizing_spark.plans import snapshots as SN
+
+    root = tempfile.mkdtemp(prefix="snapq_")
+    n = D.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("obj_id"), "n_name")
+    SN.commit_snapshot(spark, n, root, "nation_t")
+    dead = n.filter(F.col("obj_id") % 2 == 0).select("obj_id")
+    SN.delete_commit(spark, root, "nation_t", dead)
+    v1 = SN.read_snapshot(spark, root, "nation_t", version=1) \
+        .withColumn("version", F.lit(1))
+    v2 = SN.read_snapshot(spark, root, "nation_t", version=2) \
+        .withColumn("version", F.lit(2))
+    return v1.unionByName(v2).select("version", "obj_id", "n_name")
+
+
+_SNAPSHOT_DELETE_SQL = """
+    SELECT 1 AS version, CAST(n_nationkey AS BIGINT) AS obj_id, n_name
+    FROM nation
+    UNION ALL
+    SELECT 2 AS version, CAST(n_nationkey AS BIGINT) AS obj_id, n_name
+    FROM nation WHERE n_nationkey % 2 = 1
+"""
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema join + window: top-3 customers by order value per
     nation (broadcast dims, cent-exact sums, key tie-breaks)."""
@@ -1117,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_monthly_orders": q_monthly_orders,
         "q_top_customers": q_top_customers,
+        "q_snapshot_delete": q_snapshot_delete,
         "q_docs_pipeline": q_docs_pipeline,
     }
 
@@ -1282,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_c
             FROM orders GROUP BY month_start, o_orderstatus
         """,
+        "q_snapshot_delete": _SNAPSHOT_DELETE_SQL,
         "q_top_customers": """
             WITH rev AS (
                 SELECT o_custkey,
