@@ -892,6 +892,76 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_topk(e, probes, k=5)
 
 
+def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: deterministic centroids (vec_id < 16), each
+    vector assigned to its nearest centroid, probes score only their 4
+    nearest centroids' inverted lists, brute fallback for starved
+    probes — entirely reproducible in SQL."""
+    e = D.load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_embedding"))
+    return SIM.ivf_topk(e, probes, k=5, n_centroids=16, n_probe=4)
+
+
+def _embed_ivf_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """DuckDB twin of q_embed_topk_ivf: same centroid set, assignment,
+    probe lists, rounded-cosine ranking and starved-probe fallback."""
+    def cos(a, b, an, bn):
+        return (f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+                f"sqrt(list_dot_product({an}::DOUBLE[], {an}::DOUBLE[]) * "
+                f"list_dot_product({bn}::DOUBLE[], {bn}::DOUBLE[])), 6)")
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+            WHERE vec_id < {n_centroids}
+        ), va AS (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   {cos('e.embedding', 'c.cent', 'e.embedding', 'c.cent')} AS ccos
+            FROM embeddings e CROSS JOIN cents c
+        ), assign AS (
+            SELECT vec_id, embedding, cent_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, cent_id) AS crk FROM va
+            ) WHERE crk = 1
+        ), pv AS (
+            SELECT p.vec_id AS probe_id, p.embedding AS p_embedding, c.cent_id,
+                   {cos('p.embedding', 'c.cent', 'p.embedding', 'c.cent')} AS pcos
+            FROM (SELECT * FROM embeddings WHERE vec_id < 10) p CROSS JOIN cents c
+        ), plists AS (
+            SELECT probe_id, p_embedding, cent_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY pcos DESC, cent_id) AS prk FROM pv
+            ) WHERE prk <= {n_probe}
+        ), hits AS (
+            SELECT probe_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+                SELECT pl.probe_id, a.vec_id,
+                       {cos('a.embedding', 'pl.p_embedding', 'a.embedding', 'pl.p_embedding')} AS cos,
+                       row_number() OVER (PARTITION BY pl.probe_id ORDER BY
+                           {cos('a.embedding', 'pl.p_embedding', 'a.embedding', 'pl.p_embedding')} DESC,
+                           a.vec_id) AS rank
+                FROM plists pl JOIN assign a ON a.cent_id = pl.cent_id
+            ) WHERE rank <= {k}
+        ), full_p AS (
+            SELECT probe_id FROM hits GROUP BY probe_id HAVING count(*) >= {k}
+        ), brute AS (
+            SELECT probe_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+                SELECT p.vec_id AS probe_id, e.vec_id,
+                       {cos('e.embedding', 'p.embedding', 'e.embedding', 'p.embedding')} AS cos,
+                       row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                           {cos('e.embedding', 'p.embedding', 'e.embedding', 'p.embedding')} DESC,
+                           e.vec_id) AS rank
+                FROM embeddings e CROSS JOIN
+                     (SELECT * FROM embeddings WHERE vec_id < 10
+                      AND vec_id NOT IN (SELECT probe_id FROM full_p)) p
+            ) WHERE rank <= {k}
+        )
+        SELECT h.probe_id, h.vec_id, h.cos, h.rank
+        FROM hits h JOIN full_p f ON f.probe_id = h.probe_id
+        UNION ALL
+        SELECT probe_id, vec_id, cos, rank FROM brute
+    """
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs (rounded cos*1000 >= 350; threshold
     sits at the ~99.9th percentile of this table's pair cosines)."""
@@ -1143,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_pairs": q_lsh_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embed_topk": q_embed_topk,
+        "q_embed_topk_ivf": q_embed_topk_ivf,
         "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_sessionize": q_sessionize,
@@ -1461,6 +1532,7 @@ def _text_oracles() -> dict[str, str]:
         "q_lsh_pairs": lsh_pairs_sql,
         "q_ngram_jaccard": ngram_sql,
         "q_embed_topk": embed_topk_sql,
+        "q_embed_topk_ivf": _embed_ivf_sql(),
         "q_embed_neardup": neardup_sql,
         "q_embed_neardup_lsh": _embed_lsh_sql(),
         "q_sessionize": """

@@ -159,6 +159,62 @@ def lsh_topk(
     return hit.join(full, "probe_id", "left_semi").unionByName(fb)
 
 
+def ivf_topk(
+    vectors: DataFrame, probes: DataFrame, k: int,
+    n_centroids: int = 16, n_probe: int = 4,
+    vec_col: str = "embedding", probe_col: str = "p_embedding",
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) index — the second scale
+    path next to lsh_topk: every vector is assigned to its nearest
+    centroid (one broadcast pass; the 'inverted list' is just a
+    cent_id column), and a probe scores only the lists of its n_probe
+    nearest centroids. Probes whose candidate lists hold < k rows fall
+    back to exact brute_topk.
+
+    Centroids are the vectors with vec_id < n_centroids — a
+    DETERMINISTIC choice (k-means would converge better but is
+    seed/iteration-dependent; determinism is what makes the DuckDB
+    oracle reproduce the index bit-for-bit). All ranking uses cosine
+    rounded to 6 decimals with id tie-breaks.
+
+    Plan shape (100 TB): centroids broadcast everywhere (n_centroids
+    rows); assignment is one streamed pass over the vectors; the
+    probe->candidate join is equi on cent_id (bucket-join; list sizes
+    ~N/n_centroids bound the per-key fan-out, the IVF analog of the
+    LSH bucket histogram)."""
+    cents = vectors.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("cent"),
+        norm2_col(vec_col).alias("_nc"))
+
+    def nearest_cents(df, id_col, emb_col, topn):
+        j = df.withColumn("_ne", norm2_col(emb_col)) \
+            .crossJoin(F.broadcast(cents))
+        ccos = F.round(
+            dot_col(emb_col, "cent") / F.sqrt(F.col("_ne") * F.col("_nc")), 6)
+        w = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), "cent_id")
+        return j.withColumn("_ccos", ccos) \
+            .withColumn("_crk", F.row_number().over(w)) \
+            .filter(F.col("_crk") <= topn) \
+            .drop("cent", "_nc", "_ne", "_ccos", "_crk")
+
+    assign = nearest_cents(vectors.select("vec_id", vec_col),
+                           "vec_id", vec_col, 1)
+    plists = nearest_cents(probes.select("probe_id", probe_col),
+                           "probe_id", probe_col, n_probe)
+    j = plists.join(assign, "cent_id")
+    cos = F.round(dot_col(vec_col, probe_col)
+                  / F.sqrt(norm2_col(vec_col) * norm2_col(probe_col)), 6)
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    hit = j.withColumn("cos", cos) \
+        .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
+        .select("probe_id", "vec_id", "cos", "rank")
+    full = hit.groupBy("probe_id").agg(F.count("*").alias("_n")) \
+        .filter(F.col("_n") >= k).select("probe_id")
+    starved = probes.join(full, "probe_id", "left_anti")
+    fb = brute_topk(vectors, starved, k, vec_col=vec_col, probe_col=probe_col)
+    return hit.join(full, "probe_id", "left_semi").unionByName(fb)
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame, dim: int, threshold_millis: int = 950,
     n_planes: int = 8, n_bands: int = 4, vec_col: str = "embedding",

@@ -148,3 +148,23 @@ def test_lsh_topk_banding_grows_candidates(spark, vec_df):
     c1, c4 = cand_pairs(1), cand_pairs(4)
     assert c1 <= c4
     assert len(c4) > len(c1)  # the extra bands genuinely add candidates
+
+
+def test_ivf_topk_recall_and_exactness(spark, vec_df):
+    """IVF scale path: recall floor on clustered vectors, exactly k
+    rows per probe (fallback covers starved lists), and the rank-1
+    self-hit (a vector's own inverted list is always probed)."""
+    m = _vectors()
+    probes = list(range(0, 50, 5))
+    k = 5
+    got = SIM.ivf_topk(vec_df, _probes_df(spark, m, probes), k=k,
+                       n_centroids=16, n_probe=4).toPandas()
+    want = _topk_oracle(m, probes, k)
+    hits = total = 0
+    for pi in probes:
+        g = got[got.probe_id == pi]
+        assert len(g) == k
+        hits += len(set(g.vec_id) & set(want[pi]))
+        total += len(want[pi])
+        assert g[g["rank"] == 1].vec_id.iloc[0] == pi
+    assert hits / total >= 0.6, f"IVF recall too low: {hits / total}"
