@@ -1093,11 +1093,15 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible at version 1 and gone at version 2. The oracle is plain
     SQL because the version states are pure functions of the input:
     v1 = nation, v2 = odd keys only."""
+    import shutil
     import tempfile
 
     from optimizing_spark.plans import snapshots as SN
 
-    root = tempfile.mkdtemp(prefix="snapq_")
+    # deterministic per-process root, cleared on every invocation so
+    # repeated harness/driver runs don't accumulate orphan tmp dirs
+    root = os.path.join(tempfile.gettempdir(), f"snapq_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
     n = D.load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("obj_id"), "n_name")
     SN.commit_snapshot(spark, n, root, "nation_t")

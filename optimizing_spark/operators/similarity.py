@@ -118,6 +118,31 @@ def _banded_keys(
         .select(id_col, "_b.band", "_b.h")
 
 
+def _score_topk_with_fallback(
+    cand: DataFrame, vectors: DataFrame, probes: DataFrame, k: int,
+    vec_col: str, probe_col: str,
+) -> DataFrame:
+    """Shared ANN tail (lsh_topk + ivf_topk): given (probe_id, vec_id)
+    candidate pairs, re-join embeddings WITH norms projected once per
+    row below the join (1 fold/pair, the brute_topk optimization),
+    exact-cosine window top-k, then the starved-probe fallback — probes
+    whose candidate sets hold < k rows get the exact brute_topk answer
+    via an anti-join (free when buckets are full)."""
+    vemb = vectors.select("vec_id", vec_col, norm2_col(vec_col).alias("_nv"))
+    pemb = probes.select("probe_id", probe_col, norm2_col(probe_col).alias("_np"))
+    j = cand.join(vemb, "vec_id").join(pemb, "probe_id")
+    cos = F.round(dot_col(vec_col, probe_col) / F.sqrt(F.col("_nv") * F.col("_np")), 6)
+    j = j.withColumn("cos", cos)
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    hit = j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
+        .select("probe_id", "vec_id", "cos", "rank")
+    full = hit.groupBy("probe_id").agg(F.count("*").alias("_n")) \
+        .filter(F.col("_n") >= k).select("probe_id")
+    starved = probes.join(full, "probe_id", "left_anti")
+    fb = brute_topk(vectors, starved, k, vec_col=vec_col, probe_col=probe_col)
+    return hit.join(full, "probe_id", "left_semi").unionByName(fb)
+
+
 def lsh_topk(
     vectors: DataFrame, probes: DataFrame, k: int, dim: int,
     n_planes: int = 8, n_bands: int = 4,
@@ -143,20 +168,8 @@ def lsh_topk(
     pk = _banded_keys(probes.select("probe_id", probe_col), "probe_id",
                       probe_col, dim, n_planes, n_bands, multiprobe=multiprobe)
     cand = pk.join(vk, ["band", "h"]).select("probe_id", "vec_id").distinct()
-    vemb = vectors.select("vec_id", vec_col, norm2_col(vec_col).alias("_nv"))
-    pemb = probes.select("probe_id", probe_col, norm2_col(probe_col).alias("_np"))
-    j = cand.join(vemb, "vec_id").join(pemb, "probe_id")
-    cos = F.round(dot_col(vec_col, probe_col) / F.sqrt(F.col("_nv") * F.col("_np")), 6)
-    j = j.withColumn("cos", cos)
-    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    hit = j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
-        .select("probe_id", "vec_id", "cos", "rank")
-    # fallback: probes with < k candidates get the exact answer
-    full = hit.groupBy("probe_id").agg(F.count("*").alias("_n")) \
-        .filter(F.col("_n") >= k).select("probe_id")
-    starved = probes.join(full, "probe_id", "left_anti")
-    fb = brute_topk(vectors, starved, k, vec_col=vec_col, probe_col=probe_col)
-    return hit.join(full, "probe_id", "left_semi").unionByName(fb)
+    return _score_topk_with_fallback(cand, vectors, probes, k,
+                                     vec_col, probe_col)
 
 
 def ivf_topk(
@@ -201,18 +214,11 @@ def ivf_topk(
                            "vec_id", vec_col, 1)
     plists = nearest_cents(probes.select("probe_id", probe_col),
                            "probe_id", probe_col, n_probe)
-    j = plists.join(assign, "cent_id")
-    cos = F.round(dot_col(vec_col, probe_col)
-                  / F.sqrt(norm2_col(vec_col) * norm2_col(probe_col)), 6)
-    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
-    hit = j.withColumn("cos", cos) \
-        .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k) \
-        .select("probe_id", "vec_id", "cos", "rank")
-    full = hit.groupBy("probe_id").agg(F.count("*").alias("_n")) \
-        .filter(F.col("_n") >= k).select("probe_id")
-    starved = probes.join(full, "probe_id", "left_anti")
-    fb = brute_topk(vectors, starved, k, vec_col=vec_col, probe_col=probe_col)
-    return hit.join(full, "probe_id", "left_semi").unionByName(fb)
+    # candidate pairs = probe's n_probe lists; each (probe, vec) occurs
+    # at most once (a vector lives in exactly one list), no distinct
+    cand = plists.join(assign, "cent_id").select("probe_id", "vec_id")
+    return _score_topk_with_fallback(cand, vectors, probes, k,
+                                     vec_col, probe_col)
 
 
 def embedding_neardup_pairs(

@@ -40,6 +40,16 @@ class StageResult:
     inputs: list[str] = field(default_factory=list)
 
 
+def atomic_write_json(path: str, obj) -> None:
+    """Write obj as JSON via tmp+rename: readers see the old file or
+    the new one, never a torn write (the manifest/log commit idiom
+    shared with plans/snapshots)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def _dir_stats(data_dir: str) -> tuple[int, list[dict]]:
     total = 0
     parts = []
@@ -107,10 +117,7 @@ def checkpoint_stage(
         "bytes": total_bytes,
         "partitions": parts,
     }
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, mpath)  # atomic commit: manifest appears last
+    atomic_write_json(mpath, manifest)  # atomic commit: manifest appears last
     return StageResult(
         stage=stage, path=data_dir, rows=rows, bytes=total_bytes,
         partitions=parts, fingerprint=fingerprint, inputs=inputs,

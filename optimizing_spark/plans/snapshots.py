@@ -34,11 +34,21 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .checkpoint import atomic_write_json
 
 LOG = "snapshots.json"
+
+
+class SnapshotConflictError(RuntimeError):
+    """The log advanced between reading the parent and swapping the new
+    entry in — the commit lost a compare-and-swap race and must be
+    retried against the new current version."""
 
 
 @dataclass
@@ -69,12 +79,43 @@ def current_version(root: str, table: str) -> int | None:
     return log[-1]["version"] if log else None
 
 
-def _swap_log(root: str, table: str, entries: list[dict]) -> None:
+def _swap_log(
+    root: str, table: str, entry: dict, expect_parent: int | None,
+    lock_timeout_s: float = 10.0,
+) -> list[dict]:
+    """Append ``entry`` to the log iff the current tip is still
+    ``expect_parent`` — a compare-and-swap under an O_EXCL lock file,
+    so two concurrent committers cannot both rewrite the log from the
+    same parent (the loser gets SnapshotConflictError instead of
+    silently erasing the winner's commit). The data dirs written by a
+    losing committer become orphans, exactly like a crash mid-commit.
+    Returns the committed log."""
     p = _log_path(root, table)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(entries, f, indent=1, sort_keys=True)
-    os.replace(tmp, p)  # atomic: readers see the old or the new log
+    lock = p + ".lock"
+    deadline = time.time() + lock_timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.time() > deadline:
+                raise SnapshotConflictError(
+                    f"lock {lock} held past {lock_timeout_s}s "
+                    "(stale lock from a crashed committer? remove it)")
+            time.sleep(0.05)
+    try:
+        log = snapshot_log(root, table)  # re-read under the lock
+        tip = log[-1]["version"] if log else None
+        if tip != expect_parent:
+            raise SnapshotConflictError(
+                f"table {table!r}: expected parent {expect_parent}, "
+                f"log tip is {tip} — concurrent commit won; retry")
+        entries = log + [entry]
+        atomic_write_json(p, entries)  # readers see old or new, never torn
+        return entries
+    finally:
+        os.close(fd)
+        os.unlink(lock)
 
 
 def commit_snapshot(
@@ -97,6 +138,15 @@ def commit_snapshot(
     log = snapshot_log(root, table)
     parent = log[-1] if log else None
     version = (parent["version"] + 1) if parent else 1
+    schema_json = df.schema.jsonValue()
+    if operation == "append" and parent is not None \
+            and schema_json != parent["schema"]:
+        # a delta whose schema drifted from the parent would make the
+        # multi-dir read silently drop/null the divergent column
+        # (parquet schema is sampled per file) — reject at commit time
+        raise ValueError(
+            f"append schema drift on table {table!r} v{version}: "
+            f"delta schema != parent snapshot schema")
     snap_rel = f"snap-{version}"
     data_dir = os.path.join(root, table, snap_rel, "data")
 
@@ -119,9 +169,9 @@ def commit_snapshot(
         "delta_rows": delta_rows,
         "data_dirs": dirs,
         "parent": parent["version"] if parent else None,
-        "schema": df.schema.jsonValue(),
+        "schema": schema_json,
     }
-    _swap_log(root, table, log + [entry])
+    _swap_log(root, table, entry, parent["version"] if parent else None)
     return SnapshotInfo(table=table, version=version, operation=operation,
                         rows=rows, data_dirs=dirs,
                         parent=parent["version"] if parent else None)
@@ -144,7 +194,10 @@ def read_snapshot(
                 f"table {table!r} has no snapshot version {version}")
         entry = matches[0]
     paths = [os.path.join(root, table, d) for d in entry["data_dirs"]]
-    return spark.read.parquet(*paths)
+    # pin the snapshot's committed schema: multi-dir append chains read
+    # the columns the log recorded, not whatever footer Spark samples
+    schema = StructType.fromJson(entry["schema"])
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def rollback(root: str, table: str, to_version: int) -> SnapshotInfo:
@@ -166,7 +219,7 @@ def rollback(root: str, table: str, to_version: int) -> SnapshotInfo:
         "parent": log[-1]["version"],
         "schema": src["schema"],
     }
-    _swap_log(root, table, log + [entry])
+    _swap_log(root, table, entry, log[-1]["version"])
     return SnapshotInfo(table=table, version=version,
                         operation=entry["operation"], rows=src["rows"],
                         data_dirs=entry["data_dirs"], parent=entry["parent"])

@@ -83,6 +83,48 @@ def test_crashed_commit_is_invisible(spark, root):
     assert not os.path.exists(os.path.join(root, "c", S.LOG + ".tmp"))
 
 
+def test_append_schema_drift_rejected(spark, root):
+    S.commit_snapshot(spark, _df(spark, 0, 10), root, "sd")
+    drifted = _df(spark, 10, 20).withColumn("extra", F.lit(1))
+    # a delta with a divergent schema would be silently mis-read from
+    # sampled parquet footers — must be rejected at commit time
+    with pytest.raises(ValueError, match="schema drift"):
+        S.commit_snapshot(spark, drifted, root, "sd")
+    # overwrite MAY change the schema (full new state)
+    s = S.commit_snapshot(spark, drifted, root, "sd", operation="overwrite")
+    assert s.version == 2
+    assert "extra" in S.read_snapshot(spark, root, "sd").columns
+    # and the pre-drift version still reads with ITS committed schema
+    assert "extra" not in S.read_snapshot(spark, root, "sd", version=1).columns
+
+
+def test_concurrent_commit_loses_cas(spark, root):
+    S.commit_snapshot(spark, _df(spark, 0, 10), root, "cc")
+    log = S.snapshot_log(root, "cc")
+    entry = dict(log[-1], version=2, parent=1)
+    # a committer that read the log at version None (stale) must NOT
+    # erase the committed v1 — the compare-and-swap rejects it
+    with pytest.raises(S.SnapshotConflictError, match="concurrent"):
+        S._swap_log(root, "cc", entry, expect_parent=None)
+    assert S.current_version(root, "cc") == 1  # winner's commit intact
+    # matching parent succeeds (the retry path)
+    S._swap_log(root, "cc", entry, expect_parent=1)
+    assert S.current_version(root, "cc") == 2
+
+
+def test_stale_lock_times_out(spark, root):
+    S.commit_snapshot(spark, _df(spark, 0, 5), root, "lk")
+    lock = S._log_path(root, "lk") + ".lock"
+    open(lock, "w").close()  # crashed committer left its lock behind
+    log = S.snapshot_log(root, "lk")
+    entry = dict(log[-1], version=2, parent=1)
+    with pytest.raises(S.SnapshotConflictError, match="lock"):
+        S._swap_log(root, "lk", entry, expect_parent=1, lock_timeout_s=0.3)
+    os.unlink(lock)  # operator removes the stale lock; commit proceeds
+    S._swap_log(root, "lk", entry, expect_parent=1)
+    assert S.current_version(root, "lk") == 2
+
+
 def test_unknown_version_and_empty_table_raise(spark, root):
     with pytest.raises(FileNotFoundError):
         S.read_snapshot(spark, root, "nope")
