@@ -139,14 +139,18 @@ def commit_snapshot(
     parent = log[-1] if log else None
     version = (parent["version"] + 1) if parent else 1
     schema_json = df.schema.jsonValue()
-    if operation == "append" and parent is not None \
-            and schema_json != parent["schema"]:
+    if operation == "append" and parent is not None:
         # a delta whose schema drifted from the parent would make the
         # multi-dir read silently drop/null the divergent column
-        # (parquet schema is sampled per file) — reject at commit time
-        raise ValueError(
-            f"append schema drift on table {table!r} v{version}: "
-            f"delta schema != parent snapshot schema")
+        # (parquet schema is sampled per file) — reject at commit time.
+        # Compare (name, type) only: nullability flips on any parquet
+        # round-trip and does not affect what a multi-dir read returns
+        def shape(s):
+            return [(f["name"], f["type"]) for f in s["fields"]]
+        if shape(schema_json) != shape(parent["schema"]):
+            raise ValueError(
+                f"append schema drift on table {table!r} v{version}: "
+                f"delta columns != parent snapshot columns")
     snap_rel = f"snap-{version}"
     data_dir = os.path.join(root, table, snap_rel, "data")
 
@@ -223,6 +227,63 @@ def rollback(root: str, table: str, to_version: int) -> SnapshotInfo:
     return SnapshotInfo(table=table, version=version,
                         operation=entry["operation"], rows=src["rows"],
                         data_dirs=entry["data_dirs"], parent=entry["parent"])
+
+
+def compact(spark: SparkSession, root: str, table: str) -> SnapshotInfo:
+    """Rewrite the current state as a single overwrite commit — the
+    maintenance op that bounds append-chain length. A long append chain
+    is correct but makes every read open N delta dirs; compaction
+    resets N to 1 while history stays time-travelable (old versions
+    keep referencing the old dirs). At 100 TB this runs as a normal
+    distributed job: one scan of the current dirs, one write."""
+    cur = read_snapshot(spark, root, table)
+    return commit_snapshot(spark, cur, root, table, operation="overwrite")
+
+
+def expire_snapshots(
+    root: str, table: str, keep_last: int = 1
+) -> dict:
+    """Drop history: keep only the newest ``keep_last`` log entries,
+    then delete every snap-* data dir no surviving entry references
+    (including orphans from crashed/lost-CAS commits). The analog of
+    Iceberg's expire_snapshots + orphan-file cleanup; the ONLY
+    operation that ever deletes data files. Returns
+    {"kept_versions": [...], "removed_dirs": [...]}."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    log = snapshot_log(root, table)
+    if not log:
+        raise FileNotFoundError(f"no snapshots for table {table!r} under {root}")
+    kept = log[-keep_last:]
+    live = {d.split(os.sep)[0] for e in kept for d in e["data_dirs"]}
+    tdir = os.path.join(root, table)
+    removed = sorted(
+        d for d in os.listdir(tdir)
+        if d.startswith("snap-") and d not in live
+    )
+    # truncate history FIRST (atomic): a crash after the swap leaves
+    # unreferenced dirs (harmless orphans), never a log entry whose
+    # data is gone
+    if len(kept) < len(log):
+        # rewrite under the same CAS lock path used by commits
+        p = _log_path(root, table)
+        lock = p + ".lock"
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            cur = snapshot_log(root, table)
+            if cur[-1]["version"] != log[-1]["version"]:
+                raise SnapshotConflictError(
+                    f"table {table!r} advanced during expire; retry")
+            atomic_write_json(p, kept)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+    for d in removed:
+        shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+    return {"kept_versions": [e["version"] for e in kept],
+            "removed_dirs": removed}
 
 
 def delete_commit(

@@ -125,6 +125,40 @@ def test_stale_lock_times_out(spark, root):
     assert S.current_version(root, "lk") == 2
 
 
+def test_compact_bounds_append_chain(spark, root):
+    for lo in range(0, 40, 10):
+        S.commit_snapshot(spark, _df(spark, lo, lo + 10), root, "cp")
+    assert len(S.snapshot_log(root, "cp")[-1]["data_dirs"]) == 4
+    s = S.compact(spark, root, "cp")
+    assert s.version == 5 and len(s.data_dirs) == 1 and s.rows == 40
+    got = sorted(r.obj_id for r in S.read_snapshot(spark, root, "cp").collect())
+    assert got == list(range(40))
+    # history intact: pre-compaction versions still read
+    assert S.read_snapshot(spark, root, "cp", version=2).count() == 20
+    # further appends chain off the compacted dir only
+    s6 = S.commit_snapshot(spark, _df(spark, 40, 45), root, "cp")
+    assert len(s6.data_dirs) == 2
+
+
+def test_expire_snapshots_removes_dead_and_orphan_dirs(spark, root):
+    for lo in range(0, 30, 10):
+        S.commit_snapshot(spark, _df(spark, lo, lo + 10), root, "ex")
+    S.compact(spark, root, "ex")  # v4: one dir; v1-v3 dirs now dead
+    # plus an orphan from a crashed commit
+    _df(spark, 900, 910).write.parquet(
+        os.path.join(root, "ex", "snap-99", "data"))
+    out = S.expire_snapshots(root, "ex", keep_last=1)
+    assert out["kept_versions"] == [4]
+    assert set(out["removed_dirs"]) == {"snap-1", "snap-2", "snap-3", "snap-99"}
+    assert S.read_snapshot(spark, root, "ex").count() == 30  # current intact
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, root, "ex", version=1)  # history gone
+    # keep_last covering an append chain keeps every referenced dir
+    S.commit_snapshot(spark, _df(spark, 30, 35), root, "ex")  # v5 = v4+delta
+    out2 = S.expire_snapshots(root, "ex", keep_last=1)
+    assert out2["removed_dirs"] == []  # v5 references v4's dir too
+
+
 def test_unknown_version_and_empty_table_raise(spark, root):
     with pytest.raises(FileNotFoundError):
         S.read_snapshot(spark, root, "nope")
