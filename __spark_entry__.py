@@ -874,6 +874,18 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_num=8, jaccard_den=10)
 
 
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: q_lsh_pairs' pair graph closed transitively —
+    every doc mapped to the min doc_id in its connected component
+    (pointer-jumping min-label propagation; isolated docs map to
+    themselves). The oracle computes the same fixpoint as a DuckDB
+    recursive CTE over the identical pair query."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = DD.minhash_lsh_pairs(docs, jaccard_num=8, jaccard_den=10)
+    return DD.connected_components(
+        pairs.select("a", "b"), vertices=docs.select("doc_id"), key="doc_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set jaccard counts for consecutive doc pairs."""
     d = _docs(spark, sf_dir)
@@ -1215,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash": q_minhash,
         "q_simhash": q_simhash,
         "q_lsh_pairs": q_lsh_pairs,
+        "q_dedup_cc": q_dedup_cc,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embed_topk": q_embed_topk,
         "q_embed_topk_ivf": q_embed_topk_ivf,
@@ -1457,6 +1470,24 @@ def _text_oracles() -> dict[str, str]:
         SELECT a, b, inter, uni FROM full_p WHERE inter * 10 >= uni * 8
     """
 
+    # transitive closure of the SAME pair query: label every doc with the
+    # min doc_id reachable through the pair graph (recursive CTE; UNION
+    # dedups rows so the recursion terminates at the closure fixpoint)
+    dedup_cc_sql = f"""
+        WITH RECURSIVE pairs AS ({lsh_pairs_sql}),
+        edges AS (
+            SELECT a AS u, b AS v FROM pairs
+            UNION ALL SELECT b AS u, a AS v FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.node
+        )
+        SELECT node AS doc_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
     ngram_sql = f"""
         WITH pairs AS (
             SELECT d1.doc_id AS a, d1.doc_id + 1 AS b FROM documents d1
@@ -1534,6 +1565,7 @@ def _text_oracles() -> dict[str, str]:
         "q_minhash": OT.minhash_rows_sql(),
         "q_simhash": OT.simhash_sql(),
         "q_lsh_pairs": lsh_pairs_sql,
+        "q_dedup_cc": dedup_cc_sql,
         "q_ngram_jaccard": ngram_sql,
         "q_embed_topk": embed_topk_sql,
         "q_embed_topk_ivf": _embed_ivf_sql(),

@@ -11,6 +11,9 @@ engine components alongside the spatial suite:
   bands (small-bits variant).
 - ngram_jaccard: exact shingle-set jaccard for a given pair table
   (explode + join + group; returns integer intersection/union counts).
+- connected_components: pair graph -> min-id cluster per doc (pointer
+  jumping, O(log diameter) rounds) — the transitive-closure step that
+  turns pairwise near-dups into "keep one per cluster" decisions.
 - embedding near-duplicates live in similarity.embedding_neardup_pairs
   (banded random-hyperplane LSH; see similarity.py).
 """
@@ -152,6 +155,73 @@ def ngram_jaccard(
         .select("a", "b", "inter", "uni")
     )
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    vertices: DataFrame | None = None,
+    key: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: every vertex gets
+    ``cluster_id`` = the minimum vertex id reachable through the pair
+    graph (isolated vertices map to themselves). This is the canonical
+    step after LSH pair generation — "keep one doc per component" is
+    what production dedup actually ships, and pairwise output alone
+    under-deletes transitive duplicate chains (a~b, b~c but not a~c).
+
+    Algorithm: min-label propagation with pointer jumping (the
+    alternating-star family of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public literature). Each round
+    (1) pulls the min label across edges, (2) shortcuts each label to
+    its label's label. Pointer jumping halves chain depth per round, so
+    rounds = O(log diameter) instead of O(diameter) — a 1M-link chain
+    converges in ~20 rounds, not 1M. Per round: two equi-joins + one
+    min-agg on uniform integer keys (AQE-safe, broadcast-free), and a
+    localCheckpoint to truncate lineage so the plan stays shallow under
+    any optimizer config. Convergence is a count of changed labels —
+    one small driver action per round, inherent to iterative fixpoints
+    (same trade documented for knn_join's bound pass).
+
+    Returns (``key``, cluster_id); deterministic for any edge order.
+    """
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+    # only vertices touched by an edge can ever change label — iterate
+    # over the pair graph alone (typically ≪ the corpus: most docs have
+    # no near-dup) and union the isolated vertices back at the end
+    touched = edges.select(F.col("u").alias("node")).distinct()
+    lab = touched.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(lab.withColumnRenamed("node", "v"), "v")
+            .groupBy("u").agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("u", "node")
+        )
+        pulled = lab.join(nbr, "node", "left").select(
+            "node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+        jump = pulled.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2"))
+        new = pulled.join(jump, "lbl", "left").select(
+            "node", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
+        new = new.localCheckpoint()
+        changed = (
+            new.join(lab.withColumnRenamed("lbl", "_old"), "node")
+            .filter(F.col("lbl") != F.col("_old")).limit(1).count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    out = lab
+    if vertices is not None:
+        verts = vertices.select(F.col(key).alias("node")).distinct()
+        out = verts.join(lab, "node", "left").select(
+            "node", F.coalesce("lbl", F.col("node")).alias("lbl"))
+    return out.select(F.col("node").alias(key), F.col("lbl").alias("cluster_id"))
 
 
 def simhash_pairs(

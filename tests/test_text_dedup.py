@@ -138,3 +138,49 @@ def test_fingerprints(spark, docs_df):
     sh = _shingles(DOCS.text[0])
     assert fp.fp_shingle[0] == min(_h60(s) for s in sh)
     assert fp.fp_shingle[6] == -1  # empty doc sentinel
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    roots = [find(i) for i in range(n_nodes)]
+    comp_min = {}
+    for i, r in enumerate(roots):
+        comp_min[r] = min(comp_min.get(r, i), i)
+    return {i: comp_min[roots[i]] for i in range(n_nodes)}
+
+
+@pytest.mark.parametrize("edges,n", [
+    ([], 5),                                        # no pairs: all isolated
+    ([(0, 1), (1, 2), (3, 4)], 6),                  # two components + isolate
+    ([(i, i + 1) for i in range(49)], 50),          # 50-chain: pointer jumping
+    ([(9, 4), (4, 7), (2, 8), (8, 9), (0, 5)], 12), # shuffled merge order
+])
+def test_connected_components_matches_union_find(spark, edges, n):
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)], "a long, b long")
+    if not edges:
+        pairs = pairs.limit(0)
+    verts = spark.range(n).withColumnRenamed("id", "doc_id")
+    got = dedup.connected_components(
+        pairs, vertices=verts, key="doc_id").toPandas()
+    want = _uf_components(n, edges)
+    assert dict(zip(got.doc_id, got.cluster_id)) == want
+    # a 50-link chain must converge well under the O(diameter) bound —
+    # pointer jumping halves depth per round (log2(50) ~ 6 rounds);
+    # max_iter=10 would NOT suffice for plain propagation
+    if len(edges) == 49:
+        got2 = dedup.connected_components(
+            pairs, vertices=verts, key="doc_id", max_iter=10).toPandas()
+        assert set(got2.cluster_id) == {0}
