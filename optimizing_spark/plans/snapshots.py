@@ -204,6 +204,52 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def read_changes(
+    spark: SparkSession, root: str, table: str,
+    from_version: int, to_version: int | None = None,
+) -> DataFrame:
+    """Incremental read: rows ADDED after ``from_version`` (exclusive)
+    up to ``to_version`` (inclusive, default current) — the union of
+    the append deltas in that range, scanning ONLY those dirs. This is
+    what makes downstream consumers cheap at 100 TB: a pipeline that
+    re-tiles or re-indexes per commit reads the new delta, not the
+    table (Iceberg's incremental append scan, re-expressed).
+
+    Raises ValueError if the range crosses an overwrite/rollback
+    commit: the state was replaced, so "what changed" is not a union of
+    deltas — the caller must fall back to a full read + diff.
+    """
+    log = snapshot_log(root, table)
+    if not log:
+        raise FileNotFoundError(f"no snapshots for table {table!r} under {root}")
+    if to_version is None:
+        to_version = log[-1]["version"]
+    known = {e["version"] for e in log}
+    for v in (from_version, to_version):
+        if v not in known:
+            raise FileNotFoundError(
+                f"table {table!r} has no snapshot version {v}")
+    if to_version < from_version:
+        raise ValueError(
+            f"to_version {to_version} < from_version {from_version}")
+    span = [e for e in log if from_version < e["version"] <= to_version]
+    bad = [e["version"] for e in span if e["operation"] != "append"]
+    if bad:
+        raise ValueError(
+            f"table {table!r}: versions {bad} in ({from_version}, "
+            f"{to_version}] are not appends — incremental read is not a "
+            "delta union across them; do a full read of the target version")
+    to_entry = next(e for e in log if e["version"] == to_version)
+    schema = StructType.fromJson(to_entry["schema"])
+    # each append's delta dir is the one dir it added over its parent
+    deltas = [e["data_dirs"][-1] for e in span]
+    if not deltas:
+        return spark.read.schema(schema).parquet(
+            os.path.join(root, table, to_entry["data_dirs"][-1])).limit(0)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(root, table, d) for d in deltas])
+
+
 def rollback(root: str, table: str, to_version: int) -> SnapshotInfo:
     """Append a new snapshot whose state IS an earlier version's (data
     untouched, O(1) pointer move — the persistent-tree property)."""

@@ -167,3 +167,32 @@ def test_unknown_version_and_empty_table_raise(spark, root):
         S.read_snapshot(spark, root, "e", version=9)
     with pytest.raises(FileNotFoundError):
         S.rollback(root, "e", to_version=9)
+
+
+def test_read_changes_returns_only_deltas(spark, root):
+    for lo in range(0, 40, 10):
+        S.commit_snapshot(spark, _df(spark, lo, lo + 10), root, "ch")
+    got = sorted(r.obj_id for r in
+                 S.read_changes(spark, root, "ch", from_version=1).collect())
+    assert got == list(range(10, 40))  # v2..v4 deltas, v1 excluded
+    mid = sorted(r.obj_id for r in
+                 S.read_changes(spark, root, "ch", 1, 3).collect())
+    assert mid == list(range(10, 30))
+    assert S.read_changes(spark, root, "ch", 2, 2).count() == 0  # empty range
+    with pytest.raises(FileNotFoundError):
+        S.read_changes(spark, root, "ch", 0)
+    with pytest.raises(ValueError):
+        S.read_changes(spark, root, "ch", 3, 1)
+
+
+def test_read_changes_refuses_overwrite_boundary(spark, root):
+    S.commit_snapshot(spark, _df(spark, 0, 10), root, "cw")
+    S.commit_snapshot(spark, _df(spark, 10, 20), root, "cw")
+    S.compact(spark, root, "cw")  # v3: overwrite
+    S.commit_snapshot(spark, _df(spark, 20, 25), root, "cw")  # v4
+    with pytest.raises(ValueError):
+        S.read_changes(spark, root, "cw", 1)  # range crosses the overwrite
+    # but a pure-append span after the overwrite still works
+    got = sorted(r.obj_id for r in
+                 S.read_changes(spark, root, "cw", 3, 4).collect())
+    assert got == list(range(20, 25))
