@@ -1474,8 +1474,11 @@ def _text_oracles() -> dict[str, str]:
     # min doc_id reachable through the pair graph (recursive CTE; UNION
     # dedups rows so the recursion terminates at the closure fixpoint)
     dedup_cc_sql = f"""
-        WITH RECURSIVE pairs AS ({lsh_pairs_sql}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({lsh_pairs_sql}),
+        edges AS MATERIALIZED (
+            -- MATERIALIZED: DuckDB otherwise inlines these CTEs, which
+            -- re-evaluates the whole LSH pipeline at EVERY recursion
+            -- step (minutes at sf0.1 instead of seconds)
             SELECT a AS u, b AS v FROM pairs
             UNION ALL SELECT b AS u, a AS v FROM pairs
         ),
