@@ -1135,6 +1135,40 @@ _SNAPSHOT_DELETE_SQL = """
 """
 
 
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O32 incremental scan through the REAL snapshot layer
+    (plans/snapshots.read_changes): orders committed as three append
+    thirds (v1 = keys%3==0, v2 += %3==1, v3 += %3==2), then an
+    incremental read of everything added AFTER v1 — which must be
+    exactly the %3 in {1,2} rows, scanning only the two delta dirs
+    (never v1's files). This is the Iceberg-style incremental append
+    scan the 100 TB consumer path depends on; the oracle is plain SQL
+    because each delta is a pure function of the input."""
+    import shutil
+    import tempfile
+
+    from optimizing_spark.plans import snapshots as SN
+
+    root = os.path.join(tempfile.gettempdir(), f"snapc_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    o = D.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("obj_id"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    for r in (0, 1, 2):
+        SN.commit_snapshot(spark, o.filter(F.col("obj_id") % 3 == r),
+                           root, "orders_t", operation="append")
+    delta = SN.read_changes(spark, root, "orders_t", from_version=1)
+    return delta.select("obj_id", "o_orderstatus", "cents")
+
+
+_SNAPSHOT_CHANGES_SQL = """
+    SELECT CAST(o_orderkey AS BIGINT) AS obj_id, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 3 <> 0
+"""
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema join + window: top-3 customers by order value per
     nation (broadcast dims, cent-exact sums, key tie-breaks)."""
@@ -1240,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_monthly_orders": q_monthly_orders,
         "q_top_customers": q_top_customers,
         "q_snapshot_delete": q_snapshot_delete,
+        "q_snapshot_changes": q_snapshot_changes,
         "q_docs_pipeline": q_docs_pipeline,
     }
 
@@ -1406,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY month_start, o_orderstatus
         """,
         "q_snapshot_delete": _SNAPSHOT_DELETE_SQL,
+        "q_snapshot_changes": _SNAPSHOT_CHANGES_SQL,
         "q_top_customers": """
             WITH rev AS (
                 SELECT o_custkey,
