@@ -137,6 +137,29 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "point_id")
 
 
+def q_pip_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star's broadcast point-in-polygon join: points against
+    convex quadrilaterals (supplier diamonds), boundary-inclusive
+    half-plane tests — integer cross products, so exact vs the
+    oracle's unrolled edge SQL."""
+    p = D.points(spark, sf_dir).select(
+        F.col("point_id"), F.col("px").alias("x"), F.col("py").alias("y"))
+    polys = D.polygons(spark, sf_dir)
+    out = J.polygon_join(p, polys, method="broadcast")
+    return out.select("query_id", "point_id")
+
+
+_PIP_POLY_SQL = f"""
+    WITH poly AS ({D.SQL_POLYGONS}), pts AS ({D.SQL_POINTS})
+    SELECT poly.query_id, pts.point_id
+    FROM poly JOIN pts ON
+          ex * (py - (cy - ey)) - ey * (px - cx) >= 0
+      AND (-ex) * (py - cy) - ey * (px - (cx + ex)) >= 0
+      AND (-ex) * (py - (cy + ey)) + ey * (px - cx) >= 0
+      AND ex * (py - cy) + ey * (px - (cx - ex)) >= 0
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2/O10: cell-pruned spatial range join (reporting-cell dedup)."""
     o = _objects_boxes(spark, sf_dir)
@@ -1234,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_morton": q_morton,
         "q_qt_assign": q_qt_assign,
         "q_pip_join": q_pip_join,
+        "q_pip_poly": q_pip_poly,
         "q_range_join": q_range_join,
         "q_linear_control": q_linear_control,
         "q_knn": q_knn,
@@ -1307,6 +1331,7 @@ def oracle_sql() -> dict[str, str]:
               ON pts.px >= qb.q_min_x AND pts.px <= qb.q_max_x
              AND pts.py >= qb.q_min_y AND pts.py <= qb.q_max_y
         """,
+        "q_pip_poly": _PIP_POLY_SQL,
         "q_range_join": _SQL_RANGE_PAIRS,
         "q_linear_control": _SQL_RANGE_PAIRS,
         "q_knn": f"""

@@ -126,6 +126,49 @@ def normalized_box(x, y, w, h, z=None, d=None) -> list[Column]:
     return out_min + out_max
 
 
+def point_in_convex_polygon(x, y, vertices) -> Column:
+    """Point-in-convex-polygon, boundary-inclusive: the point lies on
+    the non-negative side of every directed edge of a CCW-ordered
+    vertex ring (cross((b-a), (p-a)) >= 0 for each edge a->b, wrapping
+    b around to vertices[0] on the last edge).
+
+    `vertices` is an array<struct<x,y>> column. With integer coords
+    the cross products are exact (no epsilon), so results are
+    engine-independent — the polygon generalization of the closed
+    point-in-box rule (BoundaryBox.hpp:42-46; the reference is
+    AABB-only, this extends the same closed-boundary convention to the
+    north star's point-in-polygon joins). One aggregate fold over the
+    ring keeps it a single codegen'd JVM expression per row.
+    """
+    vs = _c(vertices)
+    px, py = _c(x), _c(y)
+    n = F.size(vs)
+
+    def edge_ok(i):
+        a = F.element_at(vs, i + 1)
+        b = F.element_at(vs, F.pmod(i + 1, n) + 1)
+        cross = (b["x"] - a["x"]) * (py - a["y"]) \
+            - (b["y"] - a["y"]) * (px - a["x"])
+        return cross >= 0
+
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(True),
+        lambda acc, i: acc & edge_ok(i),
+    )
+
+
+def polygon_bbox(vertices) -> list[Column]:
+    """[min_x, min_y, max_x, max_y] of a vertex ring — the coarse
+    prefilter for polygon joins (cheap AABB reject before the
+    per-edge fold)."""
+    vs = _c(vertices)
+    xs = F.transform(vs, lambda v: v["x"])
+    ys = F.transform(vs, lambda v: v["y"])
+    return [F.array_min(xs), F.array_min(ys),
+            F.array_max(xs), F.array_max(ys)]
+
+
 def box_center(box: BoxCols) -> list[Column]:
     """(min + max) * 0.5 (BoundaryBox.hpp:63)."""
     c = box.cols()

@@ -130,6 +130,61 @@ def linear_scan(objects: DataFrame, queries: DataFrame, convention: str = "rect"
     return objects.join(F.broadcast(q), pred)
 
 
+def polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    method: str = "broadcast",
+    world: Box2 | None = None,
+    depth: int = 6,
+) -> DataFrame:
+    """Point-in-convex-polygon join — the north star's "broadcast
+    point-in-polygon join", generalizing pip_join (O1/O11) from AABBs
+    to convex vertex rings. points(point_id, x, y) x polygons(
+    query_id, vertices: array<struct<x,y>>), boundary-inclusive CCW
+    half-plane test (functions/geometry.point_in_convex_polygon).
+
+    method='broadcast' (default, the small-dim case): broadcast the
+    polygons; the join condition puts the O(1) AABB reject BEFORE the
+    per-edge fold so codegen short-circuits non-candidates cheaply.
+
+    method='cells' (the both-sides-large case): polygons explode to
+    the fixed-depth grid cells their bbox covers, points hash to their
+    single cell, and candidates meet in an equi-join on (cell_x,
+    cell_y) — same shuffle shape as range_join; each point lives in
+    exactly one cell so no dedup pass is needed. At 100 TB this is the
+    plan: shuffle keyed on uniform integer cells, exact predicate only
+    on co-located candidates.
+    """
+    bx0, by0, bx1, by1 = G.polygon_bbox(F.col("vertices"))
+    polys = polygons.select(
+        "query_id", "vertices",
+        bx0.alias("_bx0"), by0.alias("_by0"),
+        bx1.alias("_bx1"), by1.alias("_by1"),
+    )
+    in_box = (
+        (F.col("x") >= F.col("_bx0")) & (F.col("x") <= F.col("_bx1"))
+        & (F.col("y") >= F.col("_by0")) & (F.col("y") <= F.col("_by1"))
+    )
+    in_poly = G.point_in_convex_polygon(
+        F.col("x"), F.col("y"), F.col("vertices"))
+    if method == "broadcast":
+        out = points.join(F.broadcast(polys), in_box & in_poly)
+    elif method == "cells":
+        if world is None:
+            raise ValueError("method='cells' needs a world box")
+        n, sx, sy = _grid(world, depth)
+        pc = explode_covering_cells(
+            polys, world, depth, "_bx0", "_by0", "_bx1", "_by1")
+        pt = points.withColumn(
+            "cell_x", _gcoord(F.col("x"), world.min_x, sx, n)
+        ).withColumn("cell_y", _gcoord(F.col("y"), world.min_y, sy, n))
+        out = pt.join(pc, ["cell_x", "cell_y"]).filter(in_box & in_poly) \
+            .drop("cell_x", "cell_y")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return out.drop("_bx0", "_by0", "_bx1", "_by1")
+
+
 def ring_semi_join(
     objects: DataFrame, queries: DataFrame, world: Box2, depth: int, k: int = 1
 ) -> DataFrame:

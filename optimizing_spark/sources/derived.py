@@ -98,6 +98,40 @@ FROM supplier
 """
 
 
+def polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One convex quadrilateral per supplier: the diamond inscribed in
+    that supplier's query box (vertices at the box edge midpoints),
+    CCW order — integer coords, so polygon predicates are exact."""
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    cx = (k * _QC[0]) % E
+    cy = (k * _QC[1]) % E
+    ex = 1024 + (k % 1024)
+    ey = 768 + (k % 768)
+
+    def v(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    return s.select(
+        k.alias("query_id"),
+        F.array(
+            v(cx, cy - ey), v(cx + ex, cy), v(cx, cy + ey), v(cx - ex, cy)
+        ).alias("vertices"),
+    )
+
+
+# DuckDB twin of polygons(): the diamond parameters as columns; the
+# oracle unrolls the 4 CCW edge cross-product tests over these.
+SQL_POLYGONS = f"""
+SELECT CAST(s_suppkey AS BIGINT) AS query_id,
+       (CAST(s_suppkey AS BIGINT) * {_QC[0]}) % {E} AS cx,
+       (CAST(s_suppkey AS BIGINT) * {_QC[1]}) % {E} AS cy,
+       1024 + CAST(s_suppkey AS BIGINT) % 1024 AS ex,
+       768 + CAST(s_suppkey AS BIGINT) % 768 AS ey
+FROM supplier
+"""
+
+
 # ---------------------------------------------------------------------------
 # points: one 2D point per customer
 # ---------------------------------------------------------------------------

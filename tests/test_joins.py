@@ -221,3 +221,120 @@ def test_knn_empty_objects_graceful(spark):
         got = joins.knn_join(qs, objs, QT_BENCH_WORLD, depth=5, k=3,
                              checkpoint=cp)
         assert got.count() == 0
+
+
+def _convex_polys(rng, n_polys, world=65536):
+    """Random convex polygons: sorted angular sweep of points around a
+    center — integer coords."""
+    polys = []
+    for qid in range(n_polys):
+        cx, cy = rng.integers(2000, world - 2000, size=2)
+        n_v = int(rng.integers(3, 8))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, size=n_v))
+        r = rng.integers(200, 1800, size=n_v)
+        xs = (cx + r * np.cos(ang)).astype(np.int64)
+        ys = (cy + r * np.sin(ang)).astype(np.int64)
+        # angular construction around the centroid is convex only if the
+        # radii don't fold edges back; enforce convexity by taking the
+        # convex hull via monotone cross-product pruning
+        pts = list(zip(xs.tolist(), ys.tolist()))
+        hull = _hull_ccw(pts)
+        if len(hull) >= 3:
+            polys.append((qid, hull))
+    return polys
+
+
+def _hull_ccw(pts):
+    """Andrew monotone chain -> CCW hull without repeated last point."""
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return pts
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+def _np_point_in_poly(px, py, hull):
+    """Boundary-inclusive CCW half-plane oracle (pure integer math)."""
+    n = len(hull)
+    for i in range(n):
+        ax, ay = hull[i]
+        bx, by = hull[(i + 1) % n]
+        if (bx - ax) * (py - ay) - (by - ay) * (px - ax) < 0:
+            return False
+    return True
+
+
+def test_polygon_join_matches_numpy_oracle(spark):
+    rng = np.random.default_rng(7)
+    polys = _convex_polys(rng, 25)
+    n_pts = 3000
+    px = rng.integers(0, 65536, size=n_pts)
+    py = rng.integers(0, 65536, size=n_pts)
+    # force boundary coverage: drop some points ON vertices and edges
+    for qid, hull in polys[:5]:
+        px[qid * 3], py[qid * 3] = hull[0]
+        mx = (hull[0][0] + hull[1][0]) // 2
+        my = (hull[0][1] + hull[1][1]) // 2
+        px[qid * 3 + 1], py[qid * 3 + 1] = mx, my
+
+    pts = spark.createDataFrame(
+        [(int(i), int(px[i]), int(py[i])) for i in range(n_pts)],
+        "point_id long, x long, y long")
+    pdf = spark.createDataFrame(
+        [(int(qid), [{"x": int(x), "y": int(y)} for x, y in hull])
+         for qid, hull in polys],
+        "query_id long, vertices array<struct<x:long,y:long>>")
+
+    got = joins.polygon_join(pts, pdf, method="broadcast") \
+        .select("query_id", "point_id").toPandas()
+    got_pairs = set(zip(got.query_id, got.point_id))
+
+    want = {
+        (qid, i)
+        for qid, hull in polys
+        for i in range(n_pts)
+        if _np_point_in_poly(int(px[i]), int(py[i]), hull)
+    }
+    assert got_pairs == want
+    # the forced on-vertex / on-edge points must be inside (closed rule)
+    for qid, hull in polys[:5]:
+        assert (qid, qid * 3) in got_pairs
+
+
+def test_polygon_join_cells_equals_broadcast(spark):
+    from optimizing_spark.config import Box2
+
+    rng = np.random.default_rng(11)
+    polys = _convex_polys(rng, 20)
+    n_pts = 2000
+    px = rng.integers(0, 65536, size=n_pts)
+    py = rng.integers(0, 65536, size=n_pts)
+    pts = spark.createDataFrame(
+        [(int(i), int(px[i]), int(py[i])) for i in range(n_pts)],
+        "point_id long, x long, y long")
+    pdf = spark.createDataFrame(
+        [(int(qid), [{"x": int(x), "y": int(y)} for x, y in hull])
+         for qid, hull in polys],
+        "query_id long, vertices array<struct<x:long,y:long>>")
+    world = Box2(0.0, 0.0, 65536.0, 65536.0)
+
+    a = joins.polygon_join(pts, pdf, method="broadcast") \
+        .select("query_id", "point_id").toPandas()
+    b = joins.polygon_join(pts, pdf, method="cells", world=world, depth=5) \
+        .select("query_id", "point_id").toPandas()
+    assert set(zip(a.query_id, a.point_id)) == set(zip(b.query_id, b.point_id))
