@@ -1238,6 +1238,37 @@ def _docs_pipeline_sql() -> str:
     """
 
 
+def q_hist_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance through the REAL snapshot layer:
+    driver documents committed as three append thirds; the per-cell
+    histogram is refreshed after the first commit (full build) and
+    after the tip (incremental: tiles ONLY the two appended deltas via
+    read_changes and merges counts). The final maintained histogram
+    must equal tiling the whole table — same oracle SQL as
+    q_docs_pipeline."""
+    import shutil
+    import tempfile
+
+    from optimizing_spark.plans import pipeline as P
+    from optimizing_spark.plans import snapshots as SN
+
+    root = os.path.join(tempfile.gettempdir(), f"histr_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    spans = D.docs_with_spans(D.load(spark, sf_dir, "documents")) \
+        .select("doc_id", "spans")
+    third = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(3))
+    SN.commit_snapshot(spark, spans.filter(third == 0), root, "docs_t")
+    P.refresh_cell_histogram(spark, root, "docs_t", "hist_t", how="oracle",
+                             max_node_depth=_MAX_ND)
+    SN.commit_snapshot(spark, spans.filter(third == 1), root, "docs_t")
+    SN.commit_snapshot(spark, spans.filter(third == 2), root, "docs_t")
+    info = P.refresh_cell_histogram(spark, root, "docs_t", "hist_t",
+                                    how="oracle", max_node_depth=_MAX_ND)
+    assert info.meta["mode"] == "incremental", info.meta
+    return SN.read_snapshot(spark, root, "hist_t") \
+        .select("qt_depth", "qt_code", "n_docs")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1300,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_delete": q_snapshot_delete,
         "q_snapshot_changes": q_snapshot_changes,
         "q_docs_pipeline": q_docs_pipeline,
+        "q_hist_refresh": q_hist_refresh,
     }
 
 
@@ -1655,4 +1687,5 @@ def _text_oracles() -> dict[str, str]:
             FROM events GROUP BY hour_start, event_type
         """,
         "q_docs_pipeline": _docs_pipeline_sql(),
+        "q_hist_refresh": _docs_pipeline_sql(),
     }

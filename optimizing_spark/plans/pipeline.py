@@ -88,3 +88,76 @@ def docs_range_query(tiled: DataFrame, boxes: DataFrame) -> DataFrame:
         & (F.col("iy") >= F.col("min_y")) & (F.col("iy") <= F.col("max_y"))
     )
     return tiled.join(F.broadcast(boxes), pred)
+
+
+def refresh_cell_histogram(
+    spark,
+    root: str,
+    docs_table: str,
+    hist_table: str,
+    how: str = "jvm",
+    max_node_depth: int = 4,
+):
+    """Incrementally maintain the per-cell histogram of a
+    snapshot-versioned documents table (plans/snapshots).
+
+    The 100 TB consumer pattern: per commit, tile ONLY the appended
+    delta (snapshots.read_changes — scans just the new dirs) and merge
+    its counts into the stored aggregate, instead of re-tiling the
+    table. The refreshed histogram is itself committed as a snapshot
+    of ``hist_table`` whose log meta records the source version
+    watermark (``src_version``) — so refresh is idempotent, resumable
+    after a crash (the watermark only advances when the new histogram
+    is durably committed), and auditable (meta.mode says whether the
+    refresh was incremental or full).
+
+    Falls back to a FULL re-aggregation when the source chain since
+    the watermark crosses a non-append commit (delete/overwrite/
+    rollback: "what changed" is not a union of deltas).
+
+    Returns the SnapshotInfo of the refreshed histogram (the current
+    one unchanged if the watermark is already at the source tip).
+    """
+    from . import snapshots as SN
+
+    src_v = SN.current_version(root, docs_table)
+    if src_v is None:
+        raise FileNotFoundError(f"no snapshots for {docs_table!r} under {root}")
+    log = SN.snapshot_log(root, hist_table)
+    last = log[-1] if log else None
+    prev_v = (last.get("meta") or {}).get("src_version") if last else None
+
+    def hist_of(docs: DataFrame) -> DataFrame:
+        return docs_cell_histogram(
+            tile_documents(docs.select("doc_id", "spans"), how=how,
+                           max_node_depth=max_node_depth))
+
+    if prev_v == src_v:
+        return SN.SnapshotInfo(
+            table=hist_table, version=last["version"],
+            operation=last["operation"], rows=last["rows"],
+            data_dirs=last["data_dirs"], parent=last.get("parent"),
+            meta=last.get("meta") or {})
+
+    mode = "full"
+    if prev_v is not None:
+        try:
+            delta = SN.read_changes(
+                spark, root, docs_table, from_version=prev_v,
+                to_version=src_v)
+            mode = "incremental"
+        except ValueError:
+            delta = None  # non-append in range -> full recompute
+    if mode == "incremental":
+        old = SN.read_snapshot(spark, root, hist_table)
+        new_hist = (
+            old.unionByName(hist_of(delta))
+            .groupBy("qt_depth", "qt_code")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+    else:
+        new_hist = hist_of(SN.read_snapshot(spark, root, docs_table,
+                                            version=src_v))
+    return SN.commit_snapshot(
+        spark, new_hist, root, hist_table, operation="overwrite",
+        meta={"src_version": src_v, "mode": mode, "from_version": prev_v})

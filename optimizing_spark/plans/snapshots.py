@@ -59,6 +59,7 @@ class SnapshotInfo:
     rows: int
     data_dirs: list[str]
     parent: int | None
+    meta: dict | None = None
 
 
 def _log_path(root: str, table: str) -> str:
@@ -125,8 +126,13 @@ def commit_snapshot(
     table: str,
     operation: str = "append",
     partition_by: list[str] | None = None,
+    meta: dict | None = None,
 ) -> SnapshotInfo:
     """Commit df as the next snapshot of the table.
+
+    meta: optional small JSON-able dict stored verbatim in the log
+    entry (e.g. a derived table's source-version watermark) — the
+    Iceberg snapshot-summary analog.
 
     operation='append': df becomes a new delta dir; the snapshot reads
     parent dirs + delta (old files shared, never rewritten).
@@ -174,11 +180,13 @@ def commit_snapshot(
         "data_dirs": dirs,
         "parent": parent["version"] if parent else None,
         "schema": schema_json,
+        "meta": meta or {},
     }
     _swap_log(root, table, entry, parent["version"] if parent else None)
     return SnapshotInfo(table=table, version=version, operation=operation,
                         rows=rows, data_dirs=dirs,
-                        parent=parent["version"] if parent else None)
+                        parent=parent["version"] if parent else None,
+                        meta=entry["meta"])
 
 
 def read_snapshot(

@@ -196,3 +196,57 @@ def test_read_changes_refuses_overwrite_boundary(spark, root):
     got = sorted(r.obj_id for r in
                  S.read_changes(spark, root, "cw", 3, 4).collect())
     assert got == list(range(20, 25))
+
+
+def test_refresh_cell_histogram_incremental_equals_full(spark, root):
+    """IVM: three append commits, refresh after the first (full) and
+    after the rest (incremental); the maintained histogram must equal
+    re-tiling the current snapshot from scratch."""
+    from optimizing_spark.plans import pipeline as P
+    from optimizing_spark.sources import datagen
+
+    docs = datagen.documents_spark_fast(spark, 900, partitions=2) \
+        .select("doc_id", "spans").localCheckpoint()
+    parts = [docs.limit(300),
+             docs.subtract(docs.limit(600)).localCheckpoint(),
+             docs.limit(600).subtract(docs.limit(300)).localCheckpoint()]
+    S.commit_snapshot(spark, parts[0], root, "docs")
+    h1 = P.refresh_cell_histogram(spark, root, "docs", "hist")
+    assert h1.meta["mode"] == "full" and h1.meta["src_version"] == 1
+
+    S.commit_snapshot(spark, parts[1], root, "docs")
+    S.commit_snapshot(spark, parts[2], root, "docs")
+    h2 = P.refresh_cell_histogram(spark, root, "docs", "hist")
+    assert h2.meta["mode"] == "incremental"
+    assert h2.meta["src_version"] == 3 and h2.meta["from_version"] == 1
+
+    got = {(r.qt_depth, r.qt_code): r.n_docs for r in
+           S.read_snapshot(spark, root, "hist").collect()}
+    want_df = P.docs_cell_histogram(
+        P.tile_documents(S.read_snapshot(spark, root, "docs")
+                         .select("doc_id", "spans")))
+    want = {(r.qt_depth, r.qt_code): r.n_docs for r in want_df.collect()}
+    assert got == want
+    assert sum(got.values()) == 900
+
+
+def test_refresh_cell_histogram_noop_and_delete_fallback(spark, root):
+    from optimizing_spark.plans import pipeline as P
+    from optimizing_spark.sources import datagen
+
+    docs = datagen.documents_spark_fast(spark, 400, partitions=2) \
+        .select("doc_id", "spans").localCheckpoint()
+    S.commit_snapshot(spark, docs, root, "docs")
+    h1 = P.refresh_cell_histogram(spark, root, "docs", "hist")
+    # watermark at tip -> no new histogram version
+    h1b = P.refresh_cell_histogram(spark, root, "docs", "hist")
+    assert h1b.version == h1.version
+
+    # delete (non-append) breaks the delta chain -> full recompute
+    dead = docs.limit(100).select("doc_id")
+    S.delete_commit(spark, root, "docs", dead, key="doc_id")
+    h2 = P.refresh_cell_histogram(spark, root, "docs", "hist")
+    assert h2.meta["mode"] == "full" and h2.meta["src_version"] == 2
+    got_total = S.read_snapshot(spark, root, "hist") \
+        .agg(F.sum("n_docs").alias("s")).collect()[0].s
+    assert got_total == 300
