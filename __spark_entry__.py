@@ -1088,6 +1088,31 @@ def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"))
 
 
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join (operators/temporal.py): every click event
+    picks the latest purchase by the same user at-or-before its ts
+    (largest event_id wins ties); NULLs when no prior purchase.
+    One hash shuffle on user_id — never an inequality join."""
+    from optimizing_spark.operators.temporal import asof_join
+
+    ev = D.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id")
+    j = asof_join(clicks, purchases, on="user_id",
+                  right_cols=["value"], tiebreak="event_id")
+    # no-match rows -> epoch/-1 sentinels (driver hashing of NULL
+    # timestamps is not portability-guaranteed; operator itself keeps
+    # left-join NULL semantics)
+    return j.select(
+        "event_id", "user_id", "ts", "value",
+        F.coalesce(F.col("asof_ts"),
+                   F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+         .alias("asof_ts"),
+        F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("asof_value"))
+
+
 def q_multi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 multi-assign: one row per (object, overlapped depth-6 grid
     cell) — the duplicate-to-all-children mode."""
@@ -1323,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_sessionize": q_sessionize,
+        "q_asof": q_asof,
         "q_hourly_events": q_hourly_events,
         "q_multi_assign": q_multi_assign,
         "q_json_extract": q_json_extract,
@@ -1667,6 +1693,28 @@ def _text_oracles() -> dict[str, str]:
         "q_embed_topk_ivf": _embed_ivf_sql(),
         "q_embed_neardup": neardup_sql,
         "q_embed_neardup_lsh": _embed_lsh_sql(),
+        "q_asof": """
+            WITH l AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE event_type = 'click'
+            ), r AS (
+                SELECT user_id, ts AS r_ts, value AS r_value,
+                       event_id AS r_eid
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT event_id, user_id, ts, value,
+                   COALESCE(asof_ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+                   COALESCE(asof_value, -1.0) AS asof_value
+            FROM (
+                SELECT l.*, r.r_ts AS asof_ts, r.r_value AS asof_value,
+                       row_number() OVER (
+                           PARTITION BY l.event_id
+                           ORDER BY r.r_ts DESC, r.r_eid DESC) AS rn
+                FROM l LEFT JOIN r
+                  ON l.user_id = r.user_id AND r.r_ts <= l.ts
+            )
+            WHERE rn = 1
+        """,
         "q_sessionize": """
             WITH g AS (
                 SELECT user_id,

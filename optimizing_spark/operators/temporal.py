@@ -1,0 +1,84 @@
+"""Temporal as-of join — "latest right-side state at each left event".
+
+The training-data-pipeline staple (feature backfill: join every
+observation to the most recent prior state of its key). The reference
+engine has no temporal operators; this extends the engine's join
+family (SURVEY §2.2) with the standard union+window as-of plan:
+
+    tag right rows 0 / left rows 1
+    -> unionByName (right payload nulled on left rows)
+    -> window PARTITION BY key ORDER BY (ts, side, tiebreak)
+       last(right_payload IGNORE NULLS) up to the current row
+    -> keep left rows
+
+Why this shape at 100 TB: ONE hash shuffle on the join key (same cost
+as any equi-join) and a single sort within partitions — never an
+inequality join (quadratic candidate blowup) and never a per-key
+loop. Skewed keys behave like any window skew (AQE handles the
+shuffle; a hot key's partition sort is O(n log n) in that key's rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+    strict: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row of the same
+    ``on`` key with right_ts <= left_ts (or < when ``strict``).
+
+    right_cols: right columns to carry (default: all but key + ts),
+    emitted as ``prefix + name`` (ts itself as ``prefix + right_ts``);
+    NULLs when no prior right row exists (left-join semantics).
+    tiebreak: column ordering equal-timestamp right rows — the LARGEST
+    wins (deterministic result under any partitioning); required for
+    exactness when right timestamps can collide.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(
+        F.col(right_ts).alias(right_ts),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else [F.lit(0).alias("_tb")]),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
+    )
+    # at equal ts the right row must sort BEFORE the left row for
+    # inclusive semantics (and AFTER it for strict)
+    side_rank = F.col("_side") if not strict else (1 - F.col("_side"))
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), side_rank.asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.withColumn(
+        "_m", F.last("_payload", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_side") == 1).select(
+        *[c for c in left.columns],
+        F.col(f"_m.{right_ts}").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+    return out

@@ -91,7 +91,8 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
             bv = bv.astype(np.float64)
             neq = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
         else:
-            neq = av != bv
+            # NaT == NaT (datetime columns from outer joins)
+            neq = (av != bv) & ~(pd.isna(av) & pd.isna(bv))
         if neq.any():
             i = int(np.argmax(neq))
             return False, (f"col {c}: {int(neq.sum())} diffs; first at row {i}: "

@@ -1,0 +1,105 @@
+"""asof_join vs a brute-force pandas oracle: inclusive/strict modes,
+no-match NULLs, equal-timestamp ties, and partitioning determinism."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from optimizing_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:05:00"), "a"),
+            (2, 10, _ts("2024-01-01T00:10:00"), "b"),
+            (3, 10, _ts("2024-01-01T00:00:00"), "c"),  # before any right
+            (4, 20, _ts("2024-01-01T01:00:00"), "d"),  # key with no right
+            (5, 30, _ts("2024-01-01T00:10:00"), "e"),  # exact-tie with right
+        ],
+        "lid long, k long, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T00:04:00"), 1.0),
+            (101, 10, _ts("2024-01-01T00:08:00"), 2.0),
+            (102, 10, _ts("2024-01-01T00:08:00"), 3.0),  # same-ts pair: larger rid wins
+            (103, 30, _ts("2024-01-01T00:10:00"), 4.0),  # == left ts
+        ],
+        "rid long, k long, ts timestamp_ntz, v double",
+    )
+    return left, right
+
+
+def _brute(left_rows, right_rows, strict):
+    out = {}
+    for lid, k, lts in left_rows:
+        best = None
+        for rid, rk, rts, v in right_rows:
+            if rk != k:
+                continue
+            if (rts > lts) if not strict else (rts >= lts):
+                continue
+            if best is None or (rts, rid) > (best[2], best[0]):
+                best = (rid, rk, rts, v)
+        out[lid] = best
+    return out
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_matches_brute_force(spark, frames, strict):
+    left, right = frames
+    got = {
+        r["lid"]: (r["asof_ts"], r["asof_v"], r["asof_rid"])
+        for r in asof_join(
+            left, right, on="k", right_cols=["v", "rid"],
+            strict=strict, tiebreak="rid",
+        ).collect()
+    }
+    lrows = [(r.lid, r.k, r.ts) for r in left.collect()]
+    rrows = [(r.rid, r.k, r.ts, r.v) for r in right.collect()]
+    want = _brute(lrows, rrows, strict)
+    assert set(got) == set(want)
+    for lid, best in want.items():
+        if best is None:
+            assert got[lid] == (None, None, None), lid
+        else:
+            rid, _, rts, v = best
+            assert got[lid] == (rts, v, rid), lid
+
+
+def test_asof_keeps_left_columns_and_rowcount(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", right_cols=["v"], tiebreak="rid")
+    assert out.columns == ["lid", "k", "ts", "tag", "asof_ts", "asof_v"]
+    assert out.count() == left.count()
+
+
+def test_asof_deterministic_under_repartition(spark, frames):
+    left, right = frames
+    a = asof_join(left, right, on="k", right_cols=["v"], tiebreak="rid")
+    b = asof_join(
+        left.repartition(7, "ts"), right.repartition(5, "v"),
+        on="k", right_cols=["v"], tiebreak="rid",
+    )
+    pa = a.toPandas().sort_values("lid").reset_index(drop=True)
+    pb = b.toPandas().sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_asof_single_shuffle_plan(spark, frames):
+    """The 100-TB contract: ONE hash exchange on the key, no join
+    operator at all (never an inequality/nested-loop join)."""
+    left, right = frames
+    plan = asof_join(
+        left, right, on="k", right_cols=["v"], tiebreak="rid",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
