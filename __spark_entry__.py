@@ -1113,6 +1113,41 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("asof_value"))
 
 
+def q_qt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable pyramid: count + integer sums for every quadtree
+    cell at every depth 0..6, shuffling the base table ONCE (at the
+    finest depth); each coarser level aggregates the previous level's
+    <=4^d rows. Extends O16's per-node count to the full pyramid."""
+    from optimizing_spark.operators.rollup import cell_rollup
+
+    o = D.objects2d(spark, sf_dir)
+    cell6 = C.morton2d(F.shiftright(F.col("ix"), 10),
+                       F.shiftright(F.col("iy"), 10))
+    return cell_rollup(o.withColumn("cell6", cell6), "cell6",
+                       depth=6, sums=["qty", "weight_c"])
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample of documents, keyed on a
+    content hash: stable under any partitioning/cluster size (native
+    df.sample is not), and a pure narrow filter — no shuffle."""
+    from optimizing_spark.operators.sampling import bernoulli_sample
+
+    d = D.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return bernoulli_sample(d, "doc_id", num=10, den=100)
+
+
+def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 20 events per
+    event_type, the smallest (hash, id) pairs — WindowGroupLimit keeps
+    map output at <=k rows per stratum before the single exchange."""
+    from optimizing_spark.operators.sampling import stratified_sample
+
+    ev = D.load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id")
+    return stratified_sample(ev, stratum="event_type", key="event_id", k=20)
+
+
 def q_multi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 multi-assign: one row per (object, overlapped depth-6 grid
     cell) — the duplicate-to-all-children mode."""
@@ -1247,6 +1282,38 @@ def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("qt_depth", "qt_code").agg(F.count("*").alias("n_docs"))
 
 
+def _qt_rollup_sql(depth: int = 6) -> str:
+    """DuckDB twin of q_qt_rollup: base agg at the finest depth, then
+    one UNION ALL re-aggregation per coarser level (code >> 2*delta)."""
+    base_cell = D.morton2d_sql("(ix >> 10)", "(iy >> 10)")
+    levels = [f"""
+        SELECT CAST({depth} AS INTEGER) AS depth, code, n, sum_qty,
+               sum_weight_c
+        FROM base"""]
+    for d in range(depth - 1, -1, -1):
+        sh = 2 * (depth - d)
+        levels.append(f"""
+        SELECT CAST({d} AS INTEGER) AS depth, code >> {sh} AS code,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(sum_qty) AS BIGINT) AS sum_qty,
+               CAST(sum(sum_weight_c) AS BIGINT) AS sum_weight_c
+        FROM base GROUP BY code >> {sh}""")
+    u = " UNION ALL ".join(levels)
+    return f"""
+        WITH objs AS ({D.SQL_OBJECTS}), base AS (
+            SELECT {base_cell} AS code, count(*) AS n,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty,
+                   CAST(sum(weight_c) AS BIGINT) AS sum_weight_c
+            FROM objs GROUP BY 1
+        )
+        {u}
+    """
+
+
+_SQL_UNIFORM_HASH = (
+    "CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)")
+
+
 def _docs_pipeline_sql() -> str:
     from optimizing_spark.functions.geocode import geocode_oracle_sql
 
@@ -1349,6 +1416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_sessionize": q_sessionize,
         "q_asof": q_asof,
+        "q_qt_rollup": q_qt_rollup,
+        "q_sample": q_sample,
+        "q_stratified": q_stratified,
         "q_hourly_events": q_hourly_events,
         "q_multi_assign": q_multi_assign,
         "q_json_extract": q_json_extract,
@@ -1693,6 +1763,18 @@ def _text_oracles() -> dict[str, str]:
         "q_embed_topk_ivf": _embed_ivf_sql(),
         "q_embed_neardup": neardup_sql,
         "q_embed_neardup_lsh": _embed_lsh_sql(),
+        "q_qt_rollup": _qt_rollup_sql(),
+        "q_sample": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE {_SQL_UNIFORM_HASH.format(k='doc_id')} % 100 < 10
+        """,
+        "q_stratified": f"""
+            SELECT event_type, event_id, user_id FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY {_SQL_UNIFORM_HASH.format(k='event_id')},
+                         event_id) <= 20
+        """,
         "q_asof": """
             WITH l AS (
                 SELECT event_id, user_id, ts, value
