@@ -853,6 +853,39 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(TX.tokens_col()).alias("n_tokens"))
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weights: tf x ln(N/df) per (doc, token), rounded to
+    6 decimals on both sides (libm ln is not bit-portable; the integer
+    tf/df/N inputs are). Two hash aggs + a token equi-join + a
+    broadcast 1-row N — the textbook distributed plan."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(TX.tokens_col()).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("_nd"))
+    return (
+        tf.join(dfreq, "tok").crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "tok", "tf", "df",
+            F.round(
+                F.col("tf") * F.log(F.col("_nd").cast("double") / F.col("df")),
+                6).alias("tfidf_r6"))
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: global top-100 tokens by exact count, (count
+    desc, token asc) tiebreak. orderBy+limit plans as
+    TakeOrderedAndProject — per-partition partial top-k, never a
+    global sort of the vocabulary."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(TX.tokens_col()).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc("tok")).limit(100)
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer quality components + deterministic score."""
     out = TX.quality_cols(_docs(spark, sf_dir))
@@ -1417,6 +1450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_asof": q_asof,
         "q_qt_rollup": q_qt_rollup,
+        "q_tfidf": q_tfidf,
+        "q_top_tokens": q_top_tokens,
         "q_sample": q_sample,
         "q_stratified": q_stratified,
         "q_hourly_events": q_hourly_events,
@@ -1764,6 +1799,25 @@ def _text_oracles() -> dict[str, str]:
         "q_embed_neardup": neardup_sql,
         "q_embed_neardup_lsh": _embed_lsh_sql(),
         "q_qt_rollup": _qt_rollup_sql(),
+        "q_tfidf": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({OT.TOKS}) AS tok FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, tok
+            ), dfreq AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY tok
+            ), nd AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, tok, tf, df,
+                   round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf_r6
+            FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+        """,
+        "q_top_tokens": f"""
+            SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({OT.TOKS}) AS tok FROM documents)
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 100
+        """,
         "q_sample": f"""
             SELECT doc_id, n_chars FROM documents
             WHERE {_SQL_UNIFORM_HASH.format(k='doc_id')} % 100 < 10
