@@ -401,6 +401,71 @@ def run_skew() -> dict:
     }
 
 
+def run_zorder() -> dict:
+    """Z-order bbox pruning A/B: a Morton-clustered parquet table read
+    through plans/zorder.read_morton_box (dir IN-list + pushed Morton
+    BETWEENs + exact residual) vs the naive bbox filter over the same
+    files. Same result set; the pruned read opens fewer files and
+    skips row groups via min/max stats on the sorted key."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.plans import layout, zorder
+
+    n = int(os.environ.get("SPARK_GRAFT_ZORDER_ROWS", "8000000"))
+    wb, pd_depth = 16, 3  # 64 partition dirs
+    box = (9000, 22000, 14095, 30123)  # ~0.24% of the world
+    spark = _session(CPUS)
+    path = tempfile.mkdtemp(prefix="zorder_bench_")
+    try:
+        t = zorder.with_morton_key(spark.range(n).select(
+            F.col("id").alias("obj_id"),
+            ((F.col("id") * 48271 + 11) % (1 << wb)).alias("ix"),
+            ((F.col("id") * 69621 + 7) % (1 << wb)).alias("iy"),
+        )).withColumn("cell_prefix",
+                      F.shiftright(F.col("m"), 2 * (wb - pd_depth)))
+        layout.write_clustered(t, path, order_col="m")
+
+        x0, y0, x1, y1 = box
+        naive = spark.read.parquet(path).filter(
+            (F.col("ix") >= x0) & (F.col("ix") <= x1)
+            & (F.col("iy") >= y0) & (F.col("iy") <= y1))
+        pruned = zorder.read_morton_box(
+            spark, path, x0, y0, x1, y1, world_bits=wb,
+            prefix_col="cell_prefix", prefix_depth=pd_depth)
+
+        def timed(df) -> tuple[float, int]:
+            best, rows = float("inf"), -1
+            for _ in range(3):
+                t0 = time.time()
+                rows = df.count()
+                best = min(best, time.time() - t0)
+            return round(best, 3), rows
+
+        t_naive, n_naive = timed(naive)
+        t_pruned, n_pruned = timed(pruned)
+        assert n_naive == n_pruned, (n_naive, n_pruned)
+        rep = layout.pruning_report(
+            pruned.select("obj_id", "m", "cell_prefix"))
+        rep_all = layout.pruning_report(
+            spark.read.parquet(path).select("obj_id", "m", "cell_prefix"))
+        return {
+            "metric": "zorder_box_read_speedup",
+            "value": round(t_naive / t_pruned, 2),
+            "unit": "x",
+            "rows": n,
+            "result_rows": n_naive,
+            "naive_sec": t_naive,
+            "pruned_sec": t_pruned,
+            "files_read": rep["files_read"],
+            "files_total": rep_all["files_read"],
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -410,5 +475,7 @@ if __name__ == "__main__":
         print(json.dumps(run_lshstats()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
+    elif "--zorder" in sys.argv:
+        print(json.dumps(run_zorder()))
     else:
         print(json.dumps(run_headline()))
