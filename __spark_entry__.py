@@ -894,6 +894,30 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").cast("long").alias("quality_score"))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition stats (word-bigram counts,
+    top-gram count, duplicate-gram mass + fraction)."""
+    return TX.repetition_cols(_docs(spark, sf_dir), k=2).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("top_gram_n").cast("long").alias("top_gram_n"),
+        F.col("dup_gram_n").cast("long").alias("dup_gram_n"),
+        "dup_frac_r6")
+
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality + language gates, exact dedup,
+    LSH near-dup removal — one lazy plan (operators/dedup.curate_corpus)."""
+    out = DD.curate_corpus(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        min_tokens=20, min_quality=60, lang="en",
+        jaccard_num=8, jaccard_den=10)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.col("quality_score").cast("long").alias("quality_score"),
+        F.col("_lg").alias("lg"))
+
+
 def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language heuristic."""
     return _docs(spark, sf_dir).select("doc_id", TX.lang_guess_col().alias("lg"))
@@ -1435,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_wide": q_agg_wide,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
+        "q_repetition": q_repetition,
+        "q_curate": q_curate,
         "q_lang_guess": q_lang_guess,
         "q_fingerprint": q_fingerprint,
         "q_exact_dedup": q_exact_dedup,
@@ -1737,6 +1763,55 @@ def _text_oracles() -> dict[str, str]:
         LEFT JOIN sizes zb ON zb.doc_id = p.b
     """
 
+    sh2 = OT.shingles_inline(2)
+    repetition_sql = f"""
+        WITH grams AS (
+            SELECT doc_id, unnest({sh2}) AS g FROM documents
+        ), per AS (
+            SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+        ), stats AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(max(c) AS BIGINT) AS top_gram_n,
+                   CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup_gram_n
+            FROM per GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_grams, 0) AS n_grams,
+               coalesce(s.top_gram_n, 0) AS top_gram_n,
+               coalesce(s.dup_gram_n, 0) AS dup_gram_n,
+               CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0.0
+                    ELSE round(CAST(s.dup_gram_n AS DOUBLE) / s.n_grams, 6)
+               END AS dup_frac_r6
+        FROM documents d LEFT JOIN stats s USING (doc_id)
+    """
+
+    curate_sql = f"""
+        WITH lang AS ({OT.lang_guess_sql()}),
+        qual AS (
+            SELECT doc_id, text, len({toks}) AS n_tokens,
+                   CAST(len({toks}) + 2 * len(list_distinct({toks}))
+                        + len(list_filter({toks}, t -> list_contains(['the','a','of','and','in','to'], t)))
+                        - floor(coalesce(list_aggregate(list_transform({toks}, t -> length(t)), 'sum'), 0) / 10)
+                        AS BIGINT) AS quality_score
+            FROM documents
+        ),
+        keep AS (
+            SELECT q.doc_id, q.text, q.n_tokens, q.quality_score, l.lg
+            FROM qual q JOIN lang l USING (doc_id)
+            WHERE q.n_tokens >= 20 AND q.quality_score >= 60 AND l.lg = 'en'
+        ),
+        ded AS (
+            SELECT k.doc_id, k.n_tokens, k.quality_score, k.lg
+            FROM keep k
+            JOIN (SELECT md5(text) AS fp, min(doc_id) AS mdoc
+                  FROM keep GROUP BY md5(text)) s
+              ON md5(k.text) = s.fp AND k.doc_id = s.mdoc
+        ),
+        pairs AS MATERIALIZED ({lsh_pairs_sql})
+        SELECT doc_id, n_tokens, quality_score, lg FROM ded
+        WHERE doc_id NOT IN (SELECT b FROM pairs)
+    """
+
     cos = ("round(list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) / "
            "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) * "
            "list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])), 6)")
@@ -1784,6 +1859,8 @@ def _text_oracles() -> dict[str, str]:
     return {
         "q_token_count": f"SELECT doc_id, len({toks}) AS n_tokens FROM documents",
         "q_quality": quality_sql,
+        "q_repetition": repetition_sql,
+        "q_curate": curate_sql,
         "q_lang_guess": OT.lang_guess_sql(),
         "q_fingerprint": fingerprint_sql,
         "q_exact_dedup": """

@@ -179,6 +179,49 @@ def quality_cols(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def repetition_cols(
+    df: DataFrame, text: str = "text", key: str = "doc_id", k: int = 2
+) -> DataFrame:
+    """Within-document repetition stats in the style of the Gopher
+    quality rules (Rae et al. 2021, "Scaling Language Models", App. A —
+    public literature): per document, the total word-k-gram count, the
+    count of the single most frequent k-gram, and the duplicate-gram
+    mass (occurrences of grams appearing >= 2 times). High duplicate
+    fractions flag boilerplate/spam docs a training pipeline drops.
+
+    Distributed shape: explode grams -> hash agg on (doc, gram) ->
+    re-agg on doc (both map-side-partial, uniform composite keys) ->
+    left join back to the doc table so gram-less docs (< k tokens)
+    survive with zeros. All JVM-side; integer outputs plus one rounded
+    fraction for the oracle bridge."""
+    grams = df.select(F.col(key), F.explode(shingles_col(text, k)).alias("_g"))
+    per = grams.groupBy(key, "_g").agg(F.count("*").alias("_c"))
+    stats = per.groupBy(key).agg(
+        F.sum("_c").alias("n_grams"),
+        F.max("_c").alias("top_gram_n"),
+        F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(F.lit(0)))
+        .alias("dup_gram_n"),
+    )
+    return (
+        df.select(key)
+        .join(stats, key, "left")
+        .select(
+            F.col(key),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("top_gram_n", F.lit(0)).alias("top_gram_n"),
+            F.coalesce("dup_gram_n", F.lit(0)).alias("dup_gram_n"),
+        )
+        .withColumn(
+            "dup_frac_r6",
+            F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("dup_gram_n").cast("double") / F.col("n_grams"), 6
+                )
+            ),
+        )
+    )
+
+
 def fingerprint_cols(df: DataFrame, text: str = "text", k: int = 3) -> DataFrame:
     """Document fingerprints: full-text md5 (exact dup key) + min-shingle
     hash (winnowing-style content fingerprint robust to reordering at

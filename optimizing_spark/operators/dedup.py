@@ -224,6 +224,53 @@ def connected_components(
     return out.select(F.col("node").alias(key), F.col("lbl").alias("cluster_id"))
 
 
+def curate_corpus(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    min_tokens: int = 20,
+    min_quality: int = 60,
+    lang: str = "en",
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually ships, as ONE lazy plan:
+
+      1. quality gate: n_tokens >= min_tokens AND quality_score >=
+         min_quality (functions/text.quality_cols — JVM expressions),
+      2. language gate: lang_guess == lang,
+      3. exact dedup over the gated set (min key per md5 content hash),
+      4. near-duplicate removal: drop the higher-id member (``b``) of
+         every LSH-verified near-dup pair via a left-anti join.
+
+    Near-dup pairs are computed over the FULL corpus, not the gated
+    subset: content duplication is a property of the corpus, and the
+    drop-b rule must not depend on whether the pair's canonical member
+    happened to clear the quality gates (a filter-dependent rule would
+    resurrect duplicates whenever thresholds move).
+
+    Scale shape: every stage is an equi-join or hash agg on uniform
+    keys (md5 / doc id / LSH bucket); the anti-join's right side is the
+    distinct b-set of verified pairs — bounded by the near-dup rate,
+    typically orders of magnitude below the corpus. Nothing here is
+    quadratic; the LSH candidate stage is the bucketed one from
+    minhash_lsh_pairs.
+
+    Returns the surviving rows of ``df`` with n_tokens, quality_score
+    and the language guess attached.
+    """
+    q = TX.quality_cols(df, text).withColumn("_lg", TX.lang_guess_col(text))
+    keep = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_score") >= min_quality)
+        & (F.col("_lg") == lang)
+    )
+    ded = exact_dedup(keep, text=text, key=key)
+    pairs = minhash_lsh_pairs(df, text=text, key=key, **lsh_kwargs)
+    drop = pairs.select(F.col("b").alias(key)).distinct()
+    return ded.join(drop, key, "left_anti")
+
+
 def simhash_pairs(
     df: DataFrame, text: str = "text", key: str = "doc_id",
     bits: int = 16, max_hamming: int = 2, max_bucket_rows: int = 4096,

@@ -131,6 +131,60 @@ def test_quality_and_lang(spark, docs_df):
     assert lang.set_index("doc_id").lg[0] == "en"
 
 
+def test_repetition_cols(spark, docs_df):
+    from collections import Counter
+    rep = TX.repetition_cols(docs_df, k=2).toPandas().set_index("doc_id")
+    for did in DOCS.doc_id:
+        grams = _shingles(DOCS.text[did], 2)
+        c = Counter(grams)
+        dup = sum(v for v in c.values() if v >= 2)
+        assert rep.loc[did, "n_grams"] == len(grams)
+        assert rep.loc[did, "top_gram_n"] == (max(c.values()) if c else 0)
+        assert rep.loc[did, "dup_gram_n"] == dup
+        want = round(dup / len(grams), 6) if grams else 0.0
+        assert abs(rep.loc[did, "dup_frac_r6"] - want) < 1e-9
+    # a genuinely repetitive doc: 'spam spam' x3 of 4 bigrams
+    boiler = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["spam spam spam spam ham"]}))
+    r = TX.repetition_cols(boiler, k=2).toPandas().iloc[0]
+    assert (r.n_grams, r.top_gram_n, r.dup_gram_n) == (4, 3, 3)
+    assert abs(r.dup_frac_r6 - 0.75) < 1e-9
+
+
+def test_curate_corpus(spark, docs_df):
+    STOP = {"the", "a", "of", "and", "in", "to"}
+
+    def qual(s):
+        t = _toks(s)
+        return (len(t) + 2 * len(set(t)) + sum(x in STOP for x in t)
+                - sum(len(x) for x in t) // 10)
+
+    lg = docs_df.select("doc_id", TX.lang_guess_col().alias("lg")) \
+        .toPandas().set_index("doc_id").lg
+    out = dedup.curate_corpus(
+        docs_df, min_tokens=8, min_quality=10, lang="en",
+        jaccard_num=5, jaccard_den=10).toPandas()
+    # python oracle for the composition: gates -> exact dedup -> drop b of
+    # every near-dup pair (pairs from the independently-tested LSH op)
+    keep = [d for d in DOCS.doc_id
+            if len(_toks(DOCS.text[d])) >= 8 and qual(DOCS.text[d]) >= 10
+            and lg[d] == "en"]
+    first_per_text = {}
+    for d in keep:
+        first_per_text.setdefault(DOCS.text[d], d)
+    ded = set(first_per_text.values())
+    pairs = dedup.minhash_lsh_pairs(
+        docs_df, jaccard_num=5, jaccard_den=10).toPandas()
+    expected = ded - set(pairs.b)
+    assert set(out.doc_id) == expected
+    assert expected, "gates must leave survivors or the test is vacuous"
+    byid = out.set_index("doc_id")  # itertuples mangles the _lg name
+    for d in expected:
+        assert byid.loc[d, "n_tokens"] == len(_toks(DOCS.text[d]))
+        assert byid.loc[d, "quality_score"] == qual(DOCS.text[d])
+        assert byid.loc[d, "_lg"] == lg[d]
+
+
 def test_fingerprints(spark, docs_df):
     fp = TX.fingerprint_cols(docs_df).toPandas().set_index("doc_id")
     assert fp.fp_md5[0] == fp.fp_md5[3] != fp.fp_md5[1]
