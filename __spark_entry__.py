@@ -894,6 +894,29 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").cast("long").alias("quality_score"))
 
 
+def q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-hint per-row invariant made driver-visible: the full
+    interleaved span sequence (kind, text, media_ref, offset, ORDER via
+    span_idx) per document, plus the per-doc canonical-encoding md5 —
+    span-sequence equality per document (BASELINE.json input_hint)
+    checked field-by-field AND at the encoding level by the gate's
+    value hash."""
+    from optimizing_spark.functions.geocode import _canon_expr
+
+    d = D.docs_with_spans(_docs(spark, sf_dir).select("doc_id", "text"))
+    d = d.withColumn("canon_md5", F.md5(_canon_expr()))
+    return d.select(
+        "doc_id", "canon_md5",
+        F.posexplode("spans").alias("span_idx", "s"),
+    ).select(
+        "doc_id", "span_idx",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("span_offset"),
+        "canon_md5")
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition stats (word-bigram counts,
     top-gram count, duplicate-gram mass + fraction)."""
@@ -1459,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_wide": q_agg_wide,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
+        "q_spans": q_spans,
         "q_repetition": q_repetition,
         "q_curate": q_curate,
         "q_lang_guess": q_lang_guess,
@@ -1859,6 +1883,20 @@ def _text_oracles() -> dict[str, str]:
     return {
         "q_token_count": f"SELECT doc_id, len({toks}) AS n_tokens FROM documents",
         "q_quality": quality_sql,
+        "q_spans": f"""
+            WITH c AS (
+                SELECT doc_id, text, md5({D.SQL_DOCS_CANON}) AS canon_md5
+                FROM documents
+            )
+            SELECT doc_id, 0 AS span_idx, 'text' AS kind,
+                   text AS span_text, '' AS media_ref,
+                   0 AS span_offset, canon_md5
+            FROM c
+            UNION ALL
+            SELECT doc_id, 1, 'image', '', 'img://' || md5(text),
+                   CAST(length(text) AS INTEGER), canon_md5
+            FROM c
+        """,
         "q_repetition": repetition_sql,
         "q_curate": curate_sql,
         "q_lang_guess": OT.lang_guess_sql(),
