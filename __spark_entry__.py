@@ -829,6 +829,247 @@ def _mirror_depth5_sql(depth: int = _MIRROR_DEPTH) -> str:
         "\nUNION ALL".join(outs) + ")"
 
 
+def _diffuse_bounce_sql() -> str:
+    """DuckDB twin of q_diffuse_bounce. Identical formula order
+    everywhere; md5-prefix uniforms are bit-exact, libm cos/sin may
+    differ from the JVM by ulps — absorbed by round-6 on the sampled
+    direction and by the exact (integer-emission * 0.5) radiance."""
+    h = ("CAST(('0x' || substr(md5('{s}:' || CAST(query_id AS VARCHAR)),"
+         " 1, 15)) AS BIGINT)")
+    u1 = f"(CAST({h.format(s='d1')} % 1048576 AS DOUBLE) / 1048576.0)"
+    u2 = f"(CAST({h.format(s='d2')} % 1048576 AS DOUBLE) / 1048576.0)"
+    sq_disc = "sqrt(greatest(disc, 0.0))"
+    root = (f"CASE WHEN -b - {sq_disc} > 1e-9 THEN -b - {sq_disc} "
+            f"WHEN -b + {sq_disc} > 1e-9 THEN -b + {sq_disc} END")
+    quad = """
+            SELECT r.query_id, r.dfx, r.dfy, r.dfz,
+                   s.obj_id, s.emit,
+                   ((r.ox - s.cx) * r.dx + (r.oy - s.cy) * r.dy
+                     + (r.oz - s.cz) * r.dz) AS b,
+                   ((r.ox - s.cx) * (r.ox - s.cx) + (r.oy - s.cy) * (r.oy - s.cy)
+                     + (r.oz - s.cz) * (r.oz - s.cz)) - s.radius * s.radius AS cc
+    """
+    return f"""
+        WITH spheres AS (
+            SELECT CAST(r_regionkey AS BIGINT) AS obj_id,
+                   CAST((CAST(r_regionkey AS BIGINT) * 37 % 101) - 50 AS DOUBLE) AS cx,
+                   CAST((CAST(r_regionkey AS BIGINT) * 53 % 101) - 50 AS DOUBLE) AS cy,
+                   CAST(25 + CAST(r_regionkey AS BIGINT) * 3 AS DOUBLE) AS cz,
+                   12.0 AS radius,
+                   CAST(CAST(r_regionkey AS BIGINT) + 1 AS DOUBLE) AS emit
+            FROM region
+            UNION ALL
+            SELECT 1000, 0.0, 0.0, -10001.0, 10000.0, 0.0
+        ), rays AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+                   CAST((CAST(n_nationkey AS BIGINT) * 104729 + 12345) % 101 - 50 AS DOUBLE) AS ox,
+                   CAST((CAST(n_nationkey AS BIGINT) * 48271 + 54321) % 101 - 50 AS DOUBLE) AS oy,
+                   10.0 AS oz, 0.0 AS dx, 0.0 AS dy, -1.0 AS dz
+            FROM nation
+        ), q1 AS (
+            SELECT r.query_id, r.ox, r.oy, r.oz, r.dx, r.dy, r.dz,
+                   s.obj_id, s.cx, s.cy, s.cz, s.radius,
+                   ((r.ox - s.cx) * r.dx + (r.oy - s.cy) * r.dy
+                     + (r.oz - s.cz) * r.dz) AS b,
+                   ((r.ox - s.cx) * (r.ox - s.cx) + (r.oy - s.cy) * (r.oy - s.cy)
+                     + (r.oz - s.cz) * (r.oz - s.cz)) - s.radius * s.radius AS cc
+            FROM rays r CROSS JOIN spheres s
+        ), d1 AS (SELECT *, b * b - cc AS disc FROM q1
+        ), t1 AS (SELECT *, {root} AS t FROM d1 WHERE disc >= 0
+        ), h1 AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY t, obj_id) AS rk
+            FROM t1 WHERE t IS NOT NULL
+        ), s1 AS (
+            SELECT query_id, ox + dx * t AS px, oy + dy * t AS py,
+                   oz + dz * t AS pz,
+                   (ox + dx * t - cx) / radius AS nlx,
+                   (oy + dy * t - cy) / radius AS nly,
+                   (oz + dz * t - cz) / radius AS nlz
+            FROM h1 WHERE rk = 1
+        ), b1 AS (
+            SELECT query_id, px, py, pz, nlx, nly, nlz,
+                   {u1} * 2.0 * 3.141592653589793 AS th,
+                   sqrt({u2}) AS r2s,
+                   sqrt(1.0 - {u2}) AS sq,
+                   CASE WHEN abs(nlx) > 0.1 THEN 0.0 ELSE 1.0 END AS ax_
+            FROM s1
+        ), c1 AS (
+            SELECT *, 1.0 - ax_ AS ay_ FROM b1
+        ), c2 AS (
+            SELECT *, ay_ * nlz AS cux, -(ax_ * nlz) AS cuy,
+                   ax_ * nly - ay_ * nlx AS cuz
+            FROM c1
+        ), ub AS (
+            SELECT *, cux / sqrt(cux * cux + cuy * cuy + cuz * cuz) AS ux,
+                      cuy / sqrt(cux * cux + cuy * cuy + cuz * cuz) AS uy,
+                      cuz / sqrt(cux * cux + cuy * cuy + cuz * cuz) AS uz
+            FROM c2
+        ), vb AS (
+            SELECT *, nly * uz - nlz * uy AS vx, nlz * ux - nlx * uz AS vy,
+                      nlx * uy - nly * ux AS vz
+            FROM ub
+        ), dirs AS (
+            SELECT *, ux * cos(th) * r2s + vx * sin(th) * r2s + nlx * sq AS rx,
+                      uy * cos(th) * r2s + vy * sin(th) * r2s + nly * sq AS ry,
+                      uz * cos(th) * r2s + vz * sin(th) * r2s + nlz * sq AS rz
+            FROM vb
+        ), nrm AS (
+            SELECT query_id, px, py, pz,
+                   rx / sqrt(rx * rx + ry * ry + rz * rz) AS dfx,
+                   ry / sqrt(rx * rx + ry * ry + rz * rz) AS dfy,
+                   rz / sqrt(rx * rx + ry * ry + rz * rz) AS dfz
+            FROM dirs
+        ), r2 AS (
+            SELECT query_id, dfx, dfy, dfz,
+                   px + dfx * 1e-6 AS ox, py + dfy * 1e-6 AS oy,
+                   pz + dfz * 1e-6 AS oz,
+                   dfx AS dx, dfy AS dy, dfz AS dz
+            FROM nrm
+        ), q2 AS ({quad}
+            FROM r2 r CROSS JOIN spheres s
+        ), d2 AS (SELECT *, b * b - cc AS disc FROM q2
+        ), t2 AS (SELECT *, {root} AS t FROM d2 WHERE disc >= 0
+        ), h2 AS (
+            SELECT query_id, obj_id AS obj2, emit AS emit2,
+                   row_number() OVER (PARTITION BY query_id ORDER BY t, obj_id) AS rk
+            FROM t2 WHERE t IS NOT NULL
+        )
+        SELECT r.query_id, coalesce(h.obj2, -1) AS obj2,
+               round(r.dfx, 6) AS dfx_r6, round(r.dfy, 6) AS dfy_r6,
+               round(r.dfz, 6) AS dfz_r6,
+               0.5 * coalesce(h.emit2, 0.0) AS radiance
+        FROM r2 r LEFT JOIN (SELECT * FROM h2 WHERE rk = 1) h USING (query_id)
+    """
+
+
+def _spheres_diffuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3D diffuse-bounce scene: five emissive spheres above a huge
+    floor sphere (smallpt-style ground; Raytracing.hpp scene layout).
+    All constants integer-derived so both engines build bit-identical
+    doubles."""
+    r = D.load(spark, sf_dir, "region")
+    k = F.col("r_regionkey").cast("long")
+    emitters = r.select(
+        k.alias("obj_id"),
+        ((k * 37 % 101) - 50).cast("double").alias("cx"),
+        ((k * 53 % 101) - 50).cast("double").alias("cy"),
+        (25 + k * 3).cast("double").alias("cz"),
+        F.lit(12.0).alias("radius"),
+        (k + 1).cast("double").alias("emit"),
+    )
+    floor = spark.range(1).select(
+        F.lit(1000).cast("long").alias("obj_id"),
+        F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy"),
+        F.lit(-10001.0).alias("cz"),
+        F.lit(10000.0).alias("radius"), F.lit(0.0).alias("emit"))
+    return emitters.unionByName(floor)
+
+
+def q_diffuse_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 DIFFUSE branch, driver-visible (Raytracing.hpp:566-580):
+    cosine-weighted hemisphere sample about the oriented normal — r1 =
+    2*pi*u1, r2s = sqrt(u2), basis u = norm(a x w) with a chosen by
+    |w.x| > 0.1, d = norm(u cos(r1) r2s + v sin(r1) r2s + w
+    sqrt(1-u2)) — then one next-event nearest hit. Uniforms come from
+    the md5-prefix bridge (bit-exact in both engines); the only
+    non-portable steps are libm cos/sin (ulp-level), absorbed by
+    round-6 on the sampled direction, while the OUTPUT radiance is
+    EXACT: emitters carry integer emission and the floor albedo is
+    0.5, so radiance = 0.5 * emit2 has no rounding at all and the
+    discrete second-hit identity is checked through obj2."""
+    from optimizing_spark.operators import raster as R
+
+    spheres = _spheres_diffuse(spark, sf_dir)
+    k = F.col("n_nationkey").cast("long")
+    rays = (
+        D.load(spark, sf_dir, "nation").select(
+            k.alias("query_id"),
+            ((k * 104729 + 12345) % 101 - 50).cast("double").alias("ox"),
+            ((k * 48271 + 54321) % 101 - 50).cast("double").alias("oy"))
+        .withColumn("oz", F.lit(10.0))
+        .withColumn("dx", F.lit(0.0)).withColumn("dy", F.lit(0.0))
+        .withColumn("dz", F.lit(-1.0))
+    )
+
+    def nearest(rdf: DataFrame) -> DataFrame:
+        t = R.ray_sphere_t(
+            (F.col("ox"), F.col("oy"), F.col("oz")),
+            (F.col("dx"), F.col("dy"), F.col("dz")),
+            (F.col("cx"), F.col("cy"), F.col("cz")), F.col("radius"))
+        j = rdf.crossJoin(F.broadcast(spheres)).withColumn("t", t) \
+            .filter(F.col("t").isNotNull())
+        w = Window.partitionBy("query_id").orderBy("t", "obj_id")
+        return j.withColumn("_rk", F.row_number().over(w)) \
+            .filter(F.col("_rk") <= 1).drop("_rk")
+
+    h1 = nearest(rays)
+    h1 = h1.withColumns({
+        "px": F.col("ox") + F.col("dx") * F.col("t"),
+        "py": F.col("oy") + F.col("dy") * F.col("t"),
+        "pz": F.col("oz") + F.col("dz") * F.col("t"),
+    })
+    # downward exterior hit: oriented normal nl == outward normal
+    h1 = h1.withColumns({
+        "nlx": (F.col("px") - F.col("cx")) / F.col("radius"),
+        "nly": (F.col("py") - F.col("cy")) / F.col("radius"),
+        "nlz": (F.col("pz") - F.col("cz")) / F.col("radius"),
+    })
+
+    def u01(stream: str):
+        h = F.expr(
+            f"cast(conv(substr(md5(concat('{stream}:', "
+            f"cast(query_id as string))), 1, 15), 16, 10) as bigint)")
+        return (h % 1048576).cast("double") / 1048576.0
+
+    h1 = h1.withColumns({
+        "_th": u01("d1") * 2.0 * 3.141592653589793,
+        "_r2s": F.sqrt(u01("d2")),
+        "_sq": F.sqrt(1.0 - u01("d2")),
+    })
+    # a = (0,1,0) if |w.x| > 0.1 else (1,0,0)  (smallpt u-basis pick)
+    ax = F.when(F.abs(F.col("nlx")) > 0.1, F.lit(0.0)).otherwise(F.lit(1.0))
+    h1 = h1.withColumn("_ax", ax).withColumn("_ay", 1.0 - F.col("_ax"))
+    cux = F.col("_ay") * F.col("nlz")
+    cuy = -F.col("_ax") * F.col("nlz")
+    cuz = F.col("_ax") * F.col("nly") - F.col("_ay") * F.col("nlx")
+    ulen = F.sqrt(cux * cux + cuy * cuy + cuz * cuz)
+    h1 = h1.withColumn("_ux", cux / ulen).withColumn("_uy", cuy / ulen) \
+           .withColumn("_uz", cuz / ulen)
+    vx = F.col("nly") * F.col("_uz") - F.col("nlz") * F.col("_uy")
+    vy = F.col("nlz") * F.col("_ux") - F.col("nlx") * F.col("_uz")
+    vz = F.col("nlx") * F.col("_uy") - F.col("nly") * F.col("_ux")
+    rx = F.col("_ux") * F.cos("_th") * F.col("_r2s") \
+        + vx * F.sin("_th") * F.col("_r2s") + F.col("nlx") * F.col("_sq")
+    ry = F.col("_uy") * F.cos("_th") * F.col("_r2s") \
+        + vy * F.sin("_th") * F.col("_r2s") + F.col("nly") * F.col("_sq")
+    rz = F.col("_uz") * F.cos("_th") * F.col("_r2s") \
+        + vz * F.sin("_th") * F.col("_r2s") + F.col("nlz") * F.col("_sq")
+    h1 = h1.withColumn("_rx", rx).withColumn("_ry", ry).withColumn("_rz", rz)
+    dlen = F.sqrt(F.col("_rx") * F.col("_rx") + F.col("_ry") * F.col("_ry")
+                  + F.col("_rz") * F.col("_rz"))
+    h1 = h1.withColumn("dfx", F.col("_rx") / dlen) \
+           .withColumn("dfy", F.col("_ry") / dlen) \
+           .withColumn("dfz", F.col("_rz") / dlen)
+
+    r2 = h1.select(
+        "query_id", "dfx", "dfy", "dfz",
+        (F.col("px") + F.col("dfx") * 1e-6).alias("ox"),
+        (F.col("py") + F.col("dfy") * 1e-6).alias("oy"),
+        (F.col("pz") + F.col("dfz") * 1e-6).alias("oz"),
+        F.col("dfx").alias("dx"), F.col("dfy").alias("dy"),
+        F.col("dfz").alias("dz"))
+    h2 = nearest(r2).select(
+        "query_id", F.col("obj_id").alias("obj2"), F.col("emit").alias("emit2"))
+    out = r2.join(h2, "query_id", "left")
+    return out.select(
+        "query_id",
+        F.coalesce("obj2", F.lit(-1)).alias("obj2"),
+        F.round("dfx", 6).alias("dfx_r6"),
+        F.round("dfy", 6).alias("dfy_r6"),
+        F.round("dfz", 6).alias("dfz_r6"),
+        (0.5 * F.coalesce("emit2", F.lit(0.0))).alias("radiance"))
+
+
 def q_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-aggregation sanity (TPC-H Q1 shape, integer-exact sums)."""
     li = D.load(spark, sf_dir, "lineitem")
@@ -1479,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ray_circle": q_ray_circle,
         "q_mirror_bounce": q_mirror_bounce,
         "q_mirror_depth5": q_mirror_depth5,
+        "q_diffuse_bounce": q_diffuse_bounce,
         "q_agg_wide": q_agg_wide,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
@@ -1645,6 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ray_circle": _SQL_RAY_CIRCLE.format(objs=D.SQL_OBJECTS, E=E),
         "q_mirror_bounce": _mirror_bounce_sql(),
         "q_mirror_depth5": _mirror_depth5_sql(),
+        "q_diffuse_bounce": _diffuse_bounce_sql(),
         "q_agg_wide": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

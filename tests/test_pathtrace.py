@@ -164,3 +164,78 @@ def test_pathtrace_deterministic_and_sane(spark):
     img = raster.render_raster(
         spark.createDataFrame(a), ["radiance"])
     assert img.count() == 64
+
+
+def test_diffuse_bounce_query_matches_numpy_replay(spark):
+    """q_diffuse_bounce (the driver-visible DIFFUSE branch) vs an
+    independent NumPy float64 replay of Raytracing.hpp:566-580: same
+    md5 uniforms, same hemisphere basis, same nearest-hit rule. The
+    discrete second-hit object and the exact 0.5*emit radiance must
+    match exactly; the sampled direction to 1e-9 (libm vs JVM ulps)."""
+    import hashlib
+    import math
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry.q_diffuse_bounce(spark, sf).toPandas().set_index("query_id")
+
+    spheres = [((k * 37 % 101) - 50.0, (k * 53 % 101) - 50.0, 25.0 + 3 * k,
+                12.0, float(k + 1), k) for k in range(5)]
+    spheres.append((0.0, 0.0, -10001.0, 10000.0, 0.0, 1000))
+
+    def u01(stream, qid):
+        h = int(hashlib.md5(f"{stream}:{qid}".encode()).hexdigest()[:15], 16)
+        return (h % 1048576) / 1048576.0
+
+    def hit(o, d):
+        best = None
+        for cx, cy, cz, r, emit, oid in spheres:
+            oc = (o[0] - cx, o[1] - cy, o[2] - cz)
+            b = oc[0] * d[0] + oc[1] * d[1] + oc[2] * d[2]
+            cc = oc[0] ** 2 + oc[1] ** 2 + oc[2] ** 2 - r * r
+            disc = b * b - cc
+            if disc < 0:
+                continue
+            s = math.sqrt(disc)
+            t = -b - s if -b - s > 1e-9 else (-b + s if -b + s > 1e-9 else None)
+            if t is None:
+                continue
+            if best is None or (t, oid) < (best[0], best[1]):
+                best = (t, oid, (cx, cy, cz), r, emit)
+        return best
+
+    for k in range(25):
+        ox = float((k * 104729 + 12345) % 101 - 50)
+        oy = float((k * 48271 + 54321) % 101 - 50)
+        t, oid, c, r, _ = hit((ox, oy, 10.0), (0.0, 0.0, -1.0))
+        p = (ox, oy, 10.0 - t)
+        nl = tuple((p[i] - c[i]) / r for i in range(3))
+        th = u01("d1", k) * 2.0 * math.pi
+        r2 = u01("d2", k)
+        r2s, sq = math.sqrt(r2), math.sqrt(1.0 - r2)
+        ax = 0.0 if abs(nl[0]) > 0.1 else 1.0
+        ay = 1.0 - ax
+        cu = (ay * nl[2], -(ax * nl[2]), ax * nl[1] - ay * nl[0])
+        ul = math.sqrt(sum(x * x for x in cu))
+        u = tuple(x / ul for x in cu)
+        v = (nl[1] * u[2] - nl[2] * u[1], nl[2] * u[0] - nl[0] * u[2],
+             nl[0] * u[1] - nl[1] * u[0])
+        raw = tuple(u[i] * math.cos(th) * r2s + v[i] * math.sin(th) * r2s
+                    + nl[i] * sq for i in range(3))
+        dl = math.sqrt(sum(x * x for x in raw))
+        df = tuple(x / dl for x in raw)
+        o2 = tuple(p[i] + df[i] * 1e-6 for i in range(3))
+        h2 = hit(o2, df)
+        row = got.loc[k]
+        assert abs(row.dfx_r6 - df[0]) < 1e-9 + 5e-7, k
+        assert abs(row.dfy_r6 - df[1]) < 1e-9 + 5e-7, k
+        assert abs(row.dfz_r6 - df[2]) < 1e-9 + 5e-7, k
+        if h2 is None:
+            assert row.obj2 == -1 and row.radiance == 0.0, k
+        else:
+            assert row.obj2 == h2[1], k
+            assert row.radiance == 0.5 * h2[4], k
+    assert (got.obj2 >= 0).sum() >= 3  # non-vacuous: real emitter hits
