@@ -829,6 +829,325 @@ def _mirror_depth5_sql(depth: int = _MIRROR_DEPTH) -> str:
         "\nUNION ALL".join(outs) + ")"
 
 
+_R0_GLASS = (0.5 * 0.5) / (2.5 * 2.5)  # Schlick r0 for ior 1.5 (Raytracing.hpp:595)
+_NNT_IN = 1.0 / 1.5
+
+
+def _refract_chain_sql() -> str:
+    """DuckDB twin of q_refract_chain. No trig anywhere, so every
+    double — including the roulette decisions and the final radiance —
+    is reproduced bit-for-bit; no rounding in the output at all."""
+    r0 = repr(_R0_GLASS)
+    r96 = repr(1.0 - _R0_GLASS)
+    nnt_in = repr(_NNT_IN)
+    h = ("CAST(('0x' || substr(md5('{s}:' || CAST(query_id AS VARCHAR)),"
+         " 1, 15)) AS BIGINT)")
+
+    def u01(s: str) -> str:
+        return f"(CAST({h.format(s=s)} % 1048576 AS DOUBLE) / 1048576.0)"
+
+    sq_disc = "sqrt(greatest(disc, 0.0))"
+    root = (f"CASE WHEN -b - {sq_disc} > 1e-9 THEN -b - {sq_disc} "
+            f"WHEN -b + {sq_disc} > 1e-9 THEN -b + {sq_disc} END")
+    ctes = [f"""spheres AS (
+            SELECT CAST(r_regionkey AS BIGINT) AS obj_id,
+                   CASE WHEN r_regionkey = 0 THEN 0.0
+                        ELSE CAST((CAST(r_regionkey AS BIGINT) * 97 % 401) - 200 AS DOUBLE) END AS cx,
+                   CASE WHEN r_regionkey = 0 THEN 0.0
+                        ELSE CAST((CAST(r_regionkey AS BIGINT) * 61 % 401) - 200 AS DOUBLE) END AS cy,
+                   CASE WHEN r_regionkey = 0 THEN 250.0 ELSE -250.0 END AS cz,
+                   120.0 AS radius,
+                   CAST(CAST(r_regionkey AS BIGINT) + 1 AS DOUBLE) AS emit
+            FROM region
+            UNION ALL SELECT 1000, 0.0, 0.0, 0.0, 30.0, 0.0)""",
+        f"""rayu AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS query_id FROM nation),
+        rayw AS (
+            SELECT query_id,
+                   {u01('r1')} - 0.5 AS w1, {u01('r2')} - 0.5 AS w2,
+                   {u01('r3')} - 0.5 AS w3
+            FROM rayu),
+        state0 AS (
+            SELECT query_id,
+                   CASE WHEN query_id % 2 = 0
+                        THEN CAST((query_id * 7 % 41) - 20 AS DOUBLE)
+                        ELSE CAST(24 + (query_id % 5) AS DOUBLE) END AS ox,
+                   CASE WHEN query_id % 2 = 0
+                        THEN CAST((query_id * 11 % 41) - 20 AS DOUBLE)
+                        ELSE CAST((query_id * 13 % 9) - 4 AS DOUBLE) END AS oy,
+                   CASE WHEN query_id % 2 = 0 THEN 100.0 ELSE 0.0 END AS oz,
+                   CASE WHEN query_id % 2 = 0 THEN 0.0
+                        ELSE w1 / sqrt(w1 * w1 + w2 * w2 + w3 * w3) END AS dx,
+                   CASE WHEN query_id % 2 = 0 THEN 0.0
+                        ELSE w2 / sqrt(w1 * w1 + w2 * w2 + w3 * w3) END AS dy,
+                   CASE WHEN query_id % 2 = 0 THEN -1.0
+                        ELSE w3 / sqrt(w1 * w1 + w2 * w2 + w3 * w3) END AS dz,
+                   1.0 AS tp, '' AS path
+            FROM rayw)"""]
+    outs = []
+    for i in (1, 2, 3):
+        p = i - 1
+        ctes.append(f"""cand{i} AS (
+            SELECT s.*, sp.obj_id, sp.cx, sp.cy, sp.cz, sp.radius, sp.emit,
+                   ((s.ox - sp.cx) * s.dx + (s.oy - sp.cy) * s.dy
+                     + (s.oz - sp.cz) * s.dz) AS b,
+                   ((s.ox - sp.cx) * (s.ox - sp.cx) + (s.oy - sp.cy) * (s.oy - sp.cy)
+                     + (s.oz - sp.cz) * (s.oz - sp.cz)) - sp.radius * sp.radius AS cc
+            FROM state{p} s CROSS JOIN spheres sp),
+        disc{i} AS (SELECT *, b * b - cc AS disc FROM cand{i}),
+        tt{i} AS (SELECT *, {root} AS t FROM disc{i} WHERE disc >= 0),
+        rk{i} AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY t, obj_id) AS rk
+            FROM tt{i} WHERE t IS NOT NULL),
+        hit{i} AS (SELECT * FROM rk{i} WHERE rk = 1)""")
+        outs.append(f"""
+            SELECT s.query_id, s.path || 'M' AS path,
+                   CAST(-1 AS BIGINT) AS hit_obj, 0.0 AS radiance
+            FROM state{p} s LEFT JOIN hit{i} h USING (query_id)
+            WHERE h.query_id IS NULL""")
+        outs.append(f"""
+            SELECT query_id, path || 'E' AS path, obj_id AS hit_obj,
+                   tp * emit AS radiance
+            FROM hit{i} WHERE obj_id < 1000""")
+        if i == 3:
+            outs.append(f"""
+            SELECT query_id, path || 'C' AS path,
+                   CAST(-1 AS BIGINT) AS hit_obj, 0.0 AS radiance
+            FROM hit{i} WHERE obj_id >= 1000""")
+            break
+        ctes.append(f"""ga{i} AS (
+            SELECT *, ox + dx * t AS px, oy + dy * t AS py, oz + dz * t AS pz
+            FROM hit{i} WHERE obj_id >= 1000),
+        gb{i} AS (
+            SELECT *, (px - cx) / radius AS nx, (py - cy) / radius AS ny,
+                   (pz - cz) / radius AS nz
+            FROM ga{i}),
+        gc{i} AS (SELECT *, dx * nx + dy * ny + dz * nz AS dot_ FROM gb{i}),
+        gd{i} AS (
+            SELECT *, nx * (CASE WHEN dot_ < 0 THEN 1.0 ELSE -1.0 END) AS nlx,
+                   ny * (CASE WHEN dot_ < 0 THEN 1.0 ELSE -1.0 END) AS nly,
+                   nz * (CASE WHEN dot_ < 0 THEN 1.0 ELSE -1.0 END) AS nlz
+            FROM gc{i}),
+        ge{i} AS (SELECT *, dx * nlx + dy * nly + dz * nlz AS ddn FROM gd{i}),
+        gf{i} AS (
+            SELECT *, CASE WHEN dot_ < 0 THEN {nnt_in} ELSE 1.5 END AS nnt
+            FROM ge{i}),
+        gg{i} AS (
+            SELECT *, 1.0 - nnt * nnt * (1.0 - ddn * ddn) AS cos2t FROM gf{i}),
+        gh{i} AS (
+            SELECT *, dx - 2.0 * dot_ * nx AS rdx, dy - 2.0 * dot_ * ny AS rdy,
+                   dz - 2.0 * dot_ * nz AS rdz,
+                   (CASE WHEN dot_ < 0 THEN 1.0 ELSE -1.0 END)
+                     * (ddn * nnt + sqrt(greatest(0.0, cos2t))) AS tcoef
+            FROM gg{i}),
+        gi{i} AS (
+            SELECT *, dx * nnt - nx * tcoef AS tx_, dy * nnt - ny * tcoef AS ty_,
+                   dz * nnt - nz * tcoef AS tz_
+            FROM gh{i}),
+        gj{i} AS (
+            SELECT *, tx_ / sqrt(tx_ * tx_ + ty_ * ty_ + tz_ * tz_) AS tdx,
+                   ty_ / sqrt(tx_ * tx_ + ty_ * ty_ + tz_ * tz_) AS tdy,
+                   tz_ / sqrt(tx_ * tx_ + ty_ * ty_ + tz_ * tz_) AS tdz
+            FROM gi{i}),
+        gk{i} AS (
+            SELECT *, tdx * nx + tdy * ny + tdz * nz AS cdot FROM gj{i}),
+        gl{i} AS (
+            SELECT *, 1.0 - (CASE WHEN dot_ < 0 THEN -ddn ELSE cdot END) AS c1
+            FROM gk{i}),
+        gm{i} AS (
+            SELECT *, {r0} + {r96} * c1 * c1 * c1 * c1 * c1 AS re FROM gl{i}),
+        gn{i} AS (
+            SELECT *, 0.25 + 0.5 * re AS p_, {u01(f'g{i}')} AS u_ FROM gm{i}),
+        gp{i} AS (
+            SELECT *,
+                   CASE WHEN cos2t < 0 OR u_ < p_ THEN rdx ELSE tdx END AS ndx,
+                   CASE WHEN cos2t < 0 OR u_ < p_ THEN rdy ELSE tdy END AS ndy,
+                   CASE WHEN cos2t < 0 OR u_ < p_ THEN rdz ELSE tdz END AS ndz,
+                   CASE WHEN cos2t < 0 THEN 1.0
+                        WHEN u_ < p_ THEN re / p_
+                        ELSE (1.0 - re) / (1.0 - p_) END AS wgt,
+                   CASE WHEN cos2t < 0 THEN 'T'
+                        WHEN u_ < p_ THEN 'R' ELSE 'F' END AS lbl
+            FROM gn{i}),
+        state{i} AS (
+            SELECT query_id, px + ndx * 1e-6 AS ox, py + ndy * 1e-6 AS oy,
+                   pz + ndz * 1e-6 AS oz, ndx AS dx, ndy AS dy, ndz AS dz,
+                   tp * wgt AS tp, path || lbl AS path
+            FROM gp{i})""")
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + \
+        "\nUNION ALL".join(outs) + ")"
+
+
+def _spheres_refract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refraction-chain scene: one glass sphere (obj_id 1000, r=30 at
+    the origin) + five big emitters — one overhead to catch entry-
+    reflected rays, four below to catch transmitted rays."""
+    r = D.load(spark, sf_dir, "region")
+    k = F.col("r_regionkey").cast("long")
+    emitters = r.select(
+        k.alias("obj_id"),
+        F.when(k == 0, F.lit(0.0))
+         .otherwise(((k * 97 % 401) - 200).cast("double")).alias("cx"),
+        F.when(k == 0, F.lit(0.0))
+         .otherwise(((k * 61 % 401) - 200).cast("double")).alias("cy"),
+        F.when(k == 0, F.lit(250.0)).otherwise(F.lit(-250.0)).alias("cz"),
+        F.lit(120.0).alias("radius"),
+        (k + 1).cast("double").alias("emit"))
+    glass = spark.range(1).select(
+        F.lit(1000).cast("long").alias("obj_id"),
+        F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy"), F.lit(0.0).alias("cz"),
+        F.lit(30.0).alias("radius"), F.lit(0.0).alias("emit"))
+    return emitters.unionByName(glass)
+
+
+def q_refract_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 REFRACTION branch, driver-visible AND fully bit-exact
+    (Raytracing.hpp:588-635): glass ior 1.5, total internal reflection,
+    Schlick fresnel re, and the reflect-vs-refract choice by the
+    deterministic roulette u < 0.25 + 0.5*re with re/p and
+    (1-re)/(1-p) weights — unrolled three segments. Unlike the diffuse
+    branch there is NO trig anywhere: every step is +,-,*,/,sqrt on
+    md5-bridge uniforms and integer-derived geometry, all correctly
+    rounded IEEE double, so DuckDB reproduces the radiance doubles
+    bit-for-bit with no rounding at all. Even nation keys fire
+    exterior rays through the sphere (entry refraction, exit via the
+    -b+sqrt(disc) inside root); odd keys start INSIDE with hash-random
+    directions so total internal reflection genuinely fires. path
+    letters: F refract, R roulette-reflect, T TIR, E emitter hit,
+    M miss, C depth cap."""
+    from optimizing_spark.operators import raster as R
+
+    spheres = _spheres_refract(spark, sf_dir)
+    k = F.col("n_nationkey").cast("long")
+
+    def u01(stream: str):
+        h = F.expr(
+            f"cast(conv(substr(md5(concat('{stream}:', "
+            f"cast(query_id as string))), 1, 15), 16, 10) as bigint)")
+        return (h % 1048576).cast("double") / 1048576.0
+
+    even = (F.col("query_id") % 2) == 0
+    w1, w2, w3 = u01("r1") - 0.5, u01("r2") - 0.5, u01("r3") - 0.5
+    wlen = F.sqrt(w1 * w1 + w2 * w2 + w3 * w3)
+    state = D.load(spark, sf_dir, "nation").select(k.alias("query_id")).select(
+        "query_id",
+        F.when(even, ((F.col("query_id") * 7 % 41) - 20).cast("double"))
+         .otherwise((24 + (F.col("query_id") % 5)).cast("double")).alias("ox"),
+        F.when(even, ((F.col("query_id") * 11 % 41) - 20).cast("double"))
+         .otherwise(((F.col("query_id") * 13 % 9) - 4).cast("double")).alias("oy"),
+        F.when(even, F.lit(100.0)).otherwise(F.lit(0.0)).alias("oz"),
+        F.when(even, F.lit(0.0)).otherwise(w1 / wlen).alias("dx"),
+        F.when(even, F.lit(0.0)).otherwise(w2 / wlen).alias("dy"),
+        F.when(even, F.lit(-1.0)).otherwise(w3 / wlen).alias("dz"),
+        F.lit(1.0).alias("tp"), F.lit("").alias("path"),
+    )
+
+    def nearest(rdf: DataFrame) -> DataFrame:
+        t = R.ray_sphere_t(
+            (F.col("ox"), F.col("oy"), F.col("oz")),
+            (F.col("dx"), F.col("dy"), F.col("dz")),
+            (F.col("cx"), F.col("cy"), F.col("cz")), F.col("radius"))
+        j = rdf.crossJoin(F.broadcast(spheres)).withColumn("t", t) \
+            .filter(F.col("t").isNotNull())
+        w = Window.partitionBy("query_id").orderBy("t", "obj_id")
+        return j.withColumn("_rk", F.row_number().over(w)) \
+            .filter(F.col("_rk") <= 1).drop("_rk")
+
+    outs = []
+    for i in (1, 2, 3):
+        h = nearest(state)
+        outs.append(
+            state.join(h.select("query_id"), "query_id", "left_anti").select(
+                "query_id", F.concat("path", F.lit("M")).alias("path"),
+                F.lit(-1).cast("long").alias("hit_obj"),
+                F.lit(0.0).alias("radiance")))
+        outs.append(h.filter(F.col("obj_id") < 1000).select(
+            "query_id", F.concat("path", F.lit("E")).alias("path"),
+            F.col("obj_id").alias("hit_obj"),
+            (F.col("tp") * F.col("emit")).alias("radiance")))
+        g = h.filter(F.col("obj_id") >= 1000)
+        if i == 3:
+            outs.append(g.select(
+                "query_id", F.concat("path", F.lit("C")).alias("path"),
+                F.lit(-1).cast("long").alias("hit_obj"),
+                F.lit(0.0).alias("radiance")))
+            break
+        g = g.withColumns({
+            "px": F.col("ox") + F.col("dx") * F.col("t"),
+            "py": F.col("oy") + F.col("dy") * F.col("t"),
+            "pz": F.col("oz") + F.col("dz") * F.col("t"),
+        })
+        g = g.withColumns({
+            "nx": (F.col("px") - F.col("cx")) / F.col("radius"),
+            "ny": (F.col("py") - F.col("cy")) / F.col("radius"),
+            "nz": (F.col("pz") - F.col("cz")) / F.col("radius"),
+        })
+        g = g.withColumn(
+            "_dot", F.col("dx") * F.col("nx") + F.col("dy") * F.col("ny")
+            + F.col("dz") * F.col("nz"))
+        into = F.col("_dot") < 0
+        flip = F.when(into, F.lit(1.0)).otherwise(F.lit(-1.0))
+        g = g.withColumns({
+            "nlx": F.col("nx") * flip, "nly": F.col("ny") * flip,
+            "nlz": F.col("nz") * flip,
+        })
+        g = g.withColumn(
+            "_ddn", F.col("dx") * F.col("nlx") + F.col("dy") * F.col("nly")
+            + F.col("dz") * F.col("nlz"))
+        nnt = F.when(into, F.lit(_NNT_IN)).otherwise(F.lit(1.5))
+        g = g.withColumn("_nnt", nnt).withColumn(
+            "_cos2t",
+            1.0 - F.col("_nnt") * F.col("_nnt") * (1.0 - F.col("_ddn") * F.col("_ddn")))
+        tir = F.col("_cos2t") < 0
+        # mirror reflection (shared by TIR and the roulette-reflect arm)
+        g = g.withColumns({
+            "rdx": F.col("dx") - 2.0 * F.col("_dot") * F.col("nx"),
+            "rdy": F.col("dy") - 2.0 * F.col("_dot") * F.col("ny"),
+            "rdz": F.col("dz") - 2.0 * F.col("_dot") * F.col("nz"),
+        })
+        sgn = F.when(into, F.lit(1.0)).otherwise(F.lit(-1.0))
+        tcoef = sgn * (F.col("_ddn") * F.col("_nnt")
+                       + F.sqrt(F.greatest(F.lit(0.0), F.col("_cos2t"))))
+        g = g.withColumns({
+            "_tx": F.col("dx") * F.col("_nnt") - F.col("nx") * tcoef,
+            "_ty": F.col("dy") * F.col("_nnt") - F.col("ny") * tcoef,
+            "_tz": F.col("dz") * F.col("_nnt") - F.col("nz") * tcoef,
+        })
+        tlen = F.sqrt(F.col("_tx") * F.col("_tx") + F.col("_ty") * F.col("_ty")
+                      + F.col("_tz") * F.col("_tz"))
+        g = g.withColumns({
+            "tdx": F.col("_tx") / tlen, "tdy": F.col("_ty") / tlen,
+            "tdz": F.col("_tz") / tlen,
+        })
+        cdot = (F.col("tdx") * F.col("nx") + F.col("tdy") * F.col("ny")
+                + F.col("tdz") * F.col("nz"))
+        c1 = 1.0 - F.when(into, -F.col("_ddn")).otherwise(cdot)
+        re = F.lit(_R0_GLASS) + F.lit(1.0 - _R0_GLASS) * c1 * c1 * c1 * c1 * c1
+        g = g.withColumn("_re", re).withColumn(
+            "_p", 0.25 + 0.5 * F.col("_re")).withColumn("_u", u01(f"g{i}"))
+        take_refl = tir | (F.col("_u") < F.col("_p"))
+        wgt = F.when(tir, F.lit(1.0)) \
+            .when(F.col("_u") < F.col("_p"), F.col("_re") / F.col("_p")) \
+            .otherwise((1.0 - F.col("_re")) / (1.0 - F.col("_p")))
+        lbl = F.when(tir, F.lit("T")) \
+            .when(F.col("_u") < F.col("_p"), F.lit("R")).otherwise(F.lit("F"))
+        ndx = F.when(take_refl, F.col("rdx")).otherwise(F.col("tdx"))
+        ndy = F.when(take_refl, F.col("rdy")).otherwise(F.col("tdy"))
+        ndz = F.when(take_refl, F.col("rdz")).otherwise(F.col("tdz"))
+        state = g.select(
+            "query_id",
+            (F.col("px") + ndx * 1e-6).alias("ox"),
+            (F.col("py") + ndy * 1e-6).alias("oy"),
+            (F.col("pz") + ndz * 1e-6).alias("oz"),
+            ndx.alias("dx"), ndy.alias("dy"), ndz.alias("dz"),
+            (F.col("tp") * wgt).alias("tp"),
+            F.concat("path", lbl).alias("path"))
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _diffuse_bounce_sql() -> str:
     """DuckDB twin of q_diffuse_bounce. Identical formula order
     everywhere; md5-prefix uniforms are bit-exact, libm cos/sin may
@@ -1721,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mirror_bounce": q_mirror_bounce,
         "q_mirror_depth5": q_mirror_depth5,
         "q_diffuse_bounce": q_diffuse_bounce,
+        "q_refract_chain": q_refract_chain,
         "q_agg_wide": q_agg_wide,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
@@ -1888,6 +2208,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mirror_bounce": _mirror_bounce_sql(),
         "q_mirror_depth5": _mirror_depth5_sql(),
         "q_diffuse_bounce": _diffuse_bounce_sql(),
+        "q_refract_chain": _refract_chain_sql(),
         "q_agg_wide": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

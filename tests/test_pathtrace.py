@@ -239,3 +239,107 @@ def test_diffuse_bounce_query_matches_numpy_replay(spark):
             assert row.obj2 == h2[1], k
             assert row.radiance == 0.5 * h2[4], k
     assert (got.obj2 >= 0).sum() >= 3  # non-vacuous: real emitter hits
+
+
+def test_refract_chain_query_matches_python_replay_exactly(spark):
+    """q_refract_chain vs an independent Python float replay of the
+    refraction branch (Raytracing.hpp:588-635). No trig anywhere, so
+    all three implementations (JVM, DuckDB, CPython) are correctly-
+    rounded IEEE double — equality is EXACT, including the roulette
+    decisions, TIR, and the final radiance."""
+    import hashlib
+    import math
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry.q_refract_chain(spark, sf).toPandas().set_index("query_id")
+
+    spheres = []
+    for k in range(5):
+        cx = 0.0 if k == 0 else float((k * 97 % 401) - 200)
+        cy = 0.0 if k == 0 else float((k * 61 % 401) - 200)
+        cz = 250.0 if k == 0 else -250.0
+        spheres.append((cx, cy, cz, 120.0, float(k + 1), k))
+    spheres.append((0.0, 0.0, 0.0, 30.0, 0.0, 1000))
+    R0 = (0.5 * 0.5) / (2.5 * 2.5)
+
+    def u01(stream, qid):
+        h = int(hashlib.md5(f"{stream}:{qid}".encode()).hexdigest()[:15], 16)
+        return (h % 1048576) / 1048576.0
+
+    def hit(o, d):
+        best = None
+        for cx, cy, cz, r, emit, oid in spheres:
+            oc = (o[0] - cx, o[1] - cy, o[2] - cz)
+            b = oc[0] * d[0] + oc[1] * d[1] + oc[2] * d[2]
+            cc = oc[0] * oc[0] + oc[1] * oc[1] + oc[2] * oc[2] - r * r
+            disc = b * b - cc
+            if disc < 0:
+                continue
+            s = math.sqrt(disc)
+            t = -b - s if -b - s > 1e-9 else (-b + s if -b + s > 1e-9 else None)
+            if t is None:
+                continue
+            if best is None or (t, oid) < (best[0], best[1]):
+                best = (t, oid, (cx, cy, cz), r, emit)
+        return best
+
+    n_tir = 0
+    for k in range(25):
+        if k % 2 == 0:
+            o = (float((k * 7) % 41 - 20), float((k * 11) % 41 - 20), 100.0)
+            d = (0.0, 0.0, -1.0)
+        else:
+            w = tuple(u01(s, k) - 0.5 for s in ("r1", "r2", "r3"))
+            wl = math.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2])
+            o = (float(24 + k % 5), float((k * 13) % 9 - 4), 0.0)
+            d = (w[0] / wl, w[1] / wl, w[2] / wl)
+        tp, path, hit_obj, radiance = 1.0, "", -1, 0.0
+        for seg in (1, 2, 3):
+            hb = hit(o, d)
+            if hb is None:
+                path += "M"
+                break
+            t, oid, c, r, emit = hb
+            if oid < 1000:
+                path += "E"
+                hit_obj, radiance = oid, tp * emit
+                break
+            if seg == 3:
+                path += "C"
+                break
+            p = tuple(o[i] + d[i] * t for i in range(3))
+            n = tuple((p[i] - c[i]) / r for i in range(3))
+            dot = d[0] * n[0] + d[1] * n[1] + d[2] * n[2]
+            into = dot < 0
+            nl = n if into else tuple(-x for x in n)
+            ddn = d[0] * nl[0] + d[1] * nl[1] + d[2] * nl[2]
+            nnt = (1.0 / 1.5) if into else 1.5
+            cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+            rd = tuple(d[i] - 2.0 * dot * n[i] for i in range(3))
+            tcoef = (1.0 if into else -1.0) * (ddn * nnt + math.sqrt(max(0.0, cos2t)))
+            tr = tuple(d[i] * nnt - n[i] * tcoef for i in range(3))
+            tl = math.sqrt(tr[0] * tr[0] + tr[1] * tr[1] + tr[2] * tr[2])
+            td = tuple(x / tl for x in tr)
+            cdot = td[0] * n[0] + td[1] * n[1] + td[2] * n[2]
+            c1 = 1.0 - (-ddn if into else cdot)
+            re = R0 + (1.0 - R0) * c1 * c1 * c1 * c1 * c1
+            pr = 0.25 + 0.5 * re
+            u = u01(f"g{seg}", k)
+            if cos2t < 0:
+                nd, w_, lbl = rd, 1.0, "T"
+                n_tir += 1
+            elif u < pr:
+                nd, w_, lbl = rd, re / pr, "R"
+            else:
+                nd, w_, lbl = td, (1.0 - re) / (1.0 - pr), "F"
+            o = tuple(p[i] + nd[i] * 1e-6 for i in range(3))
+            d, tp, path = nd, tp * w_, path + lbl
+        row = got.loc[k]
+        assert row.path == path, (k, row.path, path)
+        assert row.hit_obj == hit_obj, k
+        assert row.radiance == radiance, (k, row.radiance, radiance)
+    assert n_tir >= 2  # TIR genuinely exercised
