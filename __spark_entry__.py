@@ -117,6 +117,24 @@ def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
 
 
+def q_cell_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell exact distribution stats at the assigned quadtree node
+    (O6+O16 extension): R-7 linear-interpolated p25/p50/p75 of the
+    integer x coordinate plus min/max/count. On integer inputs the
+    interpolated quantiles are exact dyadic rationals (k/4), so Spark
+    percentile and DuckDB quantile_cont agree bit-for-bit with no
+    rounding bridge. One partial-agg hash shuffle on uniform
+    (depth, code) keys — the same plan at 100 TB."""
+    t = _qt_tiled(spark, sf_dir)
+    return t.groupBy("qt_depth", "qt_code").agg(
+        F.count("*").alias("n"),
+        F.min("ix").alias("min_ix"),
+        F.max("ix").alias("max_ix"),
+        F.expr("percentile(ix, 0.25)").alias("p25_ix"),
+        F.expr("percentile(ix, 0.5)").alias("p50_ix"),
+        F.expr("percentile(ix, 0.75)").alias("p75_ix"))
+
+
 def q_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O27: full-resolution 2D Morton code per object."""
     o = D.objects2d(spark, sf_dir)
@@ -2017,6 +2035,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_cell_counts": q_cell_counts,
+        "q_cell_quantiles": q_cell_quantiles,
         "q_morton": q_morton,
         "q_qt_assign": q_qt_assign,
         "q_pip_join": q_pip_join,
@@ -2090,6 +2109,15 @@ def oracle_sql() -> dict[str, str]:
             {tiled}
             SELECT qt_depth, qt_code, count(*) AS n FROM tiled
             GROUP BY qt_depth, qt_code
+        """,
+        "q_cell_quantiles": f"""
+            {tiled}
+            SELECT qt_depth, qt_code, count(*) AS n,
+                   min(ix) AS min_ix, max(ix) AS max_ix,
+                   quantile_cont(ix, 0.25) AS p25_ix,
+                   quantile_cont(ix, 0.5) AS p50_ix,
+                   quantile_cont(ix, 0.75) AS p75_ix
+            FROM tiled GROUP BY qt_depth, qt_code
         """,
         "q_morton": f"""
             WITH objs AS ({objs})
