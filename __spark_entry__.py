@@ -1746,6 +1746,37 @@ def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"))
 
 
+def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count sketch
+    (functions/sketches.py) next to the exact count it estimates —
+    two metrics so BOTH estimator branches are gate-visible:
+
+    - ``users_day``: distinct user_id per event day (~hundreds of keys
+      -> many empty registers -> the linear-counting correction path);
+    - ``events_all``: distinct event_id over the whole table (>2.5m
+      keys at every sf -> the raw harmonic-mean path).
+
+    The sketch registers are exact integer arithmetic off the portable
+    md5 uniform, so DuckDB rebuilds the identical sketch; the single
+    libm ln in the correction branch is bridged by round-6 on both
+    sides (the TF-IDF recipe)."""
+    from optimizing_spark.functions import sketches as SK
+
+    ev = D.load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    users = ev.select(day.alias("day"), F.col("user_id").alias("k"))
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    evs = ev.select(epoch.alias("day"), F.col("event_id").alias("k"))
+
+    def part(src: DataFrame, metric: str) -> DataFrame:
+        est = SK.hll_distinct(src, ["day"], "k")
+        exact = src.groupBy("day").agg(F.countDistinct("k").alias("n_exact"))
+        return exact.join(est, "day").select(
+            F.lit(metric).alias("metric"), "day", "n_exact", "hll_distinct")
+
+    return part(users, "users_day").unionByName(part(evs, "events_all"))
+
+
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal as-of join (operators/temporal.py): every click event
     picks the latest purchase by the same user at-or-before its ts
@@ -2032,6 +2063,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return hits.groupBy("query_id").agg(F.count("*").alias("n"))
 
 
+def _hll_sql(metric: str, day_sql: str, key_sql: str) -> str:
+    """DuckDB twin of one q_hll metric: rebuilds the HLL registers
+    from the portable md5 uniform with exact integer arithmetic
+    (term = 1 << length(bin(min_w)) — see functions/sketches.py) and
+    mirrors the estimator's branch + expression order; round-6
+    absorbs the one libm ln in the linear-counting branch."""
+    from optimizing_spark.functions import sketches as SK
+
+    m, p = SK.HLL_M, SK.HLL_P
+    return f"""
+      SELECT '{metric}' AS metric, c.day AS day, c.n_exact AS n_exact,
+             round(x.est, 6) AS hll_distinct
+      FROM (
+        SELECT {day_sql} AS day,
+               CAST(count(DISTINCT {key_sql}) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+      ) c
+      JOIN (
+        SELECT day,
+               CASE WHEN e_raw <= {SK._LC_BOUND!r} AND v > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+                    ELSE e_raw END AS est
+        FROM (
+          SELECT day,
+                 {SK.HLL_EST_NUM!r}
+                   / CAST(sp + (({m} - np) * {1 << SK.RHO_MAX}) AS DOUBLE)
+                   AS e_raw,
+                 {m} - np AS v
+          FROM (
+            SELECT day, CAST(count(*) AS BIGINT) AS np,
+                   CAST(sum(CASE WHEN mw = 0 THEN 1
+                            ELSE (CAST(1 AS BIGINT) << length(bin(mw)))
+                            END) AS BIGINT) AS sp
+            FROM (
+              SELECT day, h % {m} AS j, min(h >> {p}) AS mw
+              FROM (
+                SELECT {day_sql} AS day,
+                       CAST(('0x'||substr(md5(CAST({key_sql} AS VARCHAR)),1,15))
+                            AS BIGINT) AS h
+                FROM events
+              ) GROUP BY day, h % {m}
+            ) GROUP BY day
+          )
+        )
+      ) x ON c.day = x.day
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_cell_counts": q_cell_counts,
@@ -2079,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_sessionize": q_sessionize,
+        "q_hll": q_hll,
         "q_asof": q_asof,
         "q_qt_rollup": q_qt_rollup,
         "q_tfidf": q_tfidf,
@@ -2579,4 +2659,11 @@ def _text_oracles() -> dict[str, str]:
         """,
         "q_docs_pipeline": _docs_pipeline_sql(),
         "q_hist_refresh": _docs_pipeline_sql(),
+        "q_hll": f"""
+            {_hll_sql("users_day",
+                      "CAST(date_trunc('day', ts) AS TIMESTAMP)", "user_id")}
+            UNION ALL
+            {_hll_sql("events_all",
+                      "TIMESTAMP '1970-01-01 00:00:00'", "event_id")}
+        """,
     }

@@ -1,0 +1,99 @@
+"""Portable cardinality sketch: HyperLogLog distinct-count as pure
+column expressions, deterministic and engine-portable.
+
+Spark's own ``approx_count_distinct`` is an HLL++ whose register
+hashing is JVM-private — fine for one engine, but a training-data
+pipeline that audits its corpus stats across engines (Spark job vs
+warehouse SQL) needs the SAME estimate from the same rows. This
+sketch derives everything from the portable md5-prefix uniform the
+engine already uses for sampling/LSH (operators/sampling.uniform_hash
+convention), so DuckDB reproduces the registers — and therefore the
+estimate — bit-for-bit (see __spark_entry__.q_hll's oracle twin).
+
+Algorithm (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+near-optimal cardinality estimation algorithm" — public literature),
+with the classic small-range linear-counting correction:
+
+- 60-bit hash h; register ``j = h mod m`` (m = 2^p), rho-source
+  ``w = h >> p`` (60-p bits).
+- Register value ``M_j = max rho(w)`` where rho = leading zeros of w
+  + 1. rho is monotone in w, so ``max rho == rho(min w)`` — the
+  per-register aggregate is a plain integer ``min``, which Spark
+  executes with map-side partial aggregation (the sketch is mergeable
+  by construction: merging two sketches = elementwise min of w).
+- Estimate ``E = alpha_m * m^2 / sum_j 2^(-M_j)``. Scaled by 2^(60-p+1)
+  the denominator is an INTEGER: a present register contributes
+  ``2^bitlen(min_w)`` (since 2^(RHO_MAX - rho) == 2^bitlen(w) for
+  w > 0, and 1 for w == 0) and an absent register ``2^RHO_MAX`` —
+  so the whole sketch is exact integer arithmetic with ONE final
+  double division. ``bitlen`` is ``length(bin(w))`` in both engines.
+- If E <= 2.5m and V = #zero registers > 0: E = m * ln(m / V)
+  (linear counting). The branch condition compares bit-identical
+  doubles, so both engines take the same branch; ln is the only
+  libm call and is bridged by the caller's round-6.
+
+At 100 TB: one narrow projection + two hash aggregations whose keys
+are (group, register) then (group) — the first is bounded by
+|groups| * m rows after map-side combine regardless of input size,
+which is the entire point of sketching the distinct count instead of
+``count(distinct)`` (whose exact expand-shuffle moves every key).
+
+Standard error ~1.04/sqrt(m) = 6.5% at the default p=8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8
+HLL_M = 1 << HLL_P
+_WBITS = 60 - HLL_P          # rho-source width
+RHO_MAX = _WBITS + 1         # rho when w == 0
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# E = HLL_EST_NUM / S_int, S_int = sum_j 2^(RHO_MAX - M_j)  (integer)
+HLL_EST_NUM = _ALPHA * HLL_M * HLL_M * float(1 << RHO_MAX)
+_LC_BOUND = 2.5 * HLL_M      # small-range correction threshold
+
+
+def hash60(key) -> Column:
+    """The engine's portable 60-bit uniform (same expression as
+    operators/sampling.uniform_hash; DuckDB twin:
+    CAST(('0x'||substr(md5(CAST(k AS VARCHAR)),1,15)) AS BIGINT))."""
+    c = key if not isinstance(key, str) else F.col(key)
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10) \
+        .cast("long")
+
+
+def hll_distinct(
+    df: DataFrame,
+    groups: list[str],
+    key: str,
+    est_col: str = "hll_distinct",
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate of ``key`` (one row per
+    group, estimate rounded to 6 decimals)."""
+    h = hash60(key)
+    reg = (
+        df.select(*groups,
+                  (h % HLL_M).alias("_j"),
+                  F.shiftright(h, HLL_P).alias("_w"))
+        .groupBy(*groups, "_j")
+        .agg(F.min("_w").alias("_mw"))
+    )
+    # scaled register term: 2^(RHO_MAX - rho) == 2^bitlen(w) for w>0
+    term = F.when(F.col("_mw") == 0, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(cast(1 as bigint), length(bin(_mw)))"))
+    s = reg.groupBy(*groups).agg(
+        F.count("*").alias("_np"),
+        F.sum(term).alias("_sp"),
+    )
+    s_int = (F.col("_sp")
+             + (F.lit(HLL_M) - F.col("_np")) * F.lit(1 << RHO_MAX))
+    v = F.lit(HLL_M) - F.col("_np")
+    e_raw = F.lit(HLL_EST_NUM) / s_int.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(_LC_BOUND)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return s.select(*groups, F.round(est, 6).alias(est_col))

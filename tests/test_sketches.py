@@ -1,0 +1,79 @@
+"""functions/sketches.py — portable HLL distinct-count.
+
+The sketch is deterministic (md5-derived registers, integer
+arithmetic), so the Spark column pipeline must match a pure-Python
+replica of the same algorithm exactly — not just statistically — and
+must be invariant to partitioning (register min-agg is order-free).
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from optimizing_spark.functions import sketches as SK
+
+
+def _py_hll(keys) -> float:
+    """Pure-Python replica of hll_distinct for one group (unrounded)."""
+    m = SK.HLL_M
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        j = h % m
+        w = h >> SK.HLL_P
+        regs[j] = min(regs.get(j, 1 << 62), w)
+    s = 0
+    for j in range(m):
+        if j in regs:
+            mw = regs[j]
+            s += 1 if mw == 0 else (1 << mw.bit_length())
+        else:
+            s += 1 << SK.RHO_MAX
+    e_raw = SK.HLL_EST_NUM / float(s)
+    v = m - len(regs)
+    if e_raw <= 2.5 * m and v > 0:
+        return float(m) * math.log(float(m) / v)
+    return e_raw
+
+
+@pytest.fixture(scope="module")
+def groups_df(spark):
+    # group 'lc': 100 distinct keys x3 copies  -> linear-counting branch
+    # group 'raw': 5000 distinct keys          -> raw harmonic-mean branch
+    lc = spark.range(300).select(
+        F.lit("lc").alias("g"), (F.col("id") % 100).alias("k"))
+    raw = spark.range(5000).select(
+        F.lit("raw").alias("g"), F.col("id").alias("k"))
+    return lc.unionByName(raw)
+
+
+def test_hll_matches_python_replica_exactly(spark, groups_df):
+    got = {r["g"]: r["hll_distinct"]
+           for r in SK.hll_distinct(groups_df, ["g"], "k").collect()}
+    want = {"lc": _py_hll(range(100)), "raw": _py_hll(range(5000))}
+    assert set(got) == set(want)
+    for g in want:
+        # spark side rounds to 6; the only FP divergence allowed is
+        # that rounding plus ln ulps (~1e-13 relative)
+        assert got[g] == pytest.approx(want[g], abs=1e-6), g
+
+
+def test_hll_branches_and_accuracy(spark, groups_df):
+    got = {r["g"]: r["hll_distinct"]
+           for r in SK.hll_distinct(groups_df, ["g"], "k").collect()}
+    # lc group: 100 << 2.5m -> linear counting, typically ~1-3% error
+    assert abs(got["lc"] / 100.0 - 1) < 0.10
+    # raw group: 5000 >= 2.5m -> harmonic mean, sigma = 1.04/sqrt(256)
+    assert abs(got["raw"] / 5000.0 - 1) < 0.20
+    # and the branches really differ: raw estimate can't equal the
+    # LC formula's range (sanity that the CASE is live)
+    assert got["raw"] > 2.5 * SK.HLL_M
+
+
+def test_hll_partitioning_invariance(spark, groups_df):
+    a = SK.hll_distinct(groups_df.repartition(1), ["g"], "k").collect()
+    b = SK.hll_distinct(groups_df.repartition(17, "k"), ["g"], "k").collect()
+    assert sorted((r["g"], r["hll_distinct"]) for r in a) \
+        == sorted((r["g"], r["hll_distinct"]) for r in b)
