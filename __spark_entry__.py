@@ -1464,6 +1464,29 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), F.asc("tok")).limit(100)
 
 
+def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (functions/sketches.py) probed at
+    the exact top-30 heavy hitters: (tok, n_exact, cms_est) with the
+    overestimate guarantee cms_est >= n_exact gate-visible row by row.
+    The sketch is ALL integer md5 arithmetic — the DuckDB twin rebuilds
+    the identical d x w counter table, no rounding bridge anywhere."""
+    from optimizing_spark.functions import sketches as SK
+
+    # w=16 (not the production default 1024): the driver corpus has a
+    # 31-token vocabulary, so a wide sketch never collides and the
+    # estimator would be trivially exact — 16 buckets force real
+    # collisions so the gate exercises min-over-rows and the bound.
+    toks = _docs(spark, sf_dir).select(
+        F.explode(TX.tokens_col()).alias("tok"))
+    counters = SK.cms_build(toks, "tok", w=16)
+    top = (
+        toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok")).limit(30)
+    )
+    est = SK.cms_estimate(counters, top.select("tok"), "tok", w=16)
+    return top.join(est, "tok").select("tok", "n_exact", "cms_est")
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer quality components + deterministic score."""
     out = TX.quality_cols(_docs(spark, sf_dir))
@@ -2163,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_qt_rollup": q_qt_rollup,
         "q_tfidf": q_tfidf,
         "q_top_tokens": q_top_tokens,
+        "q_cms_tokens": q_cms_tokens,
         "q_sample": q_sample,
         "q_stratified": q_stratified,
         "q_hourly_events": q_hourly_events,
@@ -2604,6 +2628,34 @@ def _text_oracles() -> dict[str, str]:
             SELECT tok, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest({OT.TOKS}) AS tok FROM documents)
             GROUP BY tok ORDER BY n DESC, tok LIMIT 100
+        """,
+        "q_cms_tokens": f"""
+            WITH toks AS (
+                SELECT unnest({OT.TOKS}) AS tok FROM documents
+            ), rows_d AS (
+                SELECT * FROM (VALUES (0),(1),(2),(3)) AS d(i)
+            ), counters AS (
+                SELECT i,
+                       CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||':'||tok),1,15))
+                            AS BIGINT) % 16 AS bucket,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM toks CROSS JOIN rows_d
+                GROUP BY i, bucket
+            ), top AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+                FROM toks GROUP BY tok
+                ORDER BY n_exact DESC, tok LIMIT 30
+            )
+            SELECT t.tok AS tok, t.n_exact AS n_exact,
+                   min(c.n) AS cms_est
+            FROM top t
+            CROSS JOIN rows_d d
+            JOIN counters c
+              ON c.i = d.i
+             AND c.bucket =
+                 CAST(('0x'||substr(md5(CAST(d.i AS VARCHAR)||':'||t.tok),1,15))
+                      AS BIGINT) % 16
+            GROUP BY t.tok, t.n_exact
         """,
         "q_sample": f"""
             SELECT doc_id, n_chars FROM documents

@@ -1,5 +1,6 @@
-"""Portable cardinality sketch: HyperLogLog distinct-count as pure
-column expressions, deterministic and engine-portable.
+"""Portable sketches: HyperLogLog distinct-count and Count-Min
+frequency as pure column expressions, deterministic and
+engine-portable.
 
 Spark's own ``approx_count_distinct`` is an HLL++ whose register
 hashing is JVM-private — fine for one engine, but a training-data
@@ -63,6 +64,63 @@ def hash60(key) -> Column:
     c = key if not isinstance(key, str) else F.col(key)
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10) \
         .cast("long")
+
+
+CMS_D = 4      # hash rows
+CMS_W = 1024   # buckets per row
+
+
+def _cms_bucket(item: Column, i: int, w: int) -> Column:
+    """Row-i bucket of an item: md5("i:item") % w (portable)."""
+    return hash60(F.concat_ws(":", F.lit(str(i)), item)) % w
+
+
+def _cms_keys(item: Column, d: int, w: int) -> Column:
+    """array<struct<i,bucket>> — the d (row, bucket) cells an item
+    touches."""
+    return F.array(*[
+        F.struct(F.lit(i).cast("int").alias("i"),
+                 _cms_bucket(item, i, w).alias("bucket"))
+        for i in range(d)
+    ])
+
+
+def cms_build(df: DataFrame, item: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Count-Min sketch counters (Cormode & Muthukrishnan 2005, "An
+    improved data stream summary: the count-min sketch" — public
+    literature) over the rows of ``df``: one (i, bucket, n) row per
+    touched cell, at most CMS_D * CMS_W rows TOTAL regardless of input
+    size. All integer md5-derived hashing, so the sketch is
+    bit-reproducible in any engine (the DuckDB twin in __spark_entry__
+    rebuilds it exactly — no FP anywhere).
+
+    Scale shape: explode to CMS_D cells -> hash agg on (i, bucket);
+    map-side partial combine bounds every task's shuffle output at
+    d*w counters, which is the point of sketching frequencies instead
+    of materializing the full item histogram. Sketches merge by
+    elementwise ADD (the agg is a sum), so per-partition /
+    per-day sketches roll up for free."""
+    return (
+        df.select(F.explode(_cms_keys(F.col(item), d, w)).alias("_c"))
+        .groupBy(F.col("_c.i").alias("i"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(counters: DataFrame, probes: DataFrame, item: str,
+                 d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Point queries: for each probe item, est = min over the CMS_D
+    counters it hashes to. Guaranteed >= the true count (collisions
+    only ever inflate); within eps*N with the classic (d, w) bounds.
+    The counter table is tiny (<= d*w rows) — broadcast join."""
+    keyed = probes.select(
+        item, F.explode(_cms_keys(F.col(item), d, w)).alias("_c")
+    ).select(item, F.col("_c.i").alias("i"), F.col("_c.bucket").alias("bucket"))
+    return (
+        keyed.join(F.broadcast(counters), ["i", "bucket"], "left")
+        .groupBy(item).agg(
+            F.min(F.coalesce("n", F.lit(0))).alias("cms_est"))
+    )  # untouched cell -> 0: an item absent from the stream reports 0
 
 
 def hll_distinct(

@@ -72,6 +72,49 @@ def test_hll_branches_and_accuracy(spark, groups_df):
     assert got["raw"] > 2.5 * SK.HLL_M
 
 
+def _py_cms(items, probes, d, w):
+    """Pure-Python Count-Min replica (build + point queries)."""
+    counters: dict[tuple[int, int], int] = {}
+    def bucket(i, it):
+        h = int(hashlib.md5(f"{i}:{it}".encode()).hexdigest()[:15], 16)
+        return h % w
+    for it in items:
+        for i in range(d):
+            c = (i, bucket(i, it))
+            counters[c] = counters.get(c, 0) + 1
+    return {p: min(counters.get((i, bucket(i, p)), 0) for i in range(d))
+            for p in probes}
+
+
+def test_cms_matches_python_replica_and_overestimates(spark):
+    # zipf-ish: item k appears (200 // (k+1)) times, 200 distinct items
+    # over w=64 buckets -> real collisions
+    rows = [(f"item{k}",) for k in range(200) for _ in range(200 // (k + 1))]
+    df = spark.createDataFrame(rows, ["it"])
+    exact = {}
+    for (it,) in rows:
+        exact[it] = exact.get(it, 0) + 1
+    counters = SK.cms_build(df, "it", d=4, w=64)
+    probes = df.select("it").distinct()
+    got = {r["it"]: r["cms_est"]
+           for r in SK.cms_estimate(counters, probes, "it", d=4, w=64)
+           .collect()}
+    want = _py_cms([r[0] for r in rows], list(exact), 4, 64)
+    assert got == want
+    # the CMS lower bound holds for EVERY item, collisions or not
+    assert all(got[it] >= exact[it] for it in exact)
+    # and with 200 items in 64 buckets some cell must collide
+    assert any(got[it] > exact[it] for it in exact)
+
+
+def test_cms_absent_item_reports_zero(spark):
+    df = spark.createDataFrame([("a",), ("b",)], ["it"])
+    counters = SK.cms_build(df, "it", d=4, w=1024)
+    probes = spark.createDataFrame([("zzz-not-present",)], ["it"])
+    got = SK.cms_estimate(counters, probes, "it", d=4, w=1024).collect()
+    assert got[0]["cms_est"] == 0
+
+
 def test_hll_partitioning_invariance(spark, groups_df):
     a = SK.hll_distinct(groups_df.repartition(1), ["g"], "k").collect()
     b = SK.hll_distinct(groups_df.repartition(17, "k"), ["g"], "k").collect()
