@@ -123,22 +123,28 @@ def cms_estimate(counters: DataFrame, probes: DataFrame, item: str,
     )  # untouched cell -> 0: an item absent from the stream reports 0
 
 
-def hll_distinct(
-    df: DataFrame,
-    groups: list[str],
-    key: str,
-    est_col: str = "hll_distinct",
-) -> DataFrame:
-    """Per-group HLL distinct-count estimate of ``key`` (one row per
-    group, estimate rounded to 6 decimals)."""
+def hll_registers(df: DataFrame, groups: list[str], key: str) -> DataFrame:
+    """The sketch's state table: (groups..., _j, _mw) — register j's
+    min rho-source per group. This IS the mergeable representation
+    (merge = min per (group, register)), which makes it the
+    streaming-friendly form too: a windowed streaming min-agg keeps
+    exactly this state (streaming/cells_stream.streaming_hll_registers)
+    and ``hll_finalize`` turns any register table — one job's, or the
+    min-union of many — into the estimate."""
     h = hash60(key)
-    reg = (
+    return (
         df.select(*groups,
                   (h % HLL_M).alias("_j"),
                   F.shiftright(h, HLL_P).alias("_w"))
         .groupBy(*groups, "_j")
         .agg(F.min("_w").alias("_mw"))
     )
+
+
+def hll_finalize(
+    reg: DataFrame, groups: list[str], est_col: str = "hll_distinct"
+) -> DataFrame:
+    """Estimate from a register table (see hll_registers)."""
     # scaled register term: 2^(RHO_MAX - rho) == 2^bitlen(w) for w>0
     term = F.when(F.col("_mw") == 0, F.lit(1).cast("long")).otherwise(
         F.expr("shiftleft(cast(1 as bigint), length(bin(_mw)))"))
@@ -155,3 +161,14 @@ def hll_distinct(
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
     ).otherwise(e_raw)
     return s.select(*groups, F.round(est, 6).alias(est_col))
+
+
+def hll_distinct(
+    df: DataFrame,
+    groups: list[str],
+    key: str,
+    est_col: str = "hll_distinct",
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate of ``key`` (one row per
+    group, estimate rounded to 6 decimals)."""
+    return hll_finalize(hll_registers(df, groups, key), groups, est_col)

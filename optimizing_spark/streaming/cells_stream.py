@@ -66,6 +66,34 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
 
 
+def streaming_hll_registers(
+    stream: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Windowed HLL distinct-count SKETCH STATE over a stream: one
+    min-agg per (window, register) — the register table of
+    functions/sketches.hll_registers kept incrementally. Spark allows
+    only one stateful aggregation per streaming query, so the estimate
+    is NOT computed here: registers are the output (bounded at 2^p
+    rows per window regardless of stream volume, exactly why the
+    sketch — not the distinct key set — is the streamable state), and
+    ``sketches.hll_finalize`` turns the sink's register table into
+    estimates in batch. Because register merge = min, registers from
+    restarts, replays, or parallel jobs compose for free."""
+    from ..functions import sketches as SK
+
+    h = SK.hash60(key)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window),
+                 (h % SK.HLL_M).alias("_j"))
+        .agg(F.min(F.shiftright(h, SK.HLL_P)).alias("_mw"))
+    )
+
+
 def ring_state_counts(
     tiled_stream: DataFrame, ttl_batches: int = 3, ttl_ms: int | None = None
 ):

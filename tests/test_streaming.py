@@ -177,3 +177,38 @@ def test_ring_state_ttl_eviction_fires(spark, tmp_path):
         assert len(live) >= 1 and not live.evicted.any()
     finally:
         q.stop()
+
+
+def test_streaming_hll_registers_finalize_equals_batch(spark, tmp_path):
+    """The windowed streaming register state, finalized in batch, must
+    equal the batch sketch on the same rows — the register table is the
+    exact same state either way (merge = min is order/batching-free)."""
+    from optimizing_spark.functions import sketches as SK
+    from optimizing_spark.streaming import cells_stream as CS
+
+    src = str(tmp_path / "hll_src")
+    # 12 windows, keys with duplicates; ts spread 120s so the final
+    # watermark (max event time - 1 min) closes the first ~6 windows
+    rows = spark.range(600).select(
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % 120)).alias("ts"),
+        (F.col("id") % 180).cast("string").alias("k"))
+    rows.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, k string").parquet(src)
+    regs = CS.streaming_hll_registers(
+        stream, "k", window="10 seconds", watermark="1 minute")
+    q = regs.writeStream.format("memory").queryName("hll_regs_mem") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = SK.hll_finalize(spark.table("hll_regs_mem"), ["window"]) \
+        .toPandas()
+    assert len(got) > 0  # append mode emits the watermark-closed windows
+    batch = SK.hll_distinct(
+        spark.read.parquet(src).withColumn(
+            "window", F.window("ts", "10 seconds")),
+        ["window"], "k").toPandas()
+    bmap = {str(r.window): r.hll_distinct for r in batch.itertuples()}
+    for r in got.itertuples():
+        assert bmap[str(r.window)] == r.hll_distinct
