@@ -167,6 +167,72 @@ def q_pip_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "point_id")
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN (operators/clustering.py): density clustering over
+    the cell index — dense cells (>= 3 points at depth 5) connect
+    under 8-adjacency via the pointer-jumping CC operator; points
+    label core/border/noise with deterministic min-component border
+    assignment. The DuckDB twin rebuilds the dense-cell graph and
+    closes it with a recursive CTE — all integer, bit-exact."""
+    from optimizing_spark.operators.clustering import grid_dbscan
+
+    return grid_dbscan(D.points(spark, sf_dir), depth=5, min_pts=3)
+
+
+_DBSCAN_DEPTH, _DBSCAN_MINPTS = 5, 3
+_DBSCAN_SQL = f"""
+    WITH RECURSIVE pts AS MATERIALIZED ({{pts}}),
+    cells AS MATERIALIZED (
+        SELECT point_id, px >> {{shift}} AS cx, py >> {{shift}} AS cy
+        FROM pts
+    ),
+    dense AS MATERIALIZED (
+        SELECT cx, cy, cx * {{side}} + cy AS cid
+        FROM (SELECT cx, cy, count(*) AS n FROM cells GROUP BY cx, cy)
+        WHERE n >= {_DBSCAN_MINPTS}
+    ),
+    offs8 AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                    (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+    offs9 AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+    edges AS MATERIALIZED (
+        SELECT d.cid AS u, d2.cid AS v
+        FROM dense d CROSS JOIN offs8 o
+        JOIN dense d2 ON d2.cx = d.cx + o.dx AND d2.cy = d.cy + o.dy
+    ),
+    reach(node, lbl) AS (
+        SELECT cid, cid FROM dense
+        UNION
+        SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.node
+    ),
+    comp AS MATERIALIZED (
+        SELECT node AS cid, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    dense_lbl AS MATERIALIZED (
+        SELECT d.cx, d.cy, comp.cluster_id
+        FROM dense d JOIN comp ON comp.cid = d.cid
+    ),
+    core AS (
+        SELECT c.point_id, dl.cluster_id AS core_cid
+        FROM cells c JOIN dense_lbl dl ON dl.cx = c.cx AND dl.cy = c.cy
+    ),
+    ring AS (
+        SELECT c.point_id, min(dl.cluster_id) AS ring_cid
+        FROM cells c CROSS JOIN offs9 o
+        JOIN dense_lbl dl ON dl.cx = c.cx + o.dx AND dl.cy = c.cy + o.dy
+        GROUP BY c.point_id
+    )
+    SELECT p.point_id,
+           CASE WHEN co.point_id IS NOT NULL THEN 'core'
+                WHEN r.point_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS kind,
+           coalesce(co.core_cid, r.ring_cid, -1) AS cluster_id
+    FROM pts p
+    LEFT JOIN core co ON co.point_id = p.point_id
+    LEFT JOIN ring r ON r.point_id = p.point_id
+"""
+
+
 _PIP_POLY_SQL = f"""
     WITH poly AS ({D.SQL_POLYGONS}), pts AS ({D.SQL_POINTS})
     SELECT poly.query_id, pts.point_id
@@ -2142,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_qt_assign": q_qt_assign,
         "q_pip_join": q_pip_join,
         "q_pip_poly": q_pip_poly,
+        "q_dbscan": q_dbscan,
         "q_range_join": q_range_join,
         "q_linear_control": q_linear_control,
         "q_knn": q_knn,
@@ -2239,6 +2306,11 @@ def oracle_sql() -> dict[str, str]:
              AND pts.py >= qb.q_min_y AND pts.py <= qb.q_max_y
         """,
         "q_pip_poly": _PIP_POLY_SQL,
+        "q_dbscan": _DBSCAN_SQL.format(
+            pts=D.SQL_POINTS,
+            shift=16 - _DBSCAN_DEPTH,
+            side=1 << _DBSCAN_DEPTH,
+        ),
         "q_range_join": _SQL_RANGE_PAIRS,
         "q_linear_control": _SQL_RANGE_PAIRS,
         "q_knn": f"""
