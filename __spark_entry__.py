@@ -1835,6 +1835,52 @@ def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"))
 
 
+def q_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval-overlap join (operators/temporal.interval_join):
+    per user, every (click, purchase) pair whose activity intervals
+    [ts, ts + dur] overlap — dur derived integer-deterministically from
+    event_id. The plan is the temporal twin of range_join: explode to
+    hourly buckets, ONE equi-shuffle on (user, bucket), exact residual,
+    reporting-bucket dedup; the DuckDB twin is the plain inequality
+    join Spark could only run as a nested loop."""
+    from optimizing_spark.operators.temporal import interval_join
+
+    ev = D.load(spark, sf_dir, "events").withColumn(
+        "_ep", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.expr("timestampdiff(MICROSECOND, _ep, ts)").alias("t0"),
+    ).withColumn(
+        "t1",
+        F.col("t0") + (F.col("event_id") % 541 + 60) * F.lit(1_000_000))
+    l = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), "user_id", "t0", "t1")
+    r = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), "user_id", "t0", "t1")
+    out = interval_join(l, r, on="user_id", bucket=3_600_000_000)
+    return out.select("a_id", "user_id", "t0", "t1", "b_id", "r_t0", "r_t1")
+
+
+_INTERVAL_SQL = """
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS t0,
+               date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+                 + (event_id % 541 + 60) * 1000000 AS t1
+        FROM events
+    ), l AS (
+        SELECT event_id AS a_id, user_id, t0, t1 FROM e
+        WHERE event_type = 'click'
+    ), r AS (
+        SELECT event_id AS b_id, user_id, t0 AS r_t0, t1 AS r_t1 FROM e
+        WHERE event_type = 'purchase'
+    )
+    SELECT l.a_id, l.user_id, l.t0, l.t1, r.b_id, r.r_t0, r.r_t1
+    FROM l JOIN r ON l.user_id = r.user_id
+                 AND l.t0 <= r.r_t1 AND r.r_t0 <= l.t1
+"""
+
+
 def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-count sketch
     (functions/sketches.py) next to the exact count it estimates —
@@ -2249,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_sessionize": q_sessionize,
         "q_hll": q_hll,
+        "q_interval": q_interval,
         "q_asof": q_asof,
         "q_qt_rollup": q_qt_rollup,
         "q_tfidf": q_tfidf,
@@ -2740,6 +2787,7 @@ def _text_oracles() -> dict[str, str]:
                 ORDER BY {_SQL_UNIFORM_HASH.format(k='event_id')},
                          event_id) <= 20
         """,
+        "q_interval": _INTERVAL_SQL,
         "q_asof": """
             WITH l AS (
                 SELECT event_id, user_id, ts, value

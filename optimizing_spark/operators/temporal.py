@@ -24,6 +24,53 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | None = None,
+    starts: tuple[str, str] = ("t0", "t0"),
+    ends: tuple[str, str] = ("t1", "t1"),
+    bucket: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-overlap join: all (left, right) pairs (same ``on`` key
+    if given) whose closed integer intervals [start, end] overlap.
+
+    The temporal twin of joins.range_join, same three moves:
+    (1) each side explodes to the coarse ``bucket``s its interval
+    spans, (2) candidates meet in an EQUI-join on (key, bucket) — one
+    hash shuffle, never an inequality join (which Spark can only run
+    as a nested-loop / cross product), (3) the exact overlap residual
+    filters co-bucketed candidates, and each pair is kept only in its
+    REPORTING bucket (max of the two start buckets — the first bucket
+    both intervals span) so no distinct pass is needed.
+
+    Pick ``bucket`` ~ the typical interval length: shuffle volume is
+    rows x spanned-buckets, per-key fan-in is bounded by interval
+    density per bucket, and both scale linearly at 100 TB.
+    """
+    ls, rs = starts
+    le, re = ends
+    # internal aliases so left/right interval column names never clash
+    rb = right.withColumnRenamed(rs, "_rs").withColumnRenamed(re, "_re")
+
+    def spanned(df, s, e):
+        return df.withColumn(
+            "_b", F.explode(F.sequence(
+                F.expr(f"{s} div {bucket}"), F.expr(f"{e} div {bucket}"))))
+
+    keys = ([on] if on else []) + ["_b"]
+    overlap = (F.col(ls) <= F.col("_re")) & (F.col("_rs") <= F.col(le))
+    reporting = F.col("_b") == F.greatest(
+        F.expr(f"{ls} div {bucket}"), F.expr(f"_rs div {bucket}"))
+    return (
+        spanned(left, ls, le).join(spanned(rb, "_rs", "_re"), keys)
+        .filter(overlap & reporting)
+        .withColumnRenamed("_rs", rs if rs not in left.columns else f"r_{rs}")
+        .withColumnRenamed("_re", re if re not in left.columns else f"r_{re}")
+        .drop("_b")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

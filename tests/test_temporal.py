@@ -103,3 +103,47 @@ def test_asof_single_shuffle_plan(spark, frames):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def interval_frames(spark):
+    import random
+
+    rng = random.Random(7)
+    left = [(i, rng.randrange(5), (t0 := rng.randrange(0, 100_000)),
+             t0 + rng.randrange(1, 15_000)) for i in range(300)]
+    right = [(1000 + i, rng.randrange(5), (t0 := rng.randrange(0, 100_000)),
+              t0 + rng.randrange(1, 15_000)) for i in range(300)]
+    l = spark.createDataFrame(left, ["a_id", "k", "t0", "t1"])
+    r = spark.createDataFrame(right, ["b_id", "k", "t0", "t1"])
+    return left, right, l, r
+
+
+def test_interval_join_matches_brute_force(spark, interval_frames):
+    from optimizing_spark.operators.temporal import interval_join
+
+    left, right, l, r = interval_frames
+    got = {(row["a_id"], row["b_id"])
+           for row in interval_join(l, r, on="k", bucket=10_000).collect()}
+    want = {(a, b)
+            for a, ka, a0, a1 in left
+            for b, kb, b0, b1 in right
+            if ka == kb and a0 <= b1 and b0 <= a1}
+    assert got == want and len(want) > 100
+    # each pair exactly once (reporting-bucket dedup, no distinct pass)
+    rows = interval_join(l, r, on="k", bucket=10_000).count()
+    assert rows == len(want)
+
+
+def test_interval_join_plan_has_no_nested_loop(spark, interval_frames):
+    from optimizing_spark.operators.temporal import interval_join
+
+    _, _, l, r = interval_frames
+    plan = interval_join(l, r, on="k", bucket=10_000) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
