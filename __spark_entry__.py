@@ -167,6 +167,34 @@ def q_pip_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "point_id")
 
 
+def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the vector-side raster↔vector staple: per
+    polygon zone (supplier diamonds), aggregate the contained points
+    (count, integer coordinate sums, bbox) off the SAME broadcast
+    point-in-polygon join as q_pip_poly; zones that contain nothing
+    still report zeros via the left join (a zone inventory, not just
+    a hit list)."""
+    p = D.points(spark, sf_dir).select(
+        F.col("point_id"), F.col("px").alias("x"), F.col("py").alias("y"))
+    polys = D.polygons(spark, sf_dir)
+    hits = J.polygon_join(p, polys, method="broadcast").select(
+        "query_id", "x", "y")
+    stats = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_pts"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.min("x").alias("min_x"),
+        F.max("y").alias("max_y"),
+    )
+    return polys.select("query_id").join(stats, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_pts", F.lit(0)).alias("n_pts"),
+        F.coalesce("sum_x", F.lit(0)).alias("sum_x"),
+        F.coalesce("sum_y", F.lit(0)).alias("sum_y"),
+        F.coalesce("min_x", F.lit(-1)).alias("min_x"),
+        F.coalesce("max_y", F.lit(-1)).alias("max_y"))
+
+
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN (operators/clustering.py): density clustering over
     the cell index — dense cells (>= 3 points at depth 5) connect
@@ -242,6 +270,11 @@ _PIP_POLY_SQL = f"""
       AND (-ex) * (py - (cy + ey)) + ey * (px - cx) >= 0
       AND ex * (py - cy) + ey * (px - (cx - ex)) >= 0
 """
+
+# same edge tests, but carrying the point coordinates for zonal aggs
+_ZONAL_HITS_SQL = _PIP_POLY_SQL.replace(
+    "SELECT poly.query_id, pts.point_id",
+    "SELECT poly.query_id, pts.px AS x, pts.py AS y")
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2254,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_qt_assign": q_qt_assign,
         "q_pip_join": q_pip_join,
         "q_pip_poly": q_pip_poly,
+        "q_zonal": q_zonal,
         "q_dbscan": q_dbscan,
         "q_range_join": q_range_join,
         "q_linear_control": q_linear_control,
@@ -2353,6 +2387,24 @@ def oracle_sql() -> dict[str, str]:
              AND pts.py >= qb.q_min_y AND pts.py <= qb.q_max_y
         """,
         "q_pip_poly": _PIP_POLY_SQL,
+        "q_zonal": f"""
+            WITH hits AS ({_ZONAL_HITS_SQL}),
+            stats AS (
+                SELECT query_id, CAST(count(*) AS BIGINT) AS n_pts,
+                       CAST(sum(x) AS BIGINT) AS sum_x,
+                       CAST(sum(y) AS BIGINT) AS sum_y,
+                       min(x) AS min_x, max(y) AS max_y
+                FROM hits GROUP BY query_id
+            )
+            SELECT CAST(s.s_suppkey AS BIGINT) AS query_id,
+                   coalesce(st.n_pts, 0) AS n_pts,
+                   coalesce(st.sum_x, 0) AS sum_x,
+                   coalesce(st.sum_y, 0) AS sum_y,
+                   coalesce(st.min_x, -1) AS min_x,
+                   coalesce(st.max_y, -1) AS max_y
+            FROM supplier s
+            LEFT JOIN stats st ON st.query_id = CAST(s.s_suppkey AS BIGINT)
+        """,
         "q_dbscan": _DBSCAN_SQL.format(
             pts=D.SQL_POINTS,
             shift=16 - _DBSCAN_DEPTH,
