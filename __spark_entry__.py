@@ -27,6 +27,11 @@ Operator coverage map (reference file:line cites in the module docs):
 - O21 ray-sphere quadratic     -> q_ray_circle
 - O31 north-rule docs pipeline -> q_docs_pipeline (oracle-exact)
 - banded embedding LSH         -> q_embed_neardup_lsh (oracle-exact)
+- grid-DBSCAN clustering       -> q_dbscan (cell density + CC)
+- zonal statistics             -> q_zonal (per-polygon aggregates)
+- interval-overlap join        -> q_interval (bucketed, no nested loop)
+- portable sketches            -> q_hll (HyperLogLog), q_cms_tokens
+                                  (Count-Min; both engine-portable)
 plus the text/dedup/similarity/event suite (q_token_count ..
 q_top_customers) — every queries() key has an oracle_sql() twin.
 """
