@@ -94,6 +94,36 @@ def streaming_hll_registers(
     )
 
 
+def streaming_cms_counters(
+    stream: DataFrame,
+    item: str,
+    ts_col: str = "ts",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    d: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
+    """Windowed Count-Min counters over a stream — the frequency twin
+    of streaming_hll_registers: the CMS counter table IS the sketch's
+    mergeable state (counters merge by ADD, so the windowed streaming
+    SUM-agg keeps exactly the batch cms_build state), bounded at d*w
+    rows per window regardless of stream volume. Point queries run in
+    batch over the sink via sketches.cms_estimate."""
+    from ..functions import sketches as SK
+
+    d = SK.CMS_D if d is None else d
+    w = SK.CMS_W if w is None else w
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col),
+                F.explode(SK._cms_keys(F.col(item), d, w)).alias("_c"))
+        .groupBy(F.window(F.col(ts_col), window),
+                 F.col("_c.i").alias("i"),
+                 F.col("_c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def ring_state_counts(
     tiled_stream: DataFrame, ttl_batches: int = 3, ttl_ms: int | None = None
 ):

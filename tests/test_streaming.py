@@ -212,3 +212,56 @@ def test_streaming_hll_registers_finalize_equals_batch(spark, tmp_path):
     bmap = {str(r.window): r.hll_distinct for r in batch.itertuples()}
     for r in got.itertuples():
         assert bmap[str(r.window)] == r.hll_distinct
+
+
+def test_streaming_cms_counters_equal_batch_sketch(spark, tmp_path):
+    """The windowed streaming CMS state must equal batch cms_build on
+    the same rows per window (counters merge by add — batching-free),
+    and finalize to the same point estimates."""
+    from optimizing_spark.functions import sketches as SK
+    from optimizing_spark.streaming import cells_stream as CS
+
+    src = str(tmp_path / "cms_src")
+    rows = spark.range(600).select(
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % 120)).alias("ts"),
+        F.concat(F.lit("it"), (F.col("id") % 50)).alias("it"))
+    rows.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, it string").parquet(src)
+    q = CS.streaming_cms_counters(stream, "it", window="10 seconds",
+                                  watermark="1 minute", d=4, w=64) \
+        .writeStream.format("memory").queryName("cms_mem") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.table("cms_mem").withColumn(
+        "wkey", F.col("window.start").cast("string"))
+    grows = got.collect()
+    assert len(grows) > 0
+    emitted = {r["wkey"] for r in grows}
+    g = {(r["wkey"], r["i"], r["bucket"]): r["n"] for r in grows}
+
+    batch_src = spark.read.parquet(src).withColumn(
+        "window", F.window("ts", "10 seconds")).withColumn(
+        "wkey", F.col("window.start").cast("string"))
+    # batch counters per window: group the cell explode by (wkey, i, b)
+    from optimizing_spark.functions.sketches import _cms_keys
+    b = {(r["wkey"], r["i"], r["bucket"]): r["n"]
+         for r in batch_src.select(
+             "wkey", F.explode(_cms_keys(F.col("it"), 4, 64)).alias("_c"))
+         .groupBy("wkey", F.col("_c.i").alias("i"),
+                  F.col("_c.bucket").alias("bucket"))
+         .agg(F.count("*").alias("n")).collect()
+         if r["wkey"] in emitted}
+    assert g == b
+    # finalize one emitted window's counters: estimates >= exact counts
+    wkey = sorted(emitted)[0]
+    counters = got.filter(F.col("wkey") == wkey).select("i", "bucket", "n")
+    win_rows = batch_src.filter(F.col("wkey") == wkey)
+    probes = win_rows.select("it").distinct()
+    est = {r["it"]: r["cms_est"]
+           for r in SK.cms_estimate(counters, probes, "it",
+                                    d=4, w=64).collect()}
+    exact = {r["it"]: r["n"] for r in win_rows.groupBy("it")
+             .agg(F.count("*").alias("n")).collect()}
+    assert all(est[k] >= v for k, v in exact.items())
