@@ -1723,6 +1723,122 @@ def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(e, probes, k=5, n_centroids=16, n_probe=4)
 
 
+def q_embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN compression path: 4 subspace codes per vector against a
+    deterministic 16-entry codebook, ADC scoring over the codes only,
+    exact re-rank of the ADC top-2k — the third ANN family next to
+    LSH (bucketing) and IVF (pruning), fully SQL-reproducible."""
+    e = D.load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_embedding"))
+    return SIM.pq_topk(e, probes, k=5, dim=64, n_sub=4, n_codes=16, rerank=2)
+
+
+def _embed_pq_sql(k: int = 5, dim: int = 64, n_sub: int = 4,
+                  n_codes: int = 16, rerank: int = 2) -> str:
+    """DuckDB twin of q_embed_topk_pq: same slices, codebook, round-6
+    argmin codes, fixed-order ADC sums, exact re-rank + fallback."""
+    sub = dim // n_sub
+    subs = ",".join(f"({s})" for s in range(n_sub))
+    rsum = " + ".join(f"r{s}" for s in range(n_sub))
+    rconds = ",".join(
+        f"sum(CASE WHEN s = {s} THEN cn2 END) AS r{s}" for s in range(n_sub))
+    dsum = " + ".join(f"d{s}" for s in range(n_sub))
+    dconds = ",".join(
+        f"sum(CASE WHEN c.s = {s} THEN l.pd END) AS d{s}"
+        for s in range(n_sub))
+
+    def cos(a, b):
+        return (f"round(list_dot_product({a}.embedding::DOUBLE[], "
+                f"{b}.p_embedding::DOUBLE[]) / "
+                f"sqrt(list_dot_product({a}.embedding::DOUBLE[], "
+                f"{a}.embedding::DOUBLE[]) * "
+                f"list_dot_product({b}.p_embedding::DOUBLE[], "
+                f"{b}.p_embedding::DOUBLE[])), 6)")
+
+    return f"""
+        WITH subsp AS (SELECT * FROM (VALUES {subs}) t(s)),
+        vsl AS (
+            SELECT e.vec_id, t.s,
+                   (e.embedding[t.s*{sub}+1 : t.s*{sub}+{sub}])::DOUBLE[] AS sl
+            FROM embeddings e CROSS JOIN subsp t
+        ), cb AS (
+            SELECT vec_id AS c, s, sl AS csl,
+                   list_dot_product(sl, sl) AS cn2
+            FROM vsl WHERE vec_id < {n_codes}
+        ), enc AS (
+            SELECT v.vec_id, v.s, cb.c, cb.cn2,
+                   round(list_dot_product(v.sl, v.sl)
+                         - 2.0 * list_dot_product(v.sl, cb.csl)
+                         + cb.cn2, 6) AS d2
+            FROM vsl v JOIN cb ON cb.s = v.s
+        ), codes AS (
+            SELECT vec_id, s, c, cn2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                             ORDER BY d2, c) AS rk
+                FROM enc
+            ) WHERE rk = 1
+        ), rn2 AS (
+            SELECT vec_id, {rsum} AS rn2 FROM (
+                SELECT vec_id, {rconds} FROM codes GROUP BY vec_id)
+        ), pr AS (
+            SELECT vec_id AS probe_id, embedding AS p_embedding
+            FROM embeddings WHERE vec_id < 10
+        ), psl AS (
+            SELECT p.probe_id, t.s,
+                   (p.p_embedding[t.s*{sub}+1 : t.s*{sub}+{sub}])::DOUBLE[] AS sl
+            FROM pr p CROSS JOIN subsp t
+        ), lut AS (
+            SELECT p.probe_id, p.s, cb.c,
+                   list_dot_product(p.sl, cb.csl) AS pd
+            FROM psl p JOIN cb ON cb.s = p.s
+        ), adc AS (
+            SELECT n.probe_id, n.vec_id,
+                   round(({dsum}) / sqrt(pn.pn2 * rn2.rn2), 6) AS adc
+            FROM (
+                SELECT l.probe_id, c.vec_id, {dconds}
+                FROM codes c JOIN lut l ON l.s = c.s AND l.c = c.c
+                GROUP BY l.probe_id, c.vec_id
+            ) n
+            JOIN (SELECT vec_id AS probe_id,
+                         list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]) AS pn2
+                  FROM embeddings WHERE vec_id < 10) pn
+              ON pn.probe_id = n.probe_id
+            JOIN rn2 ON rn2.vec_id = n.vec_id
+        ), cand AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY adc DESC, vec_id) AS rk FROM adc
+            ) WHERE rk <= {rerank * k}
+        ), hits AS (
+            SELECT probe_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+                SELECT cd.probe_id, cd.vec_id, {cos('a', 'p')} AS cos,
+                       row_number() OVER (PARTITION BY cd.probe_id ORDER BY
+                           {cos('a', 'p')} DESC, cd.vec_id) AS rank
+                FROM cand cd
+                JOIN embeddings a ON a.vec_id = cd.vec_id
+                JOIN pr p ON p.probe_id = cd.probe_id
+            ) WHERE rank <= {k}
+        ), full_p AS (
+            SELECT probe_id FROM hits GROUP BY probe_id HAVING count(*) >= {k}
+        ), brute AS (
+            SELECT probe_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+                SELECT p.probe_id, a.vec_id, {cos('a', 'p')} AS cos,
+                       row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                           {cos('a', 'p')} DESC, a.vec_id) AS rank
+                FROM embeddings a CROSS JOIN
+                     (SELECT * FROM pr
+                      WHERE probe_id NOT IN (SELECT probe_id FROM full_p)) p
+            ) WHERE rank <= {k}
+        )
+        SELECT h.probe_id, h.vec_id, h.cos, h.rank
+        FROM hits h JOIN full_p f ON f.probe_id = h.probe_id
+        UNION ALL
+        SELECT probe_id, vec_id, cos, rank FROM brute
+    """
+
+
 def _embed_ivf_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
     """DuckDB twin of q_embed_topk_ivf: same centroid set, assignment,
     probe lists, rounded-cosine ranking and starved-probe fallback."""
@@ -2330,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embed_topk": q_embed_topk,
         "q_embed_topk_ivf": q_embed_topk_ivf,
+        "q_embed_topk_pq": q_embed_topk_pq,
         "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_sessionize": q_sessionize,
@@ -2783,6 +2900,7 @@ def _text_oracles() -> dict[str, str]:
         "q_ngram_jaccard": ngram_sql,
         "q_embed_topk": embed_topk_sql,
         "q_embed_topk_ivf": _embed_ivf_sql(),
+        "q_embed_topk_pq": _embed_pq_sql(),
         "q_embed_neardup": neardup_sql,
         "q_embed_neardup_lsh": _embed_lsh_sql(),
         "q_qt_rollup": _qt_rollup_sql(),

@@ -221,6 +221,90 @@ def ivf_topk(
                                      vec_col, probe_col)
 
 
+def pq_topk(
+    vectors: DataFrame, probes: DataFrame, k: int, dim: int,
+    n_sub: int = 4, n_codes: int = 16, rerank: int = 2,
+    vec_col: str = "embedding", probe_col: str = "p_embedding",
+) -> DataFrame:
+    """ANN top-k via product quantization (Jégou, Douze, Schmid 2011,
+    "Product quantization for nearest neighbor search" — public
+    literature) — the third scale path next to lsh_topk (bucketing)
+    and ivf_topk (list pruning): PQ COMPRESSES the scan. Each vector
+    is encoded as ``n_sub`` small codes (nearest deterministic
+    centroid per subspace — centroids are the first ``n_codes``
+    vectors' slices, the ivf_topk determinism trick); a probe scores
+    every vector from its ADC lookup table (per-subspace dots against
+    the tiny codebook) touching ONLY the codes — dim/n_sub/codes-width
+    x less I/O than the raw vectors — then the ADC top ``rerank*k``
+    re-rank EXACTLY through _score_topk_with_fallback, so the output
+    contract (exact cosines, rounded, id tie-breaks, starved-probe
+    fallback) matches the sibling ANN operators.
+
+    Determinism/portability: code assignment uses round-6 squared-L2
+    argmin with centroid-id tie-break; the ADC numerator sums its
+    n_sub per-subspace dots in EXPLICIT fixed order (one conditional
+    agg per subspace, then a left-to-right add) so the DuckDB twin
+    reproduces every double bit-for-bit."""
+    sub = dim // n_sub
+
+    def slices(df, id_col, col, out):
+        e = F.explode(F.array(*[
+            F.struct(F.lit(s).cast("int").alias("s"),
+                     F.slice(F.col(col), s * sub + 1, sub).alias(out))
+            for s in range(n_sub)
+        ])).alias("_e")
+        return df.select(id_col, e).select(id_col, "_e.s", f"_e.{out}")
+
+    cb = slices(vectors.filter(F.col("vec_id") < n_codes)
+                .select(F.col("vec_id").alias("c"), vec_col),
+                "c", vec_col, "csl").withColumn("_cn2", norm2_col("csl"))
+
+    vsl = slices(vectors.select("vec_id", vec_col), "vec_id", vec_col, "vsl") \
+        .withColumn("_vn2", norm2_col("vsl"))
+    enc = vsl.join(F.broadcast(cb), "s").withColumn(
+        "_d2", F.round(F.col("_vn2") - F.lit(2.0) * dot_col("vsl", "csl")
+                       + F.col("_cn2"), 6))
+    w_enc = Window.partitionBy("vec_id", "s").orderBy(F.col("_d2"), F.col("c"))
+    codes = enc.withColumn("_rk", F.row_number().over(w_enc)) \
+        .filter(F.col("_rk") == 1).select("vec_id", "s", "c", "_cn2")
+
+    def fixed_sum(prefix):
+        expr = F.col(f"{prefix}0")
+        for s in range(1, n_sub):
+            expr = expr + F.col(f"{prefix}{s}")
+        return expr
+
+    rn2 = codes.groupBy("vec_id").agg(*[
+        F.sum(F.when(F.col("s") == s, F.col("_cn2"))).alias(f"_r{s}")
+        for s in range(n_sub)
+    ]).select("vec_id", fixed_sum("_r").alias("_rn2"))
+
+    psl = slices(probes.select("probe_id", probe_col),
+                 "probe_id", probe_col, "psl")
+    lut = psl.join(F.broadcast(cb), "s").select(
+        "probe_id", "s", "c", dot_col("psl", "csl").alias("_pd"))
+
+    adc = (
+        codes.select("vec_id", "s", "c").join(F.broadcast(lut), ["s", "c"])
+        .groupBy("probe_id", "vec_id").agg(*[
+            F.sum(F.when(F.col("s") == s, F.col("_pd"))).alias(f"_d{s}")
+            for s in range(n_sub)
+        ])
+        .select("probe_id", "vec_id", fixed_sum("_d").alias("_num"))
+        .join(probes.select("probe_id",
+                            norm2_col(probe_col).alias("_pn2")), "probe_id")
+        .join(rn2, "vec_id")
+        .withColumn("_adc", F.round(
+            F.col("_num") / F.sqrt(F.col("_pn2") * F.col("_rn2")), 6))
+    )
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.col("_adc").desc(), F.col("vec_id"))
+    cand = adc.withColumn("_rk", F.row_number().over(w_adc)) \
+        .filter(F.col("_rk") <= rerank * k).select("probe_id", "vec_id")
+    return _score_topk_with_fallback(cand, vectors, probes, k,
+                                     vec_col, probe_col)
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame, dim: int, threshold_millis: int = 950,
     n_planes: int = 8, n_bands: int = 4, vec_col: str = "embedding",

@@ -168,3 +168,30 @@ def test_ivf_topk_recall_and_exactness(spark, vec_df):
         total += len(want[pi])
         assert g[g["rank"] == 1].vec_id.iloc[0] == pi
     assert hits / total >= 0.6, f"IVF recall too low: {hits / total}"
+
+
+def test_pq_topk_recall_and_exactness(spark, vec_df):
+    """PQ compression path: recall floor on clustered vectors, exactly
+    k rows per probe, rank-1 self-hit (a vector reconstructs closest to
+    its own codes, and the exact re-rank restores the true cosine), and
+    output cosines EXACT (they come from the shared re-rank tail, not
+    the ADC approximation)."""
+    m = _vectors()
+    probes = list(range(0, 50, 5))
+    k = 5
+    got = SIM.pq_topk(vec_df, _probes_df(spark, m, probes), k=k,
+                      dim=DIM, n_sub=4, n_codes=16, rerank=3).toPandas()
+    want = _topk_oracle(m, probes, k)
+    norms = np.linalg.norm(m, axis=1)
+    hits = total = 0
+    for pi in probes:
+        g = got[got.probe_id == pi]
+        assert len(g) == k
+        hits += len(set(g.vec_id) & set(want[pi]))
+        total += len(want[pi])
+        assert g[g["rank"] == 1].vec_id.iloc[0] == pi
+        for _, row in g.iterrows():
+            j = int(row.vec_id)
+            true_cos = round(float(m[j] @ m[pi] / (norms[j] * norms[pi])), 6)
+            assert abs(row.cos - true_cos) < 1e-9
+    assert hits / total >= 0.6, f"PQ recall too low: {hits / total}"
