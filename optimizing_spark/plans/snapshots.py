@@ -150,13 +150,22 @@ def commit_snapshot(
         # multi-dir read silently drop/null the divergent column
         # (parquet schema is sampled per file) — reject at commit time.
         # Compare (name, type) only: nullability flips on any parquet
-        # round-trip and does not affect what a multi-dir read returns
+        # round-trip and does not affect what a multi-dir read returns.
+        # EVOLUTION: a delta that keeps every parent column (same name,
+        # same type, same order) and APPENDS new columns is legal —
+        # Iceberg's add-column. The snapshot records the WIDER schema;
+        # read_snapshot pins it, so old dirs (which lack the new
+        # columns in their footers) surface them as NULLs — exactly
+        # Iceberg's read-time default. Drops/renames/retypes stay
+        # rejected: they would silently null or corrupt old data.
         def shape(s):
             return [(f["name"], f["type"]) for f in s["fields"]]
-        if shape(schema_json) != shape(parent["schema"]):
+        new_s, old_s = shape(schema_json), shape(parent["schema"])
+        if new_s[:len(old_s)] != old_s:
             raise ValueError(
                 f"append schema drift on table {table!r} v{version}: "
-                f"delta columns != parent snapshot columns")
+                f"delta must keep the parent snapshot's columns as a "
+                f"prefix (add-column evolution only)")
     snap_rel = f"snap-{version}"
     data_dir = os.path.join(root, table, snap_rel, "data")
 

@@ -85,17 +85,43 @@ def test_crashed_commit_is_invisible(spark, root):
 
 def test_append_schema_drift_rejected(spark, root):
     S.commit_snapshot(spark, _df(spark, 0, 10), root, "sd")
-    drifted = _df(spark, 10, 20).withColumn("extra", F.lit(1))
-    # a delta with a divergent schema would be silently mis-read from
-    # sampled parquet footers — must be rejected at commit time
+    # renames / retypes / reorders would silently mis-read old data —
+    # rejected at commit time (only add-column evolution is legal)
+    renamed = _df(spark, 10, 20).withColumnRenamed("ix", "iy")
     with pytest.raises(ValueError, match="schema drift"):
-        S.commit_snapshot(spark, drifted, root, "sd")
+        S.commit_snapshot(spark, renamed, root, "sd")
+    retyped = _df(spark, 10, 20).withColumn("ix", F.col("ix").cast("int"))
+    with pytest.raises(ValueError, match="schema drift"):
+        S.commit_snapshot(spark, retyped, root, "sd")
     # overwrite MAY change the schema (full new state)
-    s = S.commit_snapshot(spark, drifted, root, "sd", operation="overwrite")
+    s = S.commit_snapshot(spark, renamed, root, "sd", operation="overwrite")
     assert s.version == 2
-    assert "extra" in S.read_snapshot(spark, root, "sd").columns
+    assert "iy" in S.read_snapshot(spark, root, "sd").columns
     # and the pre-drift version still reads with ITS committed schema
-    assert "extra" not in S.read_snapshot(spark, root, "sd", version=1).columns
+    assert "iy" not in S.read_snapshot(spark, root, "sd", version=1).columns
+
+
+def test_append_add_column_evolution(spark, root):
+    """Iceberg-style add-column: an append delta carrying the parent's
+    columns plus new trailing ones commits; the new snapshot's pinned
+    schema is the wider one, so rows from OLD dirs surface the added
+    column as NULL (read-time default), while time travel to the old
+    version keeps the narrow schema."""
+    S.commit_snapshot(spark, _df(spark, 0, 5), root, "evol")
+    wider = _df(spark, 5, 8).withColumn("tag", F.lit("x"))
+    s2 = S.commit_snapshot(spark, wider, root, "evol", operation="append")
+    assert s2.version == 2 and s2.rows == 8
+    cur = S.read_snapshot(spark, root, "evol")
+    assert cur.columns == ["obj_id", "ix", "tag"]
+    tags = {r["obj_id"]: r["tag"] for r in cur.collect()}
+    assert all(tags[i] is None for i in range(5))
+    assert all(tags[i] == "x" for i in range(5, 8))
+    # old version: narrow schema, untouched
+    v1 = S.read_snapshot(spark, root, "evol", version=1)
+    assert v1.columns == ["obj_id", "ix"] and v1.count() == 5
+    # incremental read of the widening commit carries the new column
+    delta = S.read_changes(spark, root, "evol", from_version=1)
+    assert delta.columns == ["obj_id", "ix", "tag"] and delta.count() == 3
 
 
 def test_concurrent_commit_loses_cas(spark, root):
