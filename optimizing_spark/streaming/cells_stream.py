@@ -94,6 +94,38 @@ def streaming_hll_registers(
     )
 
 
+def streaming_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    bound_seconds: int = 300,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stream-stream inner join: pairs with the same ``on`` key whose
+    event times lie within ±``bound_seconds`` — the streaming
+    counterpart of operators/temporal.interval_join with a FIXED time
+    bound. The bound is not a simplification but the state contract:
+    Spark can only run a stream-stream join when the condition limits
+    how long a row can still match, so watermark + bound let it evict
+    buffered rows; an unbounded interval join has unbounded state by
+    definition (run it in batch). Output prefixes left/right columns
+    ``l_``/``r_``."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    b = f"INTERVAL {int(bound_seconds)} SECONDS"
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{ts_col}") >= F.expr(f"l.{ts_col} - {b}"))
+        & (F.col(f"r.{ts_col}") <= F.expr(f"l.{ts_col} + {b}"))
+    )
+    j = l.join(r, cond)
+    return j.select(
+        *[F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns],
+    )
+
+
 def streaming_cms_counters(
     stream: DataFrame,
     item: str,

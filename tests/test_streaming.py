@@ -265,3 +265,41 @@ def test_streaming_cms_counters_equal_batch_sketch(spark, tmp_path):
     exact = {r["it"]: r["n"] for r in win_rows.groupBy("it")
              .agg(F.count("*").alias("n")).collect()}
     assert all(est[k] >= v for k, v in exact.items())
+
+
+def test_streaming_time_join_equals_batch(spark, tmp_path):
+    """Stream-stream inner join (same key, event times within ±bound)
+    must produce exactly the batch join's pair set on the same files."""
+    from optimizing_spark.streaming import cells_stream as CS
+
+    lsrc, rsrc = str(tmp_path / "tj_l"), str(tmp_path / "tj_r")
+    clicks = spark.range(200).select(
+        F.col("id").alias("click_id"), (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 13) % 900).alias("ts"))
+    buys = spark.range(60).select(
+        (F.col("id") + 1000).alias("buy_id"), (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 31) % 900).alias("ts"))
+    clicks.repartition(3).write.parquet(lsrc)
+    buys.repartition(3).write.parquet(rsrc)
+
+    sl = spark.readStream.schema(
+        "click_id long, user_id long, ts timestamp").parquet(lsrc)
+    sr = spark.readStream.schema(
+        "buy_id long, user_id long, ts timestamp").parquet(rsrc)
+    out = CS.streaming_time_join(sl, sr, bound_seconds=60)
+    q = out.writeStream.format("memory").queryName("tj_mem") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {(r["l_click_id"], r["r_buy_id"])
+           for r in spark.table("tj_mem").collect()}
+
+    bl, br = spark.read.parquet(lsrc), spark.read.parquet(rsrc).withColumnsRenamed(
+        {"ts": "r_ts", "user_id": "r_user"})
+    want = {(r["click_id"], r["buy_id"]) for r in bl.join(
+        br, (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 60 SECONDS"))
+    ).collect()}
+    assert got == want and len(want) > 50
