@@ -206,7 +206,14 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 8-adjacency via the pointer-jumping CC operator; points
     label core/border/noise with deterministic min-component border
     assignment. The DuckDB twin rebuilds the dense-cell graph and
-    closes it with a recursive CTE — all integer, bit-exact."""
+    closes it with a recursive CTE — all integer, bit-exact.
+
+    Driver-session note (CLAUDE.md's shallow-plan rule): like
+    q_dedup_cc, the CC rounds localCheckpoint every iteration, so the
+    default-config optimizer only ever sees a 2-join/1-agg plan over
+    checkpointed tables — never the deep iterative lineage the
+    constraintPropagation warning is about; the loop itself runs on
+    the dense-CELL graph (<= 4^depth rows), not the point table."""
     from optimizing_spark.operators.clustering import grid_dbscan
 
     return grid_dbscan(D.points(spark, sf_dir), depth=5, min_pts=3)

@@ -58,9 +58,9 @@ _LC_BOUND = 2.5 * HLL_M      # small-range correction threshold
 
 
 def hash60(key) -> Column:
-    """The engine's portable 60-bit uniform (same expression as
-    operators/sampling.uniform_hash; DuckDB twin:
-    CAST(('0x'||substr(md5(CAST(k AS VARCHAR)),1,15)) AS BIGINT))."""
+    """The engine's portable 60-bit uniform — the CANONICAL definition
+    (operators/sampling.uniform_hash delegates here). DuckDB twin:
+    CAST(('0x'||substr(md5(CAST(k AS VARCHAR)),1,15)) AS BIGINT)."""
     c = key if not isinstance(key, str) else F.col(key)
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10) \
         .cast("long")
@@ -99,9 +99,15 @@ def cms_build(df: DataFrame, item: str, d: int = CMS_D, w: int = CMS_W) -> DataF
     d*w counters, which is the point of sketching frequencies instead
     of materializing the full item histogram. Sketches merge by
     elementwise ADD (the agg is a sum), so per-partition /
-    per-day sketches roll up for free."""
+    per-day sketches roll up for free.
+
+    NULL items are excluded (SQL semantics: the DuckDB twin's string
+    concat propagates NULL; Spark's concat_ws would silently DROP the
+    NULL and hash the bare row prefix — the one expression divergence
+    between the engines, so it must never reach the hash)."""
     return (
-        df.select(F.explode(_cms_keys(F.col(item), d, w)).alias("_c"))
+        df.filter(F.col(item).isNotNull())
+        .select(F.explode(_cms_keys(F.col(item), d, w)).alias("_c"))
         .groupBy(F.col("_c.i").alias("i"), F.col("_c.bucket").alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
@@ -113,7 +119,7 @@ def cms_estimate(counters: DataFrame, probes: DataFrame, item: str,
     counters it hashes to. Guaranteed >= the true count (collisions
     only ever inflate); within eps*N with the classic (d, w) bounds.
     The counter table is tiny (<= d*w rows) — broadcast join."""
-    keyed = probes.select(
+    keyed = probes.filter(F.col(item).isNotNull()).select(
         item, F.explode(_cms_keys(F.col(item), d, w)).alias("_c")
     ).select(item, F.col("_c.i").alias("i"), F.col("_c.bucket").alias("bucket"))
     return (

@@ -26,10 +26,12 @@ from pyspark.sql import functions as F
 def uniform_hash(key) -> "F.Column":
     """Portable 60-bit uniform from md5(key-as-string); bit-identical
     in DuckDB as CAST(('0x'||substr(md5(CAST(key AS VARCHAR)),1,15))
-    AS BIGINT)."""
-    c = key if not isinstance(key, str) else F.col(key)
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10) \
-        .cast("long")
+    AS BIGINT). Canonical definition: functions/sketches.hash60 —
+    ONE copy, so the sampling, LSH and sketch oracle twins can never
+    silently desynchronize."""
+    from ..functions.sketches import hash60
+
+    return hash60(key)
 
 
 def bernoulli_sample(

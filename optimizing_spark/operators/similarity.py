@@ -245,6 +245,11 @@ def pq_topk(
     n_sub per-subspace dots in EXPLICIT fixed order (one conditional
     agg per subspace, then a left-to-right add) so the DuckDB twin
     reproduces every double bit-for-bit."""
+    if dim % n_sub != 0:
+        raise ValueError(
+            f"dim {dim} not divisible by n_sub {n_sub}: the trailing "
+            f"{dim % n_sub} dimensions would be silently dropped from "
+            "the codes")
     sub = dim // n_sub
 
     def slices(df, id_col, col, out):

@@ -166,6 +166,12 @@ def commit_snapshot(
                 f"append schema drift on table {table!r} v{version}: "
                 f"delta must keep the parent snapshot's columns as a "
                 f"prefix (add-column evolution only)")
+        # the added columns are NULL in every pre-evolution row, so the
+        # pinned schema must record them nullable whatever the delta's
+        # own nullability was — else a consumer trusting the log sees a
+        # non-nullable column full of NULLs
+        for f in schema_json["fields"][len(old_s):]:
+            f["nullable"] = True
     snap_rel = f"snap-{version}"
     data_dir = os.path.join(root, table, snap_rel, "data")
 

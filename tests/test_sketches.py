@@ -120,3 +120,18 @@ def test_hll_partitioning_invariance(spark, groups_df):
     b = SK.hll_distinct(groups_df.repartition(17, "k"), ["g"], "k").collect()
     assert sorted((r["g"], r["hll_distinct"]) for r in a) \
         == sorted((r["g"], r["hll_distinct"]) for r in b)
+
+
+def test_cms_null_items_excluded(spark):
+    """NULL items must not reach the hash: Spark's concat_ws would
+    silently drop the NULL (hashing the bare row prefix) while the SQL
+    twin's string concat propagates NULL — the counters must match the
+    NULL-free build exactly."""
+    with_nulls = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,), ("a",)], ["it"])
+    clean = spark.createDataFrame([("a",), ("b",), ("a",)], ["it"])
+    cn = {(r["i"], r["bucket"]): r["n"]
+          for r in SK.cms_build(with_nulls, "it", d=4, w=64).collect()}
+    cc = {(r["i"], r["bucket"]): r["n"]
+          for r in SK.cms_build(clean, "it", d=4, w=64).collect()}
+    assert cn == cc

@@ -276,3 +276,18 @@ def test_refresh_cell_histogram_noop_and_delete_fallback(spark, root):
     got_total = S.read_snapshot(spark, root, "hist") \
         .agg(F.sum("n_docs").alias("s")).collect()[0].s
     assert got_total == 300
+
+
+def test_evolved_column_recorded_nullable(spark, root):
+    """The appended column is NULL for every pre-evolution row, so the
+    pinned log schema must record it nullable even when the delta's own
+    schema said otherwise (F.lit -> nullable=false)."""
+    S.commit_snapshot(spark, _df(spark, 0, 3), root, "nul")
+    wider = _df(spark, 3, 5).withColumn("tag", F.lit("x"))  # non-nullable lit
+    S.commit_snapshot(spark, wider, root, "nul", operation="append")
+    entry = S.snapshot_log(root, "nul")[-1]
+    tag = [f for f in entry["schema"]["fields"] if f["name"] == "tag"][0]
+    assert tag["nullable"] is True
+    # and the evolved read still surfaces NULLs for old rows
+    cur = S.read_snapshot(spark, root, "nul")
+    assert cur.filter(F.col("tag").isNull()).count() == 3
