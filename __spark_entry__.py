@@ -200,6 +200,42 @@ def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("max_y", F.lit(-1)).alias("max_y"))
 
 
+def q_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal map algebra (operators/raster.focal_sum): 3x3
+    moving-window sum + contributing-cell count over the depth-5
+    per-cell count raster — scatter-to-neighbors + ONE hash agg,
+    never a 9-way self-join; integer-exact, so no rounding bridge."""
+    from optimizing_spark.operators.raster import focal_sum
+
+    p = D.points(spark, sf_dir)
+    r = p.select(
+        F.shiftright(F.col("px"), 11).alias("cx"),
+        F.shiftright(F.col("py"), 11).alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count("*").alias("n"))
+    return focal_sum(r, value="n", x="cx", y="cy")
+
+
+_FOCAL_SQL = f"""
+    WITH pts AS ({{pts}}),
+    r AS (
+        SELECT px >> 11 AS cx, py >> 11 AS cy,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pts GROUP BY px >> 11, py >> 11
+    ),
+    offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                   (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+    agg AS (
+        SELECT r.cx + o.dx AS cx, r.cy + o.dy AS cy,
+               CAST(sum(r.n) AS BIGINT) AS focal_sum,
+               CAST(count(*) AS BIGINT) AS focal_n
+        FROM r CROSS JOIN offs o
+        GROUP BY r.cx + o.dx, r.cy + o.dy
+    )
+    SELECT r.cx, r.cy, r.n, a.focal_sum, a.focal_n
+    FROM r JOIN agg a ON a.cx = r.cx AND a.cy = r.cy
+"""
+
+
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN (operators/clustering.py): density clustering over
     the cell index — dense cells (>= 3 points at depth 5) connect
@@ -2416,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_join": q_pip_join,
         "q_pip_poly": q_pip_poly,
         "q_zonal": q_zonal,
+        "q_focal": q_focal,
         "q_dbscan": q_dbscan,
         "q_range_join": q_range_join,
         "q_linear_control": q_linear_control,
@@ -2534,6 +2571,7 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier s
             LEFT JOIN stats st ON st.query_id = CAST(s.s_suppkey AS BIGINT)
         """,
+        "q_focal": _FOCAL_SQL.format(pts=D.SQL_POINTS),
         "q_dbscan": _DBSCAN_SQL.format(
             pts=D.SQL_POINTS,
             shift=16 - _DBSCAN_DEPTH,

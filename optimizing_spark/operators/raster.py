@@ -106,6 +106,45 @@ def render_raster(samples: DataFrame, value_cols: list[str]) -> DataFrame:
     return samples.groupBy("px", "py").agg(*aggs)
 
 
+def focal_sum(
+    raster: DataFrame,
+    value: str = "n",
+    x: str = "px",
+    y: str = "py",
+    radius: int = 1,
+) -> DataFrame:
+    """Focal (stencil) map algebra: for every occupied raster cell, the
+    SUM and contributing-cell COUNT of ``value`` over its
+    (2*radius+1)² neighborhood — the moving-window aggregation of GIS
+    map algebra (Tomlin's focal functions — public literature),
+    extending the engine's raster ops (O24) with the neighborhood
+    dimension the ring join (O17) gives object queries.
+
+    Plan shape: SCATTER, not gather — each cell explodes to the
+    neighbors it contributes to, then ONE hash aggregation on the
+    target cell (map-side partial combine). Never a (2r+1)²-way
+    self-join of the raster, and absent cells cost nothing (sparse
+    representation: missing = 0, exactly like the pixel aggregation).
+    Integer values stay exact at any accumulation order; report
+    (sum, count) rather than the mean so exactness survives engines
+    that round division differently."""
+    offs = [(dx, dy)
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)]
+    contrib = F.explode(F.array(*[
+        F.struct((F.col(x) + dx).alias("_tx"), (F.col(y) + dy).alias("_ty"))
+        for dx, dy in offs
+    ])).alias("_t")
+    spread = raster.select(F.col(value).alias("_v"), contrib).select(
+        F.col("_t._tx").alias(x), F.col("_t._ty").alias(y), "_v")
+    agg = spread.groupBy(x, y).agg(
+        F.sum("_v").alias("focal_sum"),
+        F.count("*").alias("focal_n"),
+    )
+    # report occupied cells only (the sparse-raster contract)
+    return raster.join(agg, [x, y])
+
+
 GAMMA = 1.0 / 2.2  # Raytracing.hpp:697
 
 

@@ -88,3 +88,36 @@ def test_render_and_tonemap(spark):
         exp = want[(row.px, row.py)]
         assert abs(row.avg_lum - exp) < 1e-12
         assert row.tone == int(np.floor(min(max(exp, 0.0), 1.0) ** (1 / 2.2) * 255 + 0.5))
+
+
+def test_focal_sum_matches_numpy_stencil(spark):
+    """focal_sum == a dense NumPy 3x3 stencil over the same sparse
+    raster (occupied cells only; absent neighbors contribute 0 to the
+    sum and nothing to focal_n), and is partitioning-invariant."""
+    import numpy as np
+
+    from optimizing_spark.operators.raster import focal_sum
+
+    rng = np.random.default_rng(11)
+    grid = np.zeros((12, 12), dtype=np.int64)
+    occ = rng.choice(144, size=40, replace=False)
+    grid[np.unravel_index(occ, grid.shape)] = rng.integers(1, 9, 40)
+    rows = [(int(x), int(y), int(grid[x, y]))
+            for x in range(12) for y in range(12) if grid[x, y] > 0]
+    df = spark.createDataFrame(rows, ["px", "py", "n"])
+    got = {(r["px"], r["py"]): (r["focal_sum"], r["focal_n"])
+           for r in focal_sum(df).collect()}
+    want = {}
+    for x, y, _ in rows:
+        s = cnt = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < 12 and 0 <= ny < 12 and grid[nx, ny] > 0:
+                    s += int(grid[nx, ny])
+                    cnt += 1
+        want[(x, y)] = (s, cnt)
+    assert got == want
+    b = {(r["px"], r["py"]): (r["focal_sum"], r["focal_n"])
+         for r in focal_sum(df.repartition(7, "px")).collect()}
+    assert b == want
