@@ -2444,10 +2444,25 @@ def _hll_sql(metric: str, day_sql: str, key_sql: str) -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-gated query registry.
+
+    ORDERING MATTERS: the driver's correctness checker caps at the
+    FIRST 50 keys (dict order).  Round-4 rotation policy (per the
+    round-3 verdict): the 17 queries that never received a driver
+    gate row (q_interval ... q_hist_refresh, incl. the SURVEY §2
+    evidence for O9/O31/O32) are placed inside the first 50; 17
+    long-stable basics that were driver-green in rounds 1-3
+    (q_extract, q_linear_control, q_tonemap, q_morton, q_remove,
+    q_relocate, q_rebuild, q_ray_box, q_ray_circle, q_mirror_bounce,
+    q_token_count, q_quality, q_lang_guess, q_fingerprint,
+    q_exact_dedup, q_simhash, q_ngram_jaccard) rotate to the tail.
+    Tail queries remain harness-verified every round via
+    `python tests/compare_harness.py /root/testdata/sf0.01`.
+    """
     return {
+        # --- gate window (first 50) ---
         "q_cell_counts": q_cell_counts,
         "q_cell_quantiles": q_cell_quantiles,
-        "q_morton": q_morton,
         "q_qt_assign": q_qt_assign,
         "q_pip_join": q_pip_join,
         "q_pip_poly": q_pip_poly,
@@ -2455,39 +2470,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_focal": q_focal,
         "q_dbscan": q_dbscan,
         "q_range_join": q_range_join,
-        "q_linear_control": q_linear_control,
         "q_knn": q_knn,
         "q_nearest": q_nearest,
         "q_ring_count": q_ring_count,
-        "q_remove": q_remove,
-        "q_relocate": q_relocate,
         "q_raster": q_raster,
-        "q_tonemap": q_tonemap,
         "q_topk_per_cell": q_topk_per_cell,
         "q_oct_assign": q_oct_assign,
         "q_oct_capacity": q_oct_capacity,
-        "q_extract": q_extract,
-        "q_rebuild": q_rebuild,
-        "q_ray_box": q_ray_box,
-        "q_ray_circle": q_ray_circle,
-        "q_mirror_bounce": q_mirror_bounce,
         "q_mirror_depth5": q_mirror_depth5,
         "q_diffuse_bounce": q_diffuse_bounce,
         "q_refract_chain": q_refract_chain,
         "q_agg_wide": q_agg_wide,
-        "q_token_count": q_token_count,
-        "q_quality": q_quality,
         "q_spans": q_spans,
         "q_repetition": q_repetition,
         "q_curate": q_curate,
-        "q_lang_guess": q_lang_guess,
-        "q_fingerprint": q_fingerprint,
-        "q_exact_dedup": q_exact_dedup,
         "q_minhash": q_minhash,
-        "q_simhash": q_simhash,
         "q_lsh_pairs": q_lsh_pairs,
         "q_dedup_cc": q_dedup_cc,
-        "q_ngram_jaccard": q_ngram_jaccard,
         "q_embed_topk": q_embed_topk,
         "q_embed_topk_ivf": q_embed_topk_ivf,
         "q_embed_topk_pq": q_embed_topk_pq,
@@ -2512,6 +2511,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_changes": q_snapshot_changes,
         "q_docs_pipeline": q_docs_pipeline,
         "q_hist_refresh": q_hist_refresh,
+        # --- tail (past the driver's 50-row window; harness-verified,
+        #     driver-green in rounds 1-3) ---
+        "q_morton": q_morton,
+        "q_linear_control": q_linear_control,
+        "q_remove": q_remove,
+        "q_relocate": q_relocate,
+        "q_extract": q_extract,
+        "q_rebuild": q_rebuild,
+        "q_tonemap": q_tonemap,
+        "q_ray_box": q_ray_box,
+        "q_ray_circle": q_ray_circle,
+        "q_mirror_bounce": q_mirror_bounce,
+        "q_token_count": q_token_count,
+        "q_quality": q_quality,
+        "q_lang_guess": q_lang_guess,
+        "q_fingerprint": q_fingerprint,
+        "q_exact_dedup": q_exact_dedup,
+        "q_simhash": q_simhash,
+        "q_ngram_jaccard": q_ngram_jaccard,
     }
 
 
