@@ -2431,10 +2431,12 @@ def _hll_sql(metric: str, day_sql: str, key_sql: str) -> str:
             FROM (
               SELECT day, h % {m} AS j, min(h >> {p}) AS mw
               FROM (
+                -- NULL keys excluded like the engine's hll_registers
+                -- (COUNT DISTINCT semantics; no phantom register row)
                 SELECT {day_sql} AS day,
                        CAST(('0x'||substr(md5(CAST({key_sql} AS VARCHAR)),1,15))
                             AS BIGINT) AS h
-                FROM events
+                FROM events WHERE {key_sql} IS NOT NULL
               ) GROUP BY day, h % {m}
             ) GROUP BY day
           )

@@ -138,10 +138,17 @@ def hll_registers(df: DataFrame, groups: list[str], key: str) -> DataFrame:
     and ``hll_finalize`` turns any register table — one job's, or the
     min-union of many — into the estimate."""
     h = hash60(key)
+    # NULL keys contribute nothing to a distinct count (SQL COUNT
+    # DISTINCT semantics) but would hash to a phantom (_j NULL,
+    # _mw NULL) register row that hll_finalize counts in _np while
+    # adding nothing to _sp — inflating the estimate and shrinking
+    # the zero-register count v by one. Exclude them, matching
+    # cms_build's convention.
     return (
-        df.select(*groups,
-                  (h % HLL_M).alias("_j"),
-                  F.shiftright(h, HLL_P).alias("_w"))
+        df.filter(F.col(key).isNotNull())
+        .select(*groups,
+                (h % HLL_M).alias("_j"),
+                F.shiftright(h, HLL_P).alias("_w"))
         .groupBy(*groups, "_j")
         .agg(F.min("_w").alias("_mw"))
     )

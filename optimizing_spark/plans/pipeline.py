@@ -146,8 +146,12 @@ def refresh_cell_histogram(
                 spark, root, docs_table, from_version=prev_v,
                 to_version=src_v)
             mode = "incremental"
-        except ValueError:
-            delta = None  # non-append in range -> full recompute
+        except (ValueError, FileNotFoundError):
+            # ValueError: non-append commit in range; FileNotFoundError:
+            # the watermark version was expired from the source log
+            # (expire_snapshots). Either way the delta union is not
+            # reconstructible -> full recompute.
+            delta = None
     if mode == "incremental":
         old = SN.read_snapshot(spark, root, hist_table)
         new_hist = (

@@ -21,8 +21,10 @@ E2: "deletes = anti-join producing a new table version"):
 - Crash safety: data dirs land first, the log swaps last via
   tmp+rename. A crash mid-commit leaves an orphan ``snap-*`` dir and
   an unchanged log — the table still reads consistently at the old
-  version; the orphan is overwritten by the next commit of that
-  version number or ignored.
+  version. Every commit attempt writes a UNIQUE dir
+  (``snap-<version>-<token>``), so a crashed or CAS-losing committer
+  can never clobber the winner's files; orphans are swept by
+  ``expire_snapshots``.
 
 At 100 TB this is the layout that makes remove/relocate (O12-O14)
 cheap: a delete is an anti-join materialized as an overwrite commit
@@ -35,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,6 +83,28 @@ def current_version(root: str, table: str) -> int | None:
     return log[-1]["version"] if log else None
 
 
+def _acquire_log_lock(
+    root: str, table: str, lock_timeout_s: float = 10.0
+) -> tuple[int, str]:
+    """Acquire the table's O_EXCL log lock with a bounded retry loop;
+    a lock held past the deadline surfaces as SnapshotConflictError
+    (the contract every log-mutating op shares), never as a raw
+    FileExistsError. Returns (fd, lock_path); caller must
+    ``os.close(fd); os.unlink(lock_path)`` in a finally block."""
+    lock = _log_path(root, table) + ".lock"
+    deadline = time.time() + lock_timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            return fd, lock
+        except FileExistsError:
+            if time.time() > deadline:
+                raise SnapshotConflictError(
+                    f"lock {lock} held past {lock_timeout_s}s "
+                    "(stale lock from a crashed committer? remove it)")
+            time.sleep(0.05)
+
+
 def _swap_log(
     root: str, table: str, entry: dict, expect_parent: int | None,
     lock_timeout_s: float = 10.0,
@@ -89,21 +114,12 @@ def _swap_log(
     so two concurrent committers cannot both rewrite the log from the
     same parent (the loser gets SnapshotConflictError instead of
     silently erasing the winner's commit). The data dirs written by a
-    losing committer become orphans, exactly like a crash mid-commit.
-    Returns the committed log."""
+    losing committer become orphans, exactly like a crash mid-commit —
+    guaranteed disjoint from the winner's because every commit attempt
+    writes a unique ``snap-<version>-<token>`` dir. Returns the
+    committed log."""
     p = _log_path(root, table)
-    lock = p + ".lock"
-    deadline = time.time() + lock_timeout_s
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            if time.time() > deadline:
-                raise SnapshotConflictError(
-                    f"lock {lock} held past {lock_timeout_s}s "
-                    "(stale lock from a crashed committer? remove it)")
-            time.sleep(0.05)
+    fd, lock = _acquire_log_lock(root, table, lock_timeout_s)
     try:
         log = snapshot_log(root, table)  # re-read under the lock
         tip = log[-1]["version"] if log else None
@@ -172,7 +188,12 @@ def commit_snapshot(
         # non-nullable column full of NULLs
         for f in schema_json["fields"][len(old_s):]:
             f["nullable"] = True
-    snap_rel = f"snap-{version}"
+    # Unique dir per commit ATTEMPT (not per version): two committers
+    # racing from the same parent both target version N, but each
+    # writes its own snap-N-<token>/data — the CAS loser's dir is a
+    # disjoint orphan and can never clobber the winner's committed
+    # files. The log entry records the winning dir.
+    snap_rel = f"snap-{version}-{uuid.uuid4().hex[:8]}"
     data_dir = os.path.join(root, table, snap_rel, "data")
 
     w = df.write.mode("overwrite")
@@ -310,7 +331,8 @@ def compact(spark: SparkSession, root: str, table: str) -> SnapshotInfo:
 
 
 def expire_snapshots(
-    root: str, table: str, keep_last: int = 1
+    root: str, table: str, keep_last: int = 1,
+    lock_timeout_s: float = 10.0,
 ) -> dict:
     """Drop history: keep only the newest ``keep_last`` log entries,
     then delete every snap-* data dir no surviving entry references
@@ -336,10 +358,10 @@ def expire_snapshots(
     # unreferenced dirs (harmless orphans), never a log entry whose
     # data is gone
     if len(kept) < len(log):
-        # rewrite under the same CAS lock path used by commits
+        # rewrite under the same CAS lock (retry loop + conflict
+        # contract shared with _swap_log via _acquire_log_lock)
         p = _log_path(root, table)
-        lock = p + ".lock"
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        fd, lock = _acquire_log_lock(root, table, lock_timeout_s)
         try:
             cur = snapshot_log(root, table)
             if cur[-1]["version"] != log[-1]["version"]:

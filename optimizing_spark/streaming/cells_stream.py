@@ -145,8 +145,13 @@ def streaming_cms_counters(
 
     d = SK.CMS_D if d is None else d
     w = SK.CMS_W if w is None else w
+    # NULL items must never reach the hash (same mandatory exclusion
+    # as batch cms_build: concat_ws silently drops the NULL and would
+    # count the bare "i:" prefix, inflating arbitrary counters and
+    # breaking streaming-state == batch-sketch equality)
     return (
         stream.withWatermark(ts_col, watermark)
+        .filter(F.col(item).isNotNull())
         .select(F.col(ts_col),
                 F.explode(SK._cms_keys(F.col(item), d, w)).alias("_c"))
         .groupBy(F.window(F.col(ts_col), window),

@@ -135,3 +135,23 @@ def test_cms_null_items_excluded(spark):
     cc = {(r["i"], r["bucket"]): r["n"]
           for r in SK.cms_build(clean, "it", d=4, w=64).collect()}
     assert cn == cc
+
+
+def test_hll_null_keys_excluded(spark):
+    """NULL keys must not create a phantom register (COUNT DISTINCT
+    semantics): the estimate with NULLs mixed in equals the estimate
+    on the non-NULL rows alone."""
+    base = spark.range(400).select(
+        F.lit("g").alias("g"), F.col("id").alias("k").cast("string"))
+    with_nulls = base.unionByName(
+        spark.range(37).select(
+            F.lit("g").alias("g"), F.lit(None).cast("string").alias("k")))
+    a = SK.hll_distinct(base, ["g"], "k").collect()[0]["hll_distinct"]
+    b = SK.hll_distinct(with_nulls, ["g"], "k").collect()[0]["hll_distinct"]
+    assert a == b
+    # all-NULL group: no registers -> no output row for that group
+    # (matches SQL COUNT(DISTINCT) over an empty set being groupless
+    # here; callers needing 0-rows join back to the dim)
+    only_null = spark.range(5).select(
+        F.lit("z").alias("g"), F.lit(None).cast("string").alias("k"))
+    assert SK.hll_distinct(only_null, ["g"], "k").count() == 0

@@ -75,9 +75,11 @@ def test_crashed_commit_is_invisible(spark, root):
     _df(spark, 999, 1999).write.parquet(orphan)
     assert S.current_version(root, "c") == 1
     assert S.read_snapshot(spark, root, "c").count() == 30
-    # the next real commit claims version 2 and overwrites the orphan
+    # the next real commit claims version 2 in its OWN unique dir;
+    # the orphan stays disjoint on disk and is never referenced
     s = S.commit_snapshot(spark, _df(spark, 30, 40), root, "c")
     assert s.version == 2
+    assert os.path.exists(orphan)  # untouched, swept by expire later
     assert S.read_snapshot(spark, root, "c").count() == 40
     # no tmp log file left behind by successful swaps
     assert not os.path.exists(os.path.join(root, "c", S.LOG + ".tmp"))
@@ -173,9 +175,17 @@ def test_expire_snapshots_removes_dead_and_orphan_dirs(spark, root):
     # plus an orphan from a crashed commit
     _df(spark, 900, 910).write.parquet(
         os.path.join(root, "ex", "snap-99", "data"))
+    dead = {d for d in os.listdir(os.path.join(root, "ex"))
+            if d.startswith("snap-")}
+    live = {d.split(os.sep)[0]
+            for d in S.snapshot_log(root, "ex")[-1]["data_dirs"]}
     out = S.expire_snapshots(root, "ex", keep_last=1)
     assert out["kept_versions"] == [4]
-    assert set(out["removed_dirs"]) == {"snap-1", "snap-2", "snap-3", "snap-99"}
+    # everything except the compacted v4 dir goes: the three old
+    # version dirs AND the crashed-commit orphan
+    assert set(out["removed_dirs"]) == dead - live
+    assert "snap-99" in out["removed_dirs"]
+    assert len(out["removed_dirs"]) == 4
     assert S.read_snapshot(spark, root, "ex").count() == 30  # current intact
     with pytest.raises(FileNotFoundError):
         S.read_snapshot(spark, root, "ex", version=1)  # history gone
@@ -291,3 +301,99 @@ def test_evolved_column_recorded_nullable(spark, root):
     # and the evolved read still surfaces NULLs for old rows
     cur = S.read_snapshot(spark, root, "nul")
     assert cur.filter(F.col("tag").isNull()).count() == 3
+
+
+def test_racing_committers_never_share_a_data_dir(spark, root):
+    """Two committers racing from the same parent both target version 2,
+    but each writes its OWN snap-2-<token>/data — the CAS loser raises
+    SnapshotConflictError and its orphan dir can never clobber the
+    winner's committed files (round-3 advice: the old snap-<version>
+    naming let the loser's mode=overwrite parquet write delete the
+    winner's already-committed data)."""
+    import threading
+
+    S.commit_snapshot(spark, _df(spark, 0, 30), root, "race")
+
+    barrier = threading.Barrier(2, timeout=60)
+    real_swap = S._swap_log
+
+    def gated_swap(*a, **kw):
+        # both threads have fully WRITTEN their data dirs when they
+        # reach here; then they race the log CAS deterministically
+        barrier.wait()
+        return real_swap(*a, **kw)
+
+    results: dict[str, object] = {}
+
+    def committer(name, lo, hi):
+        try:
+            results[name] = S.commit_snapshot(
+                spark, _df(spark, lo, hi), root, "race")
+        except S.SnapshotConflictError as e:
+            results[name] = e
+
+    orig = S._swap_log
+    S._swap_log = gated_swap
+    try:
+        t1 = threading.Thread(target=committer, args=("a", 30, 40))
+        t2 = threading.Thread(target=committer, args=("b", 30, 45))
+        t1.start(); t2.start(); t1.join(60); t2.join(60)
+    finally:
+        S._swap_log = orig
+
+    kinds = {k: isinstance(v, S.SnapshotInfo) for k, v in results.items()}
+    assert sorted(kinds.values()) == [False, True]  # exactly one winner
+    winner = next(v for v in results.values()
+                  if isinstance(v, S.SnapshotInfo))
+    assert winner.version == 2
+    # the winner's committed rows are intact (loser didn't clobber them)
+    n = 40 if winner.rows == 40 else 45
+    assert S.read_snapshot(spark, root, "race").count() == n
+    # both attempts' dirs exist on disk and are disjoint
+    snap2 = [d for d in os.listdir(os.path.join(root, "race"))
+             if d.startswith("snap-2-")]
+    assert len(snap2) == 2
+
+
+def test_expire_surfaces_lock_contention_as_conflict(spark, root):
+    """A held/stale lock makes expire fail with SnapshotConflictError
+    (the shared _swap_log contract), not a raw FileExistsError."""
+    for lo in (0, 10):
+        S.commit_snapshot(spark, _df(spark, lo, lo + 10), root, "lk")
+    lock = S._log_path(root, "lk") + ".lock"
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with pytest.raises(S.SnapshotConflictError, match="lock"):
+            S.expire_snapshots(root, "lk", keep_last=1, lock_timeout_s=0.3)
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+    # with the lock gone the same call succeeds
+    out = S.expire_snapshots(root, "lk", keep_last=1)
+    assert out["kept_versions"] == [2]
+
+
+def test_refresh_falls_back_full_when_watermark_expired(spark, root):
+    """If the histogram's source-version watermark was expired from the
+    docs log, read_changes raises FileNotFoundError — the refresh must
+    fall back to a full recompute instead of crashing."""
+    from optimizing_spark.plans import pipeline as P
+    from optimizing_spark.sources import datagen
+
+    docs = datagen.documents_spark_fast(spark, 400, partitions=2) \
+        .select("doc_id", "spans").localCheckpoint()
+    parts = [docs.limit(200),
+             docs.subtract(docs.limit(200)).localCheckpoint()]
+    S.commit_snapshot(spark, parts[0], root, "docs")
+    h1 = P.refresh_cell_histogram(spark, root, "docs", "hist")
+    assert h1.meta["src_version"] == 1
+
+    S.commit_snapshot(spark, parts[1], root, "docs")        # v2 (append)
+    S.expire_snapshots(root, "docs", keep_last=1)           # v1 gone
+    S.commit_snapshot(spark, docs.limit(0), root, "docs")   # v3 (append)
+
+    h2 = P.refresh_cell_histogram(spark, root, "docs", "hist")
+    assert h2.meta["mode"] == "full" and h2.meta["src_version"] == 3
+    got_total = S.read_snapshot(spark, root, "hist") \
+        .agg(F.sum("n_docs").alias("s")).collect()[0].s
+    assert got_total == 400

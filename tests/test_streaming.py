@@ -222,10 +222,14 @@ def test_streaming_cms_counters_equal_batch_sketch(spark, tmp_path):
     from optimizing_spark.streaming import cells_stream as CS
 
     src = str(tmp_path / "cms_src")
+    # every 13th item NULL: the stream must exclude them exactly like
+    # batch cms_build (concat_ws would otherwise hash the bare "i:"
+    # prefix and inflate arbitrary counters)
     rows = spark.range(600).select(
         F.timestamp_seconds(
             F.lit(1_700_000_000) + (F.col("id") % 120)).alias("ts"),
-        F.concat(F.lit("it"), (F.col("id") % 50)).alias("it"))
+        F.when(F.col("id") % 13 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("it"), (F.col("id") % 50))).alias("it"))
     rows.repartition(4).write.parquet(src)
 
     stream = spark.readStream.schema("ts timestamp, it string").parquet(src)
@@ -247,7 +251,7 @@ def test_streaming_cms_counters_equal_batch_sketch(spark, tmp_path):
     # batch counters per window: group the cell explode by (wkey, i, b)
     from optimizing_spark.functions.sketches import _cms_keys
     b = {(r["wkey"], r["i"], r["bucket"]): r["n"]
-         for r in batch_src.select(
+         for r in batch_src.filter(F.col("it").isNotNull()).select(
              "wkey", F.explode(_cms_keys(F.col("it"), 4, 64)).alias("_c"))
          .groupBy("wkey", F.col("_c.i").alias("i"),
                   F.col("_c.bucket").alias("bucket"))
@@ -257,7 +261,8 @@ def test_streaming_cms_counters_equal_batch_sketch(spark, tmp_path):
     # finalize one emitted window's counters: estimates >= exact counts
     wkey = sorted(emitted)[0]
     counters = got.filter(F.col("wkey") == wkey).select("i", "bucket", "n")
-    win_rows = batch_src.filter(F.col("wkey") == wkey)
+    win_rows = batch_src.filter(
+        (F.col("wkey") == wkey) & F.col("it").isNotNull())
     probes = win_rows.select("it").distinct()
     est = {r["it"]: r["cms_est"]
            for r in SK.cms_estimate(counters, probes, "it",
