@@ -1756,31 +1756,43 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: deterministic centroids (vec_id < 16), each
-    vector assigned to its nearest centroid, probes score only their 4
-    nearest centroids' inverted lists, brute fallback for starved
+    """IVF ANN scale path with a TRAINED index (round 4): centroids
+    init at vec_id < 16 then refined by 2 deterministic Lloyd
+    iterations (round-6 cosine assignment, round-6 mean update — the
+    oracle twin replays the identical iterations), each vector
+    assigned to its nearest trained centroid, probes score only their
+    4 nearest centroids' inverted lists, brute fallback for starved
     probes — entirely reproducible in SQL."""
     e = D.load(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_embedding"))
-    return SIM.ivf_topk(e, probes, k=5, n_centroids=16, n_probe=4)
+    return SIM.ivf_topk(e, probes, k=5, n_centroids=16, n_probe=4,
+                        train_iters=2)
 
 
 def q_embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN compression path: 4 subspace codes per vector against a
-    deterministic 16-entry codebook, ADC scoring over the codes only,
-    exact re-rank of the ADC top-2k — the third ANN family next to
-    LSH (bucketing) and IVF (pruning), fully SQL-reproducible."""
+    """PQ ANN compression path with TRAINED codebooks (round 4): 4
+    subspace codes per vector against a 16-entry codebook refined by 2
+    deterministic per-subspace Lloyd iterations (round-6 squared-L2
+    assignment, round-6 mean update — replayed by the oracle twin),
+    ADC scoring over the codes only, exact re-rank of the ADC top-2k —
+    the third ANN family next to LSH (bucketing) and IVF (pruning),
+    fully SQL-reproducible."""
     e = D.load(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_embedding"))
-    return SIM.pq_topk(e, probes, k=5, dim=64, n_sub=4, n_codes=16, rerank=2)
+    return SIM.pq_topk(e, probes, k=5, dim=64, n_sub=4, n_codes=16, rerank=2,
+                       train_iters=2)
 
 
 def _embed_pq_sql(k: int = 5, dim: int = 64, n_sub: int = 4,
-                  n_codes: int = 16, rerank: int = 2) -> str:
-    """DuckDB twin of q_embed_topk_pq: same slices, codebook, round-6
-    argmin codes, fixed-order ADC sums, exact re-rank + fallback."""
+                  n_codes: int = 16, rerank: int = 2,
+                  iters: int = 2) -> str:
+    """DuckDB twin of q_embed_topk_pq: same slices, TRAINED codebook
+    (per-subspace Lloyd replayed iteration-for-iteration: round-6
+    squared-L2 argmin with code tie-break, round-6 element-wise mean
+    update, empty codes keep their previous entry), round-6 argmin
+    codes, fixed-order ADC sums, exact re-rank + fallback."""
     sub = dim // n_sub
     subs = ",".join(f"({s})" for s in range(n_sub))
     rsum = " + ".join(f"r{s}" for s in range(n_sub))
@@ -1799,17 +1811,48 @@ def _embed_pq_sql(k: int = 5, dim: int = 64, n_sub: int = 4,
                 f"list_dot_product({b}.p_embedding::DOUBLE[], "
                 f"{b}.p_embedding::DOUBLE[])), 6)")
 
+    train = ""
+    prev = "cb0"
+    for t in range(1, iters + 1):
+        train += f""", tenc{t} AS (
+            SELECT v.vec_id, v.s, cb.c, v.sl,
+                   round(list_dot_product(v.sl, v.sl)
+                         - 2.0 * list_dot_product(v.sl, cb.csl)
+                         + cb.cn2, 6) AS d2
+            FROM vsl v JOIN {prev} cb ON cb.s = v.s
+        ), mem{t} AS (
+            SELECT s, c, sl FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                             ORDER BY d2, c) AS rk
+                FROM tenc{t}
+            ) WHERE rk = 1
+        ), pm{t} AS (
+            SELECT s, c, pos, round(avg(val), 6) AS m FROM (
+                SELECT s, c, unnest(sl) AS val,
+                       unnest(range(1, {sub + 1})) AS pos
+                FROM mem{t}
+            ) GROUP BY s, c, pos
+        ), pn{t} AS (
+            SELECT s, c, list(m ORDER BY pos) AS csl
+            FROM pm{t} GROUP BY s, c
+        ), cb{t} AS (
+            SELECT p.s, p.c, coalesce(n.csl, p.csl) AS csl,
+                   list_dot_product(coalesce(n.csl, p.csl),
+                                    coalesce(n.csl, p.csl)) AS cn2
+            FROM {prev} p LEFT JOIN pn{t} n ON n.s = p.s AND n.c = p.c
+        )"""
+        prev = f"cb{t}"
     return f"""
         WITH subsp AS (SELECT * FROM (VALUES {subs}) t(s)),
         vsl AS (
             SELECT e.vec_id, t.s,
                    (e.embedding[t.s*{sub}+1 : t.s*{sub}+{sub}])::DOUBLE[] AS sl
             FROM embeddings e CROSS JOIN subsp t
-        ), cb AS (
+        ), cb0 AS (
             SELECT vec_id AS c, s, sl AS csl,
                    list_dot_product(sl, sl) AS cn2
             FROM vsl WHERE vec_id < {n_codes}
-        ), enc AS (
+        ){train}, cb AS (SELECT * FROM {prev}), enc AS (
             SELECT v.vec_id, v.s, cb.c, cb.cn2,
                    round(list_dot_product(v.sl, v.sl)
                          - 2.0 * list_dot_product(v.sl, cb.csl)
@@ -1882,18 +1925,53 @@ def _embed_pq_sql(k: int = 5, dim: int = 64, n_sub: int = 4,
     """
 
 
-def _embed_ivf_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
-    """DuckDB twin of q_embed_topk_ivf: same centroid set, assignment,
-    probe lists, rounded-cosine ranking and starved-probe fallback."""
+def _embed_ivf_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+                   iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of q_embed_topk_ivf: replays the SAME deterministic
+    Lloyd training (per-iteration round-6 cosine argmax assignment with
+    cent_id tie-break, round-6 element-wise mean update, empty clusters
+    keep their previous centroid — the round-6 bridge makes every
+    iteration's centroid floats bit-identical across engines), then the
+    same assignment, probe lists, rounded-cosine ranking and
+    starved-probe fallback."""
     def cos(a, b, an, bn):
         return (f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
                 f"sqrt(list_dot_product({an}::DOUBLE[], {an}::DOUBLE[]) * "
                 f"list_dot_product({bn}::DOUBLE[], {bn}::DOUBLE[])), 6)")
+    train = ""
+    prev = "cents0"
+    for t in range(1, iters + 1):
+        train += f""", a{t} AS (
+            SELECT vec_id, embedding, cent_id FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           round(list_dot_product(e.embedding::DOUBLE[], c.cent)
+                                 / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                         e.embedding::DOUBLE[])
+                                        * list_dot_product(c.cent, c.cent)), 6)
+                               DESC,
+                           c.cent_id) AS crk
+                FROM embeddings e CROSS JOIN {prev} c
+            ) WHERE crk = 1
+        ), m{t} AS (
+            SELECT cent_id, pos, round(avg(val), 6) AS m FROM (
+                SELECT cent_id, unnest(embedding::DOUBLE[]) AS val,
+                       unnest(range(1, {dim + 1})) AS pos
+                FROM a{t}
+            ) GROUP BY cent_id, pos
+        ), n{t} AS (
+            SELECT cent_id, list(m ORDER BY pos) AS cent
+            FROM m{t} GROUP BY cent_id
+        ), cents{t} AS (
+            SELECT p.cent_id, coalesce(n{t}.cent, p.cent) AS cent
+            FROM {prev} p LEFT JOIN n{t} USING (cent_id)
+        )"""
+        prev = f"cents{t}"
     return f"""
-        WITH cents AS (
-            SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-            WHERE vec_id < {n_centroids}
-        ), va AS (
+        WITH cents0 AS (
+            SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+            FROM embeddings WHERE vec_id < {n_centroids}
+        ){train}, cents AS (SELECT * FROM {prev}), va AS (
             SELECT e.vec_id, e.embedding, c.cent_id,
                    {cos('e.embedding', 'c.cent', 'e.embedding', 'c.cent')} AS ccos
             FROM embeddings e CROSS JOIN cents c

@@ -326,6 +326,30 @@ def run_lshstats() -> dict:
                           for r in g.itertuples()},
         }
     mx = max(b["max_bucket"] for b in per_band.values())
+
+    # ANN quality at DEFAULT params (round-3 verdict #3): recall of
+    # lsh_topk / ivf_topk(trained) vs exact brute_topk, 32 probes, k=10
+    k = 10
+    probes = e.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_embedding")).localCheckpoint()
+    brute = {(r.probe_id, r.vec_id)
+             for r in SIM.brute_topk(e, probes, k).collect()}
+    lsh = {(r.probe_id, r.vec_id)
+           for r in SIM.lsh_topk(e, probes, k, dim=64).collect()}
+    ivf = {(r.probe_id, r.vec_id)
+           for r in SIM.ivf_topk(e, probes, k).collect()}
+    ivf0 = {(r.probe_id, r.vec_id)
+            for r in SIM.ivf_topk(e, probes, k, train_iters=0).collect()}
+
+    # IVF inverted-list histogram (trained index) — the hot-list twin
+    # of the band-bucket dashboard
+    ldf = SIM.ivf_list_stats(e, n_centroids=16, train_iters=2).toPandas()
+    ivf_lists = {
+        "max_list": int(ldf.list_size.max()),
+        "histogram": {int(r.list_size): int(r.n_lists)
+                      for r in ldf.itertuples()},
+    }
     return {
         "metric": "lsh_max_bucket_size",
         "value": mx,
@@ -333,9 +357,17 @@ def run_lshstats() -> dict:
         "n_vectors": n_vec,
         "bands": per_band,
         "max_bucket_frac": round(mx / n_vec, 4),
+        "ann_recall_at_defaults": {
+            "k": k, "n_probes": 32,
+            "lsh_topk": round(len(lsh & brute) / len(brute), 3),
+            "ivf_topk_trained": round(len(ivf & brute) / len(brute), 3),
+            "ivf_topk_untrained": round(len(ivf0 & brute) / len(brute), 3),
+        },
+        "ivf_list_stats_trained": ivf_lists,
         # lsh_topk shares these exact band/plane streams since round 3,
         # so this histogram bounds ITS per-key fan-out too
-        "operators_covered": ["embedding_neardup_pairs", "lsh_topk"],
+        "operators_covered": ["embedding_neardup_pairs", "lsh_topk",
+                              "ivf_topk"],
     }
 
 

@@ -145,7 +145,7 @@ def _score_topk_with_fallback(
 
 def lsh_topk(
     vectors: DataFrame, probes: DataFrame, k: int, dim: int,
-    n_planes: int = 8, n_bands: int = 4,
+    n_planes: int = 6, n_bands: int = 10,
     vec_col: str = "embedding", probe_col: str = "p_embedding",
     multiprobe: bool = True,
 ) -> DataFrame:
@@ -157,6 +157,14 @@ def lsh_topk(
     round-2 single-signature shape kept a hot-bucket exposure on
     correlated embeddings; banding bounds per-band bucket fan-out while
     n_bands independent chances to collide raise recall.
+
+    Defaults (6 planes x 10 bands, round 4): recall 0.96 on the bench
+    fixture (2000 vectors, 32 probes, k=10) vs 0.45 at the round-3
+    8x4 — measured by bench --lshstats. Tuning at scale: per-probe
+    candidate count ~ n_bands*(1+n_planes)*N/2^n_planes, so grow
+    n_planes ~ log2(N / target_bucket_rows) as the table grows and
+    adjust n_bands to hold the recall target (the classic OR-of-ANDs
+    S-curve trade).
 
     Plan (100 TB): key-only explode -> equi join per (band, h) ->
     DISTINCT (probe, vec) candidates -> re-join embeddings for the
@@ -172,10 +180,90 @@ def lsh_topk(
                                      vec_col, probe_col)
 
 
+def train_centroids(
+    vectors: DataFrame, n_centroids: int = 16, iters: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd refinement for the IVF
+    index (round-3 verdict #3: first-N-ids centroids make list sizes
+    distribution-dependent; training rebalances them while staying
+    oracle-reproducible):
+
+    - init: the vectors with id < n_centroids (the round-3 choice);
+    - each iteration: assign every training vector to the argmax of
+      round-6 cosine (cent_id tie-break), then replace each centroid
+      with the element-wise MEAN of its members, every component
+      rounded to 6 decimals — the round-6 bridge absorbs
+      sum-accumulation-order ulps so DuckDB reproduces each iteration's
+      centroids bit-for-bit; an empty cluster keeps its previous
+      centroid.
+    - sample_mod: train on the deterministic 1/mod subsample
+      (id % mod == 0) — the 100 TB path: k-means training is a
+      bounded-sample job, only the single assignment pass touches the
+      full table.
+
+    Returns (cent_id, cent: array<double>), localCheckpoint'd so the
+    training subplan runs ONCE however many times the index reuses it.
+    """
+    train = vectors.select(id_col, vec_col)
+    if sample_mod:
+        train = train.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+    cents = vectors.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cent"))
+    for _ in range(iters):
+        j = train.withColumn("_ne", norm2_col(vec_col)).crossJoin(
+            F.broadcast(cents.withColumn("_nc", norm2_col("cent"))))
+        ccos = F.round(
+            dot_col(vec_col, "cent") / F.sqrt(F.col("_ne") * F.col("_nc")), 6)
+        w = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), "cent_id")
+        assign = j.withColumn("_ccos", ccos) \
+            .withColumn("_rk", F.row_number().over(w)) \
+            .filter(F.col("_rk") == 1).select("cent_id", vec_col)
+        comp = assign.select(
+            "cent_id", F.posexplode(vec_col).alias("pos", "val")) \
+            .groupBy("cent_id", "pos") \
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+        new = comp.groupBy("cent_id").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"]).alias("_new"))
+        cents = cents.withColumnRenamed("cent", "_prev") \
+            .join(new, "cent_id", "left") \
+            .select("cent_id", F.coalesce("_new", "_prev").alias("cent"))
+    if iters > 0:
+        cents = cents.localCheckpoint()  # tiny; train once, reuse everywhere
+    return cents
+
+
+def ivf_list_stats(
+    vectors: DataFrame, n_centroids: int = 16, train_iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF inverted-list-size histogram — the IVF twin of
+    band_bucket_stats (round-3 verdict: hot LISTS are the IVF analog of
+    the hot LSH bucket and need the same dashboard): one row per list
+    size with the number of lists that size. Uses the same trained
+    centroids + assignment rule as ivf_topk."""
+    cents = train_centroids(vectors, n_centroids, iters=train_iters,
+                            vec_col=vec_col) \
+        .withColumn("_nc", norm2_col("cent"))
+    j = vectors.select("vec_id", vec_col) \
+        .withColumn("_ne", norm2_col(vec_col)).crossJoin(F.broadcast(cents))
+    ccos = F.round(
+        dot_col(vec_col, "cent") / F.sqrt(F.col("_ne") * F.col("_nc")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("_ccos").desc(), "cent_id")
+    assign = j.withColumn("_ccos", ccos) \
+        .withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    sizes = assign.groupBy("cent_id").agg(F.count("*").alias("list_size"))
+    return sizes.groupBy("list_size").agg(F.count("*").alias("n_lists"))
+
+
 def ivf_topk(
     vectors: DataFrame, probes: DataFrame, k: int,
     n_centroids: int = 16, n_probe: int = 4,
     vec_col: str = "embedding", probe_col: str = "p_embedding",
+    train_iters: int = 2, train_sample_mod: int | None = None,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) index — the second scale
     path next to lsh_topk: every vector is assigned to its nearest
@@ -184,20 +272,24 @@ def ivf_topk(
     nearest centroids. Probes whose candidate lists hold < k rows fall
     back to exact brute_topk.
 
-    Centroids are the vectors with vec_id < n_centroids — a
-    DETERMINISTIC choice (k-means would converge better but is
-    seed/iteration-dependent; determinism is what makes the DuckDB
-    oracle reproduce the index bit-for-bit). All ranking uses cosine
-    rounded to 6 decimals with id tie-breaks.
+    Centroids: init = the vectors with vec_id < n_centroids, then
+    ``train_iters`` deterministic Lloyd iterations (round-6 cosine
+    assignment, round-6 element-wise-mean update — see
+    train_centroids): every iteration is fixed and reproducible, so
+    the DuckDB oracle rebuilds the TRAINED index bit-for-bit.
+    train_iters=0 recovers the round-3 untrained behavior. All
+    ranking uses cosine rounded to 6 decimals with id tie-breaks.
 
-    Plan shape (100 TB): centroids broadcast everywhere (n_centroids
-    rows); assignment is one streamed pass over the vectors; the
-    probe->candidate join is equi on cent_id (bucket-join; list sizes
-    ~N/n_centroids bound the per-key fan-out, the IVF analog of the
+    Plan shape (100 TB): training runs on a bounded deterministic
+    sample (train_sample_mod); centroids broadcast everywhere
+    (n_centroids rows); assignment is one streamed pass over the
+    vectors; the probe->candidate join is equi on cent_id
+    (bucket-join; list sizes ~N/n_centroids bound the per-key
+    fan-out — dashboarded by ivf_list_stats, the IVF analog of the
     LSH bucket histogram)."""
-    cents = vectors.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("cent"),
-        norm2_col(vec_col).alias("_nc"))
+    cents = train_centroids(vectors, n_centroids, iters=train_iters,
+                            vec_col=vec_col, sample_mod=train_sample_mod) \
+        .withColumn("_nc", norm2_col("cent"))
 
     def nearest_cents(df, id_col, emb_col, topn):
         j = df.withColumn("_ne", norm2_col(emb_col)) \
@@ -225,6 +317,7 @@ def pq_topk(
     vectors: DataFrame, probes: DataFrame, k: int, dim: int,
     n_sub: int = 4, n_codes: int = 16, rerank: int = 2,
     vec_col: str = "embedding", probe_col: str = "p_embedding",
+    train_iters: int = 2, train_sample_mod: int | None = None,
 ) -> DataFrame:
     """ANN top-k via product quantization (Jégou, Douze, Schmid 2011,
     "Product quantization for nearest neighbor search" — public
@@ -244,7 +337,16 @@ def pq_topk(
     argmin with centroid-id tie-break; the ADC numerator sums its
     n_sub per-subspace dots in EXPLICIT fixed order (one conditional
     agg per subspace, then a left-to-right add) so the DuckDB twin
-    reproduces every double bit-for-bit."""
+    reproduces every double bit-for-bit.
+
+    Codebooks: init = the first ``n_codes`` vectors' slices, then
+    ``train_iters`` deterministic per-subspace Lloyd iterations
+    (round-6 squared-L2 assignment, round-6 element-wise-mean update,
+    empty codes keep their previous entry — the train_centroids recipe
+    applied per subspace), fully reproducible in the SQL twin;
+    train_iters=0 recovers the round-3 stock codebook. At 100 TB the
+    training pass runs on the deterministic 1/train_sample_mod
+    subsample; only encoding touches the full table."""
     if dim % n_sub != 0:
         raise ValueError(
             f"dim {dim} not divisible by n_sub {n_sub}: the trailing "
@@ -262,10 +364,40 @@ def pq_topk(
 
     cb = slices(vectors.filter(F.col("vec_id") < n_codes)
                 .select(F.col("vec_id").alias("c"), vec_col),
-                "c", vec_col, "csl").withColumn("_cn2", norm2_col("csl"))
+                "c", vec_col, "csl") \
+        .select("c", "s", F.expr("transform(csl, x -> cast(x as double))")
+                .alias("csl")) \
+        .withColumn("_cn2", norm2_col("csl"))
 
     vsl = slices(vectors.select("vec_id", vec_col), "vec_id", vec_col, "vsl") \
         .withColumn("_vn2", norm2_col("vsl"))
+
+    tsl = vsl
+    if train_sample_mod:
+        tsl = vsl.filter(
+            F.pmod(F.col("vec_id"), F.lit(train_sample_mod)) == 0)
+    for _ in range(train_iters):
+        tenc = tsl.join(F.broadcast(cb), "s").withColumn(
+            "_d2", F.round(F.col("_vn2") - F.lit(2.0) * dot_col("vsl", "csl")
+                           + F.col("_cn2"), 6))
+        w_t = Window.partitionBy("vec_id", "s").orderBy(F.col("_d2"),
+                                                        F.col("c"))
+        members = tenc.withColumn("_rk", F.row_number().over(w_t)) \
+            .filter(F.col("_rk") == 1).select("s", "c", "vsl")
+        comp = members.select(
+            "s", "c", F.posexplode("vsl").alias("pos", "val")) \
+            .groupBy("s", "c", "pos") \
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+        new = comp.groupBy("s", "c").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda x: x["m"]).alias("_new"))
+        cb = cb.withColumnRenamed("csl", "_prev").drop("_cn2") \
+            .join(new, ["s", "c"], "left") \
+            .select("s", "c", F.coalesce("_new", "_prev").alias("csl")) \
+            .withColumn("_cn2", norm2_col("csl"))
+    if train_iters > 0:
+        cb = cb.localCheckpoint()  # tiny; train once, reuse in enc + lut
+
     enc = vsl.join(F.broadcast(cb), "s").withColumn(
         "_d2", F.round(F.col("_vn2") - F.lit(2.0) * dot_col("vsl", "csl")
                        + F.col("_cn2"), 6))

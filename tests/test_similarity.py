@@ -195,3 +195,64 @@ def test_pq_topk_recall_and_exactness(spark, vec_df):
             true_cos = round(float(m[j] @ m[pi] / (norms[j] * norms[pi])), 6)
             assert abs(row.cos - true_cos) < 1e-9
     assert hits / total >= 0.6, f"PQ recall too low: {hits / total}"
+
+
+def _np_lloyd(m: np.ndarray, n_cent: int, iters: int):
+    """NumPy replica of SIM.train_centroids' deterministic rule:
+    round-6 cosine argmax assignment (lowest cent_id tie-break),
+    round-6 element-wise mean update, empty clusters keep previous."""
+    cents = m[:n_cent].astype(np.float64).copy()
+    for _ in range(iters):
+        nv = (m.astype(np.float64) ** 2).sum(axis=1)
+        nc = (cents ** 2).sum(axis=1)
+        cos = np.round(
+            (m @ cents.T) / np.sqrt(nv[:, None] * nc[None, :]), 6)
+        assign = np.argmax(cos, axis=1)  # first max = lowest cent_id
+        for c in range(n_cent):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = np.round(members.astype(np.float64).mean(axis=0), 6)
+    return cents
+
+
+def test_train_centroids_matches_numpy_replica(spark, vec_df):
+    m = _vectors()
+    got = {r.cent_id: r.cent
+           for r in SIM.train_centroids(vec_df, 8, iters=2).collect()}
+    want = _np_lloyd(m, 8, 2)
+    assert sorted(got) == list(range(8))
+    for c in range(8):
+        assert got[c] == pytest.approx(list(want[c]), abs=0), f"cent {c}"
+
+
+def test_train_centroids_empty_cluster_keeps_previous(spark):
+    # cent 1 duplicates cent 0 -> every tie resolves to 0 -> cluster 1
+    # is empty each iteration and must keep its init centroid
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.1]),
+            (3, [0.8, 0.02])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.cent_id: r.cent
+           for r in SIM.train_centroids(df, 3, iters=2).collect()}
+    assert got[1] == [1.0, 0.0]  # kept, not NULLed or dropped
+    m = np.array([r[1] for r in rows])
+    want = _np_lloyd(m, 3, 2)
+    for c in range(3):
+        assert got[c] == pytest.approx(list(want[c]), abs=0), f"cent {c}"
+
+
+def test_trained_ivf_recall_not_worse_than_untrained(spark, vec_df):
+    m = _vectors()
+    probes = list(range(0, 60, 6))
+    pdf = _probes_df(spark, m, probes)
+    want = _topk_oracle(m, probes, 5)
+    truth = {(pi, j) for pi in probes for j in want[pi]}
+
+    def recall(iters):
+        got = SIM.ivf_topk(vec_df, pdf, k=5, n_centroids=8, n_probe=2,
+                           train_iters=iters).collect()
+        hits = {(r.probe_id, r.vec_id) for r in got}
+        return len(hits & truth) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0  # training must not hurt on the clustered fixture
+    assert r2 >= 0.5
