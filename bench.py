@@ -552,6 +552,48 @@ def run_sketch() -> dict:
     }
 
 
+def run_render() -> dict:
+    """E3 end-to-end at the reference's EXACT config (main.cpp:43-50;
+    Raytracing.hpp:417-499): 256x256 px, 2x2 subpixels, 16 samples per
+    subpixel (4,194,304 camera rays), depth 5, the 10-object Cornell
+    scene incl. the CUBE, eps 1e-4, tent-filter jitter, clamp +
+    quarter-weighted pixel accumulation, gamma tone map — ONE lazy
+    plan through rays -> pathtrace(inline scene) -> render_scene.
+    Correctness of the same code path: NumPy replay equality pytest
+    (tests/test_pathtrace.py::test_render_reference_scene_matches_
+    numpy_replay)."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators import raster
+    from optimizing_spark.sources import datagen
+
+    W = H = 256
+    SUB, S, MD = 2, 16, 5
+    spark = _session(CPUS)
+    scene = spark.createDataFrame(datagen.cornell_scene_pandas())
+    rays = datagen.camera_rays_spark(spark, W, H, subpixels=SUB, samples=S,
+                                     partitions=CPUS * 2)
+    n_rays = W * H * SUB * SUB * S
+    t0 = time.time()
+    rows = raster.render_scene(rays, scene, samples_per_subpixel=S,
+                               max_depth=MD).collect()
+    dt = time.time() - t0
+    vals = [r.value for r in rows]
+    tones = [r.tone for r in rows]
+    return {
+        "metric": "e3_render_rays_per_sec",
+        "value": round(n_rays / dt),
+        "unit": "rays/s",
+        "config": {"width": W, "height": H, "subpixels": SUB,
+                   "samples_per_subpixel": S, "depth": MD,
+                   "scene_objects": 10, "rays": n_rays},
+        "wall_sec": round(dt, 1),
+        "pixels": len(rows),
+        "image_mean_value": round(sum(vals) / len(vals), 4),
+        "lit_pixel_frac": round(sum(1 for t in tones if t > 0) / len(tones), 3),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -565,5 +607,7 @@ if __name__ == "__main__":
         print(json.dumps(run_zorder()))
     elif "--sketch" in sys.argv:
         print(json.dumps(run_sketch()))
+    elif "--render" in sys.argv:
+        print(json.dumps(run_render()))
     else:
         print(json.dumps(run_headline()))

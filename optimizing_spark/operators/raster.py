@@ -74,19 +74,35 @@ def ray_sphere_t(
     return F.when(disc >= 0, t)
 
 
-def nearest_hit(rays: DataFrame, scene: DataFrame, shape: str = "sphere") -> DataFrame:
+def nearest_hit(rays: DataFrame, scene: DataFrame, shape: str = "sphere",
+                eps: float = 1e-9) -> DataFrame:
     """O22: for each ray, the nearest hit object and distance.
 
     rays: (ray_id, px, py, sample_id, origin_x..z, dir_x..z)
     scene (sphere): (obj_id, cx, cy, cz, radius)
     scene (aabb):   (obj_id, min_x..max_z)
+    scene (mixed):  (obj_id, cx, cy, cz, radius, shape) — shape='CUBE'
+    rows are AABBs with min corner (cx,cy,cz) and extent ``radius``
+    (SpatialObject.getBoundingBox = BoundaryBox(position, size),
+    BoundaryBox.hpp:102-105; the sphere/cube dispatch of
+    Raytracing.hpp:291-295), everything else a sphere.
     Returns (ray_id, px, py, sample_id, obj_id, t); misses are dropped
     (raycast returns false, Raytracing.hpp:640-669).
     """
     o = (F.col("origin_x"), F.col("origin_y"), F.col("origin_z"))
     d = (F.col("dir_x"), F.col("dir_y"), F.col("dir_z"))
     if shape == "sphere":
-        t = ray_sphere_t(o, d, (F.col("cx"), F.col("cy"), F.col("cz")), F.col("radius"))
+        t = ray_sphere_t(o, d, (F.col("cx"), F.col("cy"), F.col("cz")),
+                         F.col("radius"), eps=eps)
+    elif shape == "mixed":
+        sph = ray_sphere_t(o, d, (F.col("cx"), F.col("cy"), F.col("cz")),
+                           F.col("radius"), eps=eps)
+        box = ray_aabb_t(
+            o, d,
+            (F.col("cx"), F.col("cy"), F.col("cz")),
+            (F.col("cx") + F.col("radius"), F.col("cy") + F.col("radius"),
+             F.col("cz") + F.col("radius")))
+        t = F.when(F.col("shape") == "CUBE", box).otherwise(sph)
     else:
         t = ray_aabb_t(o, d,
                        (F.col("min_x"), F.col("min_y"), F.col("min_z")),
@@ -168,11 +184,56 @@ def jitter_u(bounce: int, seed: int, stream: int, ray_id: str = "ray_id") -> Col
     )
 
 
+def _inline_hit_struct(objs: list, eps: float) -> Column:
+    """Nearest-hit as ONE projection expression for a plan-time-known
+    scene: per-object t formulas (sphere quadratic or cube slab, picked
+    per object at plan time), packed into array<struct<t,obj>>, NULL
+    misses filtered, array_min = (t asc, obj asc) argmin — exactly
+    nearest_hit's min_by contract with ZERO joins and ZERO shuffles.
+    The scale rationale: a scene is O(10-1e4) objects (broadcast-sized
+    by construction) while rays are W*H*spp rows; per-bounce work
+    should be a streamed projection over the ray table, not a
+    |rays| x |scene| shuffle."""
+    o = (F.col("origin_x"), F.col("origin_y"), F.col("origin_z"))
+    d = (F.col("dir_x"), F.col("dir_y"), F.col("dir_z"))
+    inf = float("inf")
+    entries = []
+    for r in objs:
+        if r.shape == "CUBE":
+            t = ray_aabb_t(
+                o, d,
+                (F.lit(r.cx), F.lit(r.cy), F.lit(r.cz)),
+                (F.lit(r.cx + r.radius), F.lit(r.cy + r.radius),
+                 F.lit(r.cz + r.radius)))
+        else:
+            t = ray_sphere_t(o, d, (F.lit(r.cx), F.lit(r.cy), F.lit(r.cz)),
+                             F.lit(r.radius), eps=eps)
+        # miss -> +inf sentinel so the argmin is a plain least() over
+        # structs (whole-stage-codegen'd); higher-order filter/array_min
+        # are interpreted per row — 10x slower on a 4M-ray render
+        entries.append(F.struct(
+            F.coalesce(t.cast("double"), F.lit(inf)).alias("t"),
+            F.lit(int(r.obj_id)).cast("long").alias("obj")))
+    best = F.least(*entries) if len(entries) > 1 else entries[0]
+    return F.when(best["t"] != F.lit(inf), best)
+
+
+def _inline_attr(objs: list, attr: str, default) -> Column:
+    """Scene-attribute lookup by hit obj_id as a literal CASE chain."""
+    expr = F.lit(default)
+    for r in objs:
+        expr = F.when(F.col("h_obj") == int(r.obj_id),
+                      F.lit(getattr(r, attr))).otherwise(expr)
+    return expr
+
+
 def pathtrace(
     rays: DataFrame,
     scene: DataFrame,
     max_depth: int = 5,
     seed: int = 42,
+    hit_eps: float = 1e-9,
+    inline_scene: bool = False,
 ) -> DataFrame:
     """O23: bounded-depth path tracing as iterative per-bounce DataFrame
     passes (compute_radiance, Raytracing.hpp:501-638; depth cap :692)
@@ -193,16 +254,24 @@ def pathtrace(
     accumulation + the material CASE; sampling is hash-derived via
     jitter_u so results are reproducible under any partitioning.
 
-    scene: (obj_id, cx, cy, cz, radius, emit, albedo[, material]) —
-    material in {'DIFFUSE','SPECULAR','REFRACTION'}, default DIFFUSE;
-    scalar emission/albedo (gray) keeps the column count down; RGB is
-    the same math three times.
+    scene: (obj_id, cx, cy, cz, radius, emit, albedo[, material]
+    [, shape]) — material in {'DIFFUSE','SPECULAR','REFRACTION'},
+    default DIFFUSE; shape in {'SPHERE','CUBE'}, default SPHERE (CUBE =
+    AABB with min corner (cx,cy,cz), extent radius; slab intersection +
+    dominant-axis face normal, Raytracing.hpp:291-295, 534-543); scalar
+    emission/albedo (gray) keeps the column count down; RGB is the same
+    math three times. hit_eps: intersection tolerance (the reference
+    uses 1e-4 — required for the 1e5-radius Cornell wall spheres, where
+    quadratic-root cancellation noise exceeds 1e-9).
 
     Returns per-ray accumulated radiance (ray_id, px, py, sample_id,
     radiance). Misses terminate with 0 background.
     """
     if "material" not in scene.columns:
         scene = scene.withColumn("material", F.lit("DIFFUSE"))
+    if "shape" not in scene.columns:
+        scene = scene.withColumn("shape", F.lit("SPHERE"))
+    objs = scene.collect() if inline_scene else None  # tiny by contract
     live = rays.select(
         "ray_id", "px", "py", "sample_id",
         "origin_x", "origin_y", "origin_z", "dir_x", "dir_y", "dir_z",
@@ -210,19 +279,43 @@ def pathtrace(
     )
     done_parts: list[DataFrame] = []
     for bounce in range(max_depth):
-        hit = nearest_hit(live, scene, shape="sphere").select(
-            "ray_id", F.col("obj_id").alias("h_obj"), F.col("t").alias("h_t"))
-        j = live.join(hit, "ray_id", "left")
-        missed = j.filter(F.col("h_obj").isNull()).select(
-            "ray_id", "px", "py", "sample_id",
-            F.lit(0.0).alias("radiance"))
-        done_parts.append(missed)
-        h = j.filter(F.col("h_obj").isNotNull()).join(
-            F.broadcast(scene.select(
-                F.col("obj_id").alias("h_obj"), "cx", "cy", "cz", "radius",
-                "emit", "albedo", "material")),
-            "h_obj",
-        )
+        if inline_scene:
+            # nearest hit as ONE projection, then an immediate
+            # localCheckpoint: h_t/h_obj become plain columns, so
+            # projection collapse cannot substitute the 10-formula hit
+            # expression into every downstream use (without the barrier
+            # the collapsed tree explodes — observed 7.5 MB task
+            # binaries and interpreted-speed evaluation). Per bounce,
+            # the geometry is evaluated exactly once.
+            ck = live.withColumn(
+                "_b", _inline_hit_struct(objs, hit_eps)).localCheckpoint()
+            missed = ck.filter(F.col("_b").isNull()).select(
+                "ray_id", "px", "py", "sample_id",
+                F.lit(0.0).alias("radiance"))
+            done_parts.append(missed)
+            h = ck.filter(F.col("_b").isNotNull()).withColumns({
+                "h_obj": F.col("_b.obj"), "h_t": F.col("_b.t")})
+            h = h.withColumns({
+                a: _inline_attr(objs, a, None)
+                for a in ("cx", "cy", "cz", "radius", "emit", "albedo",
+                          "material", "shape")
+            }).drop("_b")
+        else:
+            hit = nearest_hit(live, scene, shape="mixed",
+                              eps=hit_eps).select(
+                "ray_id", F.col("obj_id").alias("h_obj"),
+                F.col("t").alias("h_t"))
+            j = live.join(hit, "ray_id", "left")
+            missed = j.filter(F.col("h_obj").isNull()).select(
+                "ray_id", "px", "py", "sample_id",
+                F.lit(0.0).alias("radiance"))
+            done_parts.append(missed)
+            h = j.filter(F.col("h_obj").isNotNull()).join(
+                F.broadcast(scene.select(
+                    F.col("obj_id").alias("h_obj"), "cx", "cy", "cz",
+                    "radius", "emit", "albedo", "material", "shape")),
+                "h_obj",
+            )
         # emitted light weighted by current throughput
         contrib = h.select(
             "ray_id", "px", "py", "sample_id",
@@ -237,10 +330,29 @@ def pathtrace(
             "_hy": F.col("origin_y") + F.col("dir_y") * F.col("h_t"),
             "_hz": F.col("origin_z") + F.col("dir_z") * F.col("h_t"),
         })
+        # outward normal: sphere = radial; CUBE = dominant-axis face
+        # normal from the box center (Raytracing.hpp:534-543)
+        is_cube = F.col("shape") == "CUBE"
+        half = F.col("radius") / 2.0
+        cdx = F.col("_hx") - (F.col("cx") + half)
+        cdy = F.col("_hy") - (F.col("cy") + half)
+        cdz = F.col("_hz") - (F.col("cz") + half)
+        adx, ady, adz = F.abs(cdx), F.abs(cdy), F.abs(cdz)
+        x_dom = (adx > ady) & (adx > adz)
+        y_dom = (~x_dom) & (ady > adz)
+        z_dom = (~x_dom) & (~y_dom)
+
+        def face(sel, comp):
+            return F.when(sel, F.when(comp > 0, F.lit(1.0))
+                          .otherwise(F.lit(-1.0))).otherwise(F.lit(0.0))
+
         h2 = h2.withColumns({
-            "_nx": (F.col("_hx") - F.col("cx")) / F.col("radius"),
-            "_ny": (F.col("_hy") - F.col("cy")) / F.col("radius"),
-            "_nz": (F.col("_hz") - F.col("cz")) / F.col("radius"),
+            "_nx": F.when(is_cube, face(x_dom, cdx))
+                    .otherwise((F.col("_hx") - F.col("cx")) / F.col("radius")),
+            "_ny": F.when(is_cube, face(y_dom, cdy))
+                    .otherwise((F.col("_hy") - F.col("cy")) / F.col("radius")),
+            "_nz": F.when(is_cube, face(z_dom, cdz))
+                    .otherwise((F.col("_hz") - F.col("cz")) / F.col("radius")),
         })
         dot = (F.col("dir_x") * F.col("_nx") + F.col("dir_y") * F.col("_ny")
                + F.col("dir_z") * F.col("_nz"))
@@ -334,10 +446,56 @@ def pathtrace(
             (F.col("_hz") + ndz * eps).alias("origin_z"),
             ndx.alias("dir_x"), ndy.alias("dir_y"), ndz.alias("dir_z"),
             (F.col("throughput") * weight).alias("throughput"),
-        ).localCheckpoint()
+        )
+        if not inline_scene:
+            # the join path's multi-consumer plan needs the bounce
+            # pinned; inline mode already checkpoints at the hit struct
+            # (live is consumed exactly once, by the next bounce's ck)
+            live = live.localCheckpoint()
 
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
     return out.groupBy("ray_id", "px", "py", "sample_id").agg(
         F.sum("radiance").alias("radiance"))
+
+
+def render_scene(
+    rays: DataFrame,
+    scene: DataFrame,
+    samples_per_subpixel: int,
+    max_depth: int = 5,
+    seed: int = 42,
+    hit_eps: float = 1e-4,
+) -> DataFrame:
+    """E3 end-to-end: rays -> pathtrace -> the reference's pixel
+    accumulation -> tone map, ONE lazy plan (Raytracing.hpp:445-499):
+    per subpixel, radiance is the MEAN over its samples
+    (sum of radiance * 1/RAY_PER_PIXEL, :485-488), CLAMPED to [0,1],
+    then each of the subpixels contributes clamp(..)*(1/n_subpixels)
+    to the pixel (:491 does *0.25 for the 2x2 block); the final value
+    is gamma-mapped by tone_map (O25).
+
+    rays: camera_rays_spark output — sample_id // samples_per_subpixel
+    recovers the subpixel index. Returns (px, py, value, tone).
+    Default hit_eps=1e-4 matches the reference's intersection
+    tolerance (mandatory for the 1e5-radius Cornell walls). The scene
+    is inlined into the plan (render scenes are O(10) objects), so
+    each bounce is a shuffle-free projection; the ONLY shuffles in the
+    whole render are the two pixel aggregations."""
+    rad = pathtrace(rays, scene, max_depth=max_depth, seed=seed,
+                    hit_eps=hit_eps, inline_scene=True)
+    sub = rad.withColumn(
+        "_sp", F.floor(F.col("sample_id") / samples_per_subpixel))
+    subagg = sub.groupBy("px", "py", "_sp").agg(
+        F.avg("radiance").alias("_r"),
+        F.count("*").alias("_ns"))
+    clamped = F.least(F.greatest(F.col("_r"), F.lit(0.0)), F.lit(1.0))
+    # the subpixel count is data-derived (count, not a 0.25 literal) so
+    # a partial ray table (tests) still normalizes correctly
+    pix = subagg.groupBy("px", "py").agg(
+        F.sum(clamped).alias("_s"), F.count("*").alias("_nsub"))
+    pix = pix.select(
+        "px", "py",
+        (F.col("_s") / F.col("_nsub")).alias("value"))
+    return pix.withColumn("tone", tone_map(F.col("value")))

@@ -402,3 +402,117 @@ def rays_spark(
 
     rng = spark.range(0, total, numPartitions=partitions) if partitions else spark.range(0, total)
     return rng.mapInPandas(gen, RAYS_SCHEMA)
+def camera_rays_pandas(
+    width: int = 256, height: int = 256, subpixels: int = 2,
+    samples: int = 16, seed: int = 42, ids: np.ndarray | None = None,
+    fov: float = 0.5135,
+) -> pd.DataFrame:
+    """The reference's EXACT camera model (Raytracing.hpp:135-162
+    calibrate + :445-492 render loop; main.cpp:43-50 config): pinhole at
+    (50, 50, 300) looking along normalize((0, -0.042612, -1)), fov
+    0.5135, a subpixels x subpixels block per pixel, ``samples`` rays
+    per subpixel, tent-filter jitter (:473-477), ray origin pushed 140
+    units along the unnormalized direction (:487). The MT19937 uniform
+    stream is replaced by the splitmix hash stream (FIXTURES.md F5 —
+    the one documented RNG deviation).
+
+    One row per (px, py, sy, sx, s); sample_id = (sy*subpixels+sx) *
+    samples + s, so sample_id // samples recovers the subpixel for the
+    reference's clamp-then-quarter pixel accumulation."""
+    spp = subpixels * subpixels * samples
+    total = width * height * spp
+    i = np.arange(total, dtype=np.uint64) if ids is None else ids.astype(np.uint64)
+    ii = i.astype(np.int64)
+    sample_id = ii % spp
+    pix = ii // spp
+    px = pix % width
+    py = pix // width
+    sub = sample_id // samples
+    sy = sub // subpixels
+    sx = sub % subpixels
+
+    # camera axes (Raytracing.hpp:156-161)
+    oz = np.array([0.0, -0.042612, -1.0])
+    oz = oz / np.sqrt((oz * oz).sum())
+    ax = np.array([width * fov / height, 0.0, 0.0])
+    ay = np.cross(ax, oz)
+    ay = ay / np.sqrt((ay * ay).sum()) * fov
+    pos = np.array([50.0, 50.0, 300.0])
+
+    def tent(u: np.ndarray) -> np.ndarray:
+        r = 2.0 * u
+        return np.where(r < 1.0, np.sqrt(r) - 1.0, 1.0 - np.sqrt(2.0 - r))
+
+    dx = tent(_u01(i, seed, 81))
+    dy = tent(_u01(i, seed, 82))
+    cu = ((sx + 0.5 + dx) / subpixels + px) / width - 0.5
+    cv = ((sy + 0.5 + dy) / subpixels + py) / height - 0.5
+    ddx = ax[0] * cu + ay[0] * cv + oz[0]
+    ddy = ax[1] * cu + ay[1] * cv + oz[1]
+    ddz = ax[2] * cu + ay[2] * cv + oz[2]
+    norm = np.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+    return pd.DataFrame(
+        {
+            "ray_id": ii,
+            "px": px.astype(np.int32),
+            "py": py.astype(np.int32),
+            "sample_id": sample_id.astype(np.int32),
+            "origin_x": pos[0] + ddx * 140.0,
+            "origin_y": pos[1] + ddy * 140.0,
+            "origin_z": pos[2] + ddz * 140.0,
+            "dir_x": ddx / norm,
+            "dir_y": ddy / norm,
+            "dir_z": ddz / norm,
+        }
+    )
+
+
+def camera_rays_spark(
+    spark: SparkSession, width: int = 256, height: int = 256,
+    subpixels: int = 2, samples: int = 16, seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    total = width * height * subpixels * subpixels * samples
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy(dtype=np.uint64)
+            yield camera_rays_pandas(width, height, subpixels, samples,
+                                     seed, ids=ids)
+
+    rng = spark.range(0, total, numPartitions=partitions) if partitions \
+        else spark.range(0, total)
+    return rng.mapInPandas(gen, RAYS_SCHEMA)
+
+
+def cornell_scene_pandas() -> pd.DataFrame:
+    """The reference Cornell scene (init_cornell_box,
+    Raytracing.hpp:350-414) as the engine's scalar-gray scene table:
+    six 1e5-radius wall spheres, the mirror (SPECULAR r=22.5), the
+    glass sphere (REFRACTION r=17.5), the 600-radius light, and the
+    CUBE (min corner (35,25,60), extent 10 — carried as shape='CUBE'
+    with (cx,cy,cz)=min corner, radius=extent, matching
+    SpatialObject.getBoundingBox = BoundaryBox(position, size)).
+    RGB emission/albedo collapse to their channel MEAN (the engine's
+    documented gray convention; RGB = the same plan three times)."""
+    A = 1e5  # anchor / wall radius
+
+    def gray(r, g, b):
+        return (r + g + b) / 3.0
+
+    rows = [
+        # obj_id, cx, cy, cz, radius, emit, albedo, material, shape
+        (0, 50.0, A, 81.6, A, 0.0, 0.75, "DIFFUSE", "SPHERE"),        # floor
+        (1, 50.0, -A + 81.6, 81.6, A, 0.0, 0.75, "DIFFUSE", "SPHERE"),  # ceiling
+        (2, A + 1.0, 40.8, 81.6, A, 0.0, gray(0.75, 0.25, 0.25), "DIFFUSE", "SPHERE"),  # left
+        (3, 50.0, 40.8, A, A, 0.0, gray(0.25, 0.75, 0.25), "DIFFUSE", "SPHERE"),        # back
+        (4, -A + 99.0, 40.8, 81.6, A, 0.0, 0.25, "DIFFUSE", "SPHERE"),  # right
+        (5, 50.0, 40.8, -A + 170.0, A, 0.0, 0.0, "DIFFUSE", "SPHERE"),  # front
+        (6, 30.0, 30.0, 40.0, 22.5, 0.0, 1.0, "SPECULAR", "SPHERE"),    # mirror
+        (7, 75.0, 40.0, 75.0, 17.5, 0.0, 1.0, "REFRACTION", "SPHERE"),  # glass
+        (8, 50.0, 600.0 + 81.6 - 0.27, 81.6, 600.0, 15.0, 0.0, "DIFFUSE", "SPHERE"),  # light
+        (9, 35.0, 25.0, 60.0, 10.0, 0.0, gray(0.8, 0.8, 0.2), "DIFFUSE", "CUBE"),     # cube
+    ]
+    return pd.DataFrame(rows, columns=[
+        "obj_id", "cx", "cy", "cz", "radius", "emit", "albedo",
+        "material", "shape"])

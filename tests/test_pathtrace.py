@@ -20,15 +20,27 @@ def _scene():
     })
 
 
-def _np_trace(rays_pd, scene_pd, uvals, max_depth):
-    """Literal NumPy replay of raster.pathtrace: same nearest-hit rule,
-    same material branches (Raytracing.hpp:566-635), same jitter
-    streams (taken as input — the hash itself is a Spark built-in).
+
+def _dot3(a, b):
+    """Left-associated 3-component dot, matching the engine's column
+    fold exactly (np.dot may route through BLAS ddot, whose FMA /
+    vectorization differs in the last ulp — enough to flip a grazing
+    hit on a 1e5-radius wall sphere)."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _np_trace(rays_pd, scene_pd, uvals, max_depth, eps_hit=1e-9):
+    """Literal NumPy replay of raster.pathtrace: same nearest-hit rule
+    (spheres + CUBE slab boxes), same material branches
+    (Raytracing.hpp:566-635), same jitter streams (taken as input —
+    the hash itself is a Spark built-in).
     Returns (radiance per ray_id, material-branch hit counts)."""
     IOR = 1.5
     R0 = ((IOR - 1.0) ** 2) / ((IOR + 1.0) ** 2)
-    eps_hit, eps_off = 1e-9, 1e-6
+    eps_off = 1e-6
     S = scene_pd.reset_index(drop=True)
+    if "shape" not in S.columns:
+        S = S.assign(shape="SPHERE")
     out = {}
     branch_hits = {"DIFFUSE": 0, "SPECULAR": 0, "REFRACTION": 0}
     for _, r in rays_pd.iterrows():
@@ -39,14 +51,25 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth):
             best = None  # (t, obj_id)
             for i, s in S.iterrows():
                 c = np.array([s.cx, s.cy, s.cz])
-                oc = o - c
-                b = float(oc @ d)
-                cq = float(oc @ oc) - s.radius * s.radius
-                disc = b * b - cq
-                if disc < 0:
-                    continue
-                sq = np.sqrt(disc)
-                t = -b - sq if -b - sq > eps_hit else (-b + sq if -b + sq > eps_hit else None)
+                if s["shape"] == "CUBE":  # bracket access: Series.shape is the ndarray shape
+                    # slab entry distance, exactly raster.ray_aabb_t
+                    with np.errstate(divide="ignore"):
+                        t0 = (c - o) / d
+                        t1 = (c + s.radius - o) / d
+                    tmin = float(np.max(np.minimum(t0, t1)))
+                    tmax = float(np.min(np.maximum(t0, t1)))
+                    if not (tmax >= tmin and tmax >= 0):
+                        continue
+                    t = tmin if tmin >= 0 else tmax
+                else:
+                    oc = o - c
+                    b = _dot3(oc, d)
+                    cq = _dot3(oc, oc) - s.radius * s.radius
+                    disc = b * b - cq
+                    if disc < 0:
+                        continue
+                    sq = np.sqrt(disc)
+                    t = -b - sq if -b - sq > eps_hit else (-b + sq if -b + sq > eps_hit else None)
                 if t is None:
                     continue
                 if best is None or (t, s.obj_id) < best:
@@ -60,10 +83,21 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth):
                 break
             h = o + d * t
             c = np.array([s.cx, s.cy, s.cz])
-            n = (h - c) / s.radius
-            dot = float(d @ n)
+            if s["shape"] == "CUBE":
+                cd = h - (c + s.radius / 2.0)
+                ax, ay, az = abs(cd[0]), abs(cd[1]), abs(cd[2])
+                n = np.zeros(3)
+                if ax > ay and ax > az:
+                    n[0] = 1.0 if cd[0] > 0 else -1.0
+                elif ay > az:
+                    n[1] = 1.0 if cd[1] > 0 else -1.0
+                else:
+                    n[2] = 1.0 if cd[2] > 0 else -1.0
+            else:
+                n = (h - c) / s.radius
+            dot = _dot3(d, n)
             nl = n if dot < 0 else -n
-            u1, u2, u3 = uvals[(int(r.ray_id), bounce)]
+            u1, u2, u3 = uvals[(int(r.ray_id), bounce)][:3]
             branch_hits[s.material] += 1
             if s.material == "SPECULAR":
                 nd = d - 2.0 * dot * n
@@ -72,16 +106,18 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth):
                 refl = d - 2.0 * dot * n
                 into = dot < 0
                 nnt = 1.0 / IOR if into else IOR
-                ddn = float(d @ nl)
+                ddn = _dot3(d, nl)
                 cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
                 if cos2t < 0:
                     nd, w = refl, s.albedo
                 else:
                     sgn = 1.0 if into else -1.0
                     td = d * nnt - n * (sgn * (ddn * nnt + np.sqrt(cos2t)))
-                    td = td / np.linalg.norm(td)
-                    c1 = 1.0 - (-ddn if into else float(td @ n))
-                    re = R0 + (1.0 - R0) * c1 ** 5
+                    td = td / np.sqrt(_dot3(td, td))
+                    c1 = 1.0 - (-ddn if into else _dot3(td, n))
+                    # engine folds left-to-right from the (1-R0) factor;
+                    # libm pow(c1, 5) differs in the last ulp
+                    re = R0 + (1.0 - R0) * c1 * c1 * c1 * c1 * c1
                     p = 0.25 + 0.5 * re
                     if u3 < p:
                         nd, w = refl, s.albedo * (re / p)
@@ -90,10 +126,19 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth):
             else:  # DIFFUSE
                 theta = u1 * 2.0 * np.pi
                 rr = np.sqrt(u2)
+                vals = uvals[(int(r.ray_id), bounce)]
+                if len(vals) == 5:
+                    # engine-exported cos/sin: libm and the JVM differ
+                    # in the last ulp, so bit-exact replay feeds the
+                    # engine's trig values (same argument as feeding it
+                    # the hash streams); all other math is replayed raw
+                    _, _, _, ct, st = vals
+                else:
+                    ct, st = np.cos(theta), np.sin(theta)
                 a = np.array([0.0, 1.0, 0.0]) if abs(nl[0]) > 0.9 else np.array([1.0, 0.0, 0.0])
-                u = np.cross(a, nl); u = u / np.linalg.norm(u)
+                u = np.cross(a, nl); u = u / np.sqrt(_dot3(u, u))
                 v = np.cross(nl, u)
-                nd = u * np.cos(theta) * rr + v * np.sin(theta) * rr + nl * np.sqrt(max(0.0, 1.0 - u2))
+                nd = u * ct * rr + v * st * rr + nl * np.sqrt(max(0.0, 1.0 - u2))
                 w = s.albedo
             thr *= w
             o = h + nd * eps_off
@@ -343,3 +388,76 @@ def test_refract_chain_query_matches_python_replay_exactly(spark):
         assert row.hit_obj == hit_obj, k
         assert row.radiance == radiance, (k, row.radiance, radiance)
     assert n_tir >= 2  # TIR genuinely exercised
+
+
+def test_render_reference_scene_matches_numpy_replay(spark):
+    """E3 end-to-end at a reduced config: the reference Cornell scene
+    (all 10 objects incl. the CUBE), the reference camera model, tent
+    jitter, depth 5, the reference's eps=1e-4 hit tolerance, and the
+    reference's pixel accumulation (per-subpixel sample mean -> clamp
+    -> quarter-weighted pixel sum -> gamma tone map) — the engine's
+    one-lazy-plan render vs a literal NumPy replay. The bench runs the
+    SAME code path at the full 256x256 x 2x2 x 16 config
+    (bench.py --render)."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators.raster import jitter_u, render_scene
+
+    W = H = 10
+    SUB, S, MD = 2, 2, 5
+    scene_pd = datagen.cornell_scene_pandas()
+    rays_pd = datagen.camera_rays_pandas(W, H, subpixels=SUB, samples=S)
+    rays = spark.createDataFrame(rays_pd)
+    scene = spark.createDataFrame(scene_pd)
+
+    # the distributed ray source equals the pandas definition
+    dist = datagen.camera_rays_spark(spark, W, H, subpixels=SUB, samples=S,
+                                     partitions=5).toPandas() \
+        .sort_values("ray_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, rays_pd.reset_index(drop=True))
+
+    ucols = []
+    for b in range(MD - 1):
+        theta = jitter_u(b, 42, 0) * 2.0 * 3.141592653589793
+        ucols += [jitter_u(b, 42, 0).alias(f"u1_{b}"),
+                  jitter_u(b, 42, 100).alias(f"u2_{b}"),
+                  jitter_u(b, 42, 200).alias(f"u3_{b}"),
+                  F.cos(theta).alias(f"ct_{b}"),
+                  F.sin(theta).alias(f"st_{b}")]
+    updf = rays.select("ray_id", *ucols).toPandas()
+    uvals = {}
+    for _, row in updf.iterrows():
+        for b in range(MD - 1):
+            uvals[(int(row.ray_id), b)] = (
+                row[f"u1_{b}"], row[f"u2_{b}"], row[f"u3_{b}"],
+                row[f"ct_{b}"], row[f"st_{b}"])
+
+    got = render_scene(rays, scene, samples_per_subpixel=S, max_depth=MD) \
+        .toPandas().sort_values(["py", "px"]).reset_index(drop=True)
+    assert len(got) == W * H
+
+    want_rad, branch_hits = _np_trace(rays_pd, scene_pd, uvals, MD,
+                                      eps_hit=1e-4)
+    # replay the pixel accumulation
+    acc = {}
+    for _, r in rays_pd.iterrows():
+        sp = int(r.sample_id) // S
+        acc.setdefault((int(r.px), int(r.py)), {}).setdefault(sp, []) \
+            .append(want_rad[int(r.ray_id)])
+    want = {}
+    for (px, py), subs in acc.items():
+        v = sum(min(max(np.mean(rs), 0.0), 1.0) for rs in subs.values()) \
+            / len(subs)
+        want[(px, py)] = v
+    got_v = got.value.to_numpy()
+    want_v = np.array([want[(int(r.px), int(r.py))]
+                       for _, r in got.iterrows()])
+    assert np.allclose(got_v, want_v, rtol=1e-9, atol=1e-12), \
+        f"max diff {np.max(np.abs(got_v - want_v))}"
+    # tone map matches the replayed values
+    tone = np.floor(np.clip(want_v, 0.0, 1.0) ** (1 / 2.2) * 255 + 0.5)
+    assert (got.tone.to_numpy() == tone.astype(int)).all()
+    # the Cornell fixture exercises every material branch, and some
+    # paths reach the light (nonzero image)
+    assert min(branch_hits.values()) > 0, branch_hits
+    assert got_v.max() > 0
