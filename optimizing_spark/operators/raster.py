@@ -234,6 +234,7 @@ def pathtrace(
     seed: int = 42,
     hit_eps: float = 1e-9,
     inline_scene: bool = False,
+    roulette_from: int | None = None,
 ) -> DataFrame:
     """O23: bounded-depth path tracing as iterative per-bounce DataFrame
     passes (compute_radiance, Raytracing.hpp:501-638; depth cap :692)
@@ -263,6 +264,17 @@ def pathtrace(
     math three times. hit_eps: intersection tolerance (the reference
     uses 1e-4 — required for the 1e5-radius Cornell wall spheres, where
     quadratic-root cancellation noise exceeds 1e-9).
+
+    roulette_from: COLOUR ROULETTE (Raytracing.hpp:552-564) — from that
+    bounce index on, a path survives with probability equal to its hit
+    object's max colour component (= the gray albedo here) and a
+    survivor's colour weight is rescaled by 1/threshold (gray: the
+    albedo factor becomes exactly 1); a dead path terminates with the
+    emission it just accumulated. The reference applies this past its
+    _MAX_DEPTH with UNBOUNDED recursion; a fixed-loop engine still
+    truncates at max_depth — the residual bias decays as albedo^k and
+    the truncation depth is the caller's knob. None (default) keeps
+    the round-3 hard depth cap.
 
     Returns per-ray accumulated radiance (ray_id, px, py, sample_id,
     radiance). Misses terminate with 0 background.
@@ -323,6 +335,16 @@ def pathtrace(
         done_parts.append(contrib)
         if bounce == max_depth - 1:
             break
+
+        if roulette_from is not None and bounce >= roulette_from:
+            # colour roulette (Raytracing.hpp:556-564): survive iff
+            # u < threshold (= gray albedo); the dead path's emission
+            # was already accumulated above, so death = drop from live
+            h = h.filter(jitter_u(bounce, seed, 300) < F.col("albedo"))
+            # survivor colour f*(1/threshold): gray albedo/albedo == 1
+            alb = F.lit(1.0)
+        else:
+            alb = F.col("albedo")
 
         # hit point + outward normal (sphere), materialized as columns
         h2 = h.withColumns({
@@ -436,7 +458,7 @@ def pathtrace(
         ndz = F.when(is_spec, F.col("_rfz")).when(
             is_refr, F.when(take_refl, F.col("_rfz")).otherwise(F.col("_tdz"))
         ).otherwise(F.col("_dfz"))
-        weight = F.when(is_refr, F.col("albedo") * refr_w).otherwise(F.col("albedo"))
+        weight = F.when(is_refr, alb * refr_w).otherwise(alb)
 
         eps = 1e-6
         live = h2.select(

@@ -29,7 +29,8 @@ def _dot3(a, b):
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
 
-def _np_trace(rays_pd, scene_pd, uvals, max_depth, eps_hit=1e-9):
+def _np_trace(rays_pd, scene_pd, uvals, max_depth, eps_hit=1e-9,
+              roulette_from=None, u4vals=None):
     """Literal NumPy replay of raster.pathtrace: same nearest-hit rule
     (spheres + CUBE slab boxes), same material branches
     (Raytracing.hpp:566-635), same jitter streams (taken as input —
@@ -43,6 +44,7 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth, eps_hit=1e-9):
         S = S.assign(shape="SPHERE")
     out = {}
     branch_hits = {"DIFFUSE": 0, "SPECULAR": 0, "REFRACTION": 0}
+    roulette_deaths = 0
     for _, r in rays_pd.iterrows():
         o = np.array([r.origin_x, r.origin_y, r.origin_z], dtype=np.float64)
         d = np.array([r.dir_x, r.dir_y, r.dir_z], dtype=np.float64)
@@ -81,6 +83,15 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth, eps_hit=1e-9):
             rad += thr * s.emit
             if bounce == max_depth - 1:
                 break
+            if roulette_from is not None and bounce >= roulette_from:
+                # colour roulette: survive iff u4 < gray albedo; the
+                # survivor's albedo weight rescales to exactly 1
+                if not (u4vals[(int(r.ray_id), bounce)] < s.albedo):
+                    roulette_deaths += 1
+                    break
+                alb = 1.0
+            else:
+                alb = s.albedo
             h = o + d * t
             c = np.array([s.cx, s.cy, s.cz])
             if s["shape"] == "CUBE":
@@ -101,7 +112,7 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth, eps_hit=1e-9):
             branch_hits[s.material] += 1
             if s.material == "SPECULAR":
                 nd = d - 2.0 * dot * n
-                w = s.albedo
+                w = alb
             elif s.material == "REFRACTION":
                 refl = d - 2.0 * dot * n
                 into = dot < 0
@@ -109,7 +120,7 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth, eps_hit=1e-9):
                 ddn = _dot3(d, nl)
                 cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
                 if cos2t < 0:
-                    nd, w = refl, s.albedo
+                    nd, w = refl, alb
                 else:
                     sgn = 1.0 if into else -1.0
                     td = d * nnt - n * (sgn * (ddn * nnt + np.sqrt(cos2t)))
@@ -120,9 +131,9 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth, eps_hit=1e-9):
                     re = R0 + (1.0 - R0) * c1 * c1 * c1 * c1 * c1
                     p = 0.25 + 0.5 * re
                     if u3 < p:
-                        nd, w = refl, s.albedo * (re / p)
+                        nd, w = refl, alb * (re / p)
                     else:
-                        nd, w = td, s.albedo * ((1.0 - re) / (1.0 - p))
+                        nd, w = td, alb * ((1.0 - re) / (1.0 - p))
             else:  # DIFFUSE
                 theta = u1 * 2.0 * np.pi
                 rr = np.sqrt(u2)
@@ -139,11 +150,13 @@ def _np_trace(rays_pd, scene_pd, uvals, max_depth, eps_hit=1e-9):
                 u = np.cross(a, nl); u = u / np.sqrt(_dot3(u, u))
                 v = np.cross(nl, u)
                 nd = u * ct * rr + v * st * rr + nl * np.sqrt(max(0.0, 1.0 - u2))
-                w = s.albedo
+                w = alb
             thr *= w
             o = h + nd * eps_off
             d = nd
         out[int(r.ray_id)] = rad
+    if roulette_from is not None:
+        return out, branch_hits, roulette_deaths
     return out, branch_hits
 
 
@@ -461,3 +474,59 @@ def test_render_reference_scene_matches_numpy_replay(spark):
     # paths reach the light (nonzero image)
     assert min(branch_hits.values()) > 0, branch_hits
     assert got_v.max() > 0
+
+
+def test_colour_roulette_matches_numpy_replay(spark):
+    """O23 colour-roulette variant (Raytracing.hpp:552-564): past
+    roulette_from, a path survives with probability = its hit's max
+    colour component (gray albedo) and the survivor's colour weight
+    rescales to exactly 1; a dead path keeps the emission it already
+    accumulated. Engine (flag on) must equal the NumPy replay, and the
+    replay must actually kill some paths."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators.raster import jitter_u, pathtrace
+
+    MD, RF = 6, 2
+    scene_pd = datagen.cornell_scene_pandas()
+    rays_pd = datagen.camera_rays_pandas(8, 8, subpixels=2, samples=2)
+    rays = spark.createDataFrame(rays_pd)
+    scene = spark.createDataFrame(scene_pd)
+
+    ucols = []
+    for b in range(MD - 1):
+        theta = jitter_u(b, 42, 0) * 2.0 * 3.141592653589793
+        ucols += [jitter_u(b, 42, 0).alias(f"u1_{b}"),
+                  jitter_u(b, 42, 100).alias(f"u2_{b}"),
+                  jitter_u(b, 42, 200).alias(f"u3_{b}"),
+                  F.cos(theta).alias(f"ct_{b}"),
+                  F.sin(theta).alias(f"st_{b}"),
+                  jitter_u(b, 42, 300).alias(f"u4_{b}")]
+    updf = rays.select("ray_id", *ucols).toPandas()
+    uvals, u4vals = {}, {}
+    for _, row in updf.iterrows():
+        for b in range(MD - 1):
+            uvals[(int(row.ray_id), b)] = (
+                row[f"u1_{b}"], row[f"u2_{b}"], row[f"u3_{b}"],
+                row[f"ct_{b}"], row[f"st_{b}"])
+            u4vals[(int(row.ray_id), b)] = row[f"u4_{b}"]
+
+    got = pathtrace(rays, scene, max_depth=MD, hit_eps=1e-4,
+                    inline_scene=True, roulette_from=RF).toPandas() \
+        .sort_values("ray_id").reset_index(drop=True)
+    assert len(got) == len(rays_pd)  # dead rays keep their 0/partial rows
+
+    want, _, deaths = _np_trace(rays_pd, scene_pd, uvals, MD,
+                                eps_hit=1e-4, roulette_from=RF,
+                                u4vals=u4vals)
+    got_v = got.radiance.to_numpy()
+    want_v = np.array([want[int(i)] for i in got.ray_id])
+    assert np.allclose(got_v, want_v, rtol=1e-9, atol=1e-12), \
+        f"max diff {np.max(np.abs(got_v - want_v))}"
+    assert deaths > 0  # the roulette genuinely terminates paths
+    # survivors carry weight 1 (not albedo) past RF: radiance can
+    # exceed the hard-capped variant's for the same rays
+    capped = pathtrace(rays, scene, max_depth=MD, hit_eps=1e-4,
+                       inline_scene=True).toPandas() \
+        .sort_values("ray_id").reset_index(drop=True)
+    assert not np.array_equal(got_v, capped.radiance.to_numpy())
