@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video payloads as opaque binary with
 typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libs in this container —
-clearly marked below); everything Spark-side is real and tested:
-schemas, batching, partitioning, deterministic fake feature extraction,
-and the frame-sampling plumbing. Swapping `_decode_image_stub` for a
-Pillow/ffmpeg call changes one function body.
+Decoding (round 4): REAL pure-NumPy decoders for the uncompressed
+formats — binary PPM (P6) and 24-bit BI_RGB BMP — run end-to-end
+through the feature pipeline; only COMPRESSED formats (PNG/JPEG) stay
+behind a clearly-marked NotImplementedError (no imaging libs in this
+container; swapping in `PIL.Image.open` changes one dispatch line).
+Everything Spark-side is real and tested: schemas, batching,
+partitioning, feature extraction, and the frame-sampling plumbing.
 
 Data model: media_ref strings in document spans resolve to rows of a
 `media` table (media_ref, kind, payload binary, meta struct). The
@@ -37,9 +39,17 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 
-def synthetic_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """One media row per media span: deterministic fake payload bytes
-    (md5-chain of the ref) + typed metadata derived from the ref hash."""
+def synthetic_media(spark: SparkSession, docs: DataFrame,
+                    fmt: str = "raw") -> DataFrame:
+    """One media row per media span: deterministic payload bytes
+    (md5-chain of the ref) + typed metadata derived from the ref hash.
+
+    fmt='raw' (legacy): 128 opaque bytes, decoded by the deterministic
+    fake grid. fmt='ppm': a REAL binary PPM (P6) whose pixels ARE that
+    same grid — so the feature pipeline decodes real image bytes
+    end-to-end and must produce identical features to the raw path."""
+    if fmt not in ("raw", "ppm"):
+        raise ValueError(f"unknown media fmt {fmt!r}")
     refs = docs.select(
         F.explode("spans").alias("s")
     ).filter(F.col("s.kind") != "text").select(
@@ -51,11 +61,18 @@ def synthetic_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
             payloads, metas = [], []
             for ref in b["media_ref"]:
                 seedb = hashlib.md5(ref.encode()).digest()
-                payloads.append((seedb * 8)[:128])
+                raw = (seedb * 8)[:128]
                 h = int.from_bytes(seedb[:4], "big")
+                w_px = 16 + h % 256
+                h_px = 16 + (h >> 8) % 256
+                if fmt == "ppm":
+                    payloads.append(
+                        encode_ppm(_decode_image_stub(raw, w_px, h_px)))
+                else:
+                    payloads.append(raw)
                 metas.append({
-                    "width": 16 + h % 256,
-                    "height": 16 + (h >> 8) % 256,
+                    "width": w_px,
+                    "height": h_px,
                     "duration_ms": (h >> 4) % 60000,
                 })
             yield pd.DataFrame({
@@ -71,14 +88,102 @@ def synthetic_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB decode — deterministic fake pixel grid from the payload.
 
-    Production: `PIL.Image.open(io.BytesIO(payload))`. No imaging libs
-    exist in this container; raise if someone expects real decoding.
+    Production: `PIL.Image.open(io.BytesIO(payload))`. Compressed
+    formats (PNG/JPEG) have no decoder in this container; raise if
+    someone expects one. Uncompressed PPM/BMP ARE really decoded —
+    see decode_image.
     """
     if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
-        raise NotImplementedError("real image decode not available in this sandbox")
+        raise NotImplementedError("compressed image decode not available in this sandbox")
     h = zlib.crc32(payload)
     rng = np.arange(width * height, dtype=np.uint32)
     return ((rng * 2654435761 + h) % 256).astype(np.uint8).reshape(height, width)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255) from an HxW (gray, replicated to
+    RGB) or HxWx3 uint8 array — the uncompressed interchange format
+    whose codec is pure header + bytes (public spec: netpbm P6)."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real decode of a binary PPM (P6): returns HxW uint8 LUMINANCE
+    (integer mean of the RGB channels — exact for gray-replicated
+    pixels). Pure NumPy; whitespace/comment-tolerant header parse."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval tokens (comments start '#')
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while payload[i : i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    rgb = px.reshape(h, w, 3).astype(np.uint16)
+    return (rgb.sum(axis=2) // 3).astype(np.uint8)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real decode of an uncompressed 24-bit BI_RGB Windows BMP:
+    returns HxW uint8 luminance. Pure NumPy: little-endian header
+    fields, 4-byte-padded bottom-up (or top-down, negative height)
+    BGR rows — the public BITMAPINFOHEADER layout."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+
+    def u32(off):
+        return int.from_bytes(payload[off:off + 4], "little")
+
+    def s32(off):
+        return int.from_bytes(payload[off:off + 4], "little", signed=True)
+
+    data_off = u32(10)
+    w, h_signed = s32(18), s32(22)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = u32(30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                         offset=data_off).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        bgr = bgr[::-1]  # bottom-up storage -> top-down image
+    rgb = bgr[:, :, ::-1].astype(np.uint16)
+    return (rgb.sum(axis=2) // 3).astype(np.uint8)
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Dispatch decode: REAL pure-NumPy decoders for the uncompressed
+    formats (PPM P6, 24-bit BMP), NotImplementedError for compressed
+    formats (no imaging libs in this container), and the deterministic
+    fake grid for legacy synthetic payloads — so the Spark-side
+    plumbing (schema, batching, features) is exercised with real pixel
+    bytes end-to-end wherever the format allows."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return _decode_image_stub(payload, width, height)
 
 
 FEATURES_SCHEMA = T.StructType([
@@ -92,8 +197,9 @@ FEATURES_SCHEMA = T.StructType([
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads: decode
-    (stub) -> mean/std pixel + an 8x8-DCT-free perceptual-hash-style
-    bit signature (mean-threshold on an 8x8 downsample)."""
+    (REAL pure-NumPy for PPM/BMP payloads, deterministic fake grid for
+    opaque ones) -> mean/std pixel + an 8x8-DCT-free perceptual-hash-
+    style bit signature (mean-threshold on an 8x8 downsample)."""
 
     def fx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -102,7 +208,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 meta = r.meta
                 w = int(meta["width"]) if isinstance(meta, dict) else int(meta.width)
                 h = int(meta["height"]) if isinstance(meta, dict) else int(meta.height)
-                img = _decode_image_stub(bytes(r.payload), w, h)
+                img = decode_image(bytes(r.payload), w, h)
                 small = img[:: max(1, h // 8), :: max(1, w // 8)][:8, :8]
                 bits = (small >= small.mean()).flatten()
                 phash = 0

@@ -97,3 +97,71 @@ def test_media_features_and_frames(spark):
     if len(fp):
         assert (fp.frame_ts_ms == fp.frame_idx * 1000).all()
         assert fp.groupby("media_ref").frame_idx.max().max() <= 7
+
+
+def _encode_bmp_24(img):
+    """Minimal test-side 24-bit BI_RGB BMP encoder (bottom-up, padded
+    rows) so the engine's decoder is validated against an independent
+    byte layout, not its own inverse."""
+    import numpy as np
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].astype(np.uint8).tobytes()  # BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    data_off = 14 + 40
+    size = data_off + len(body)
+    hdr = (b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+           + data_off.to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+           + (2835).to_bytes(4, "little") * 2
+           + (0).to_bytes(4, "little") * 2)
+    return bytes(hdr) + bytes(body)
+
+
+def test_ppm_bmp_real_decode_roundtrip():
+    import numpy as np
+    rng = (np.arange(19 * 23, dtype=np.uint32) * 2654435761 % 256) \
+        .astype(np.uint8).reshape(23, 19)  # odd width exercises padding
+    # PPM roundtrip: gray-replicated RGB -> luminance is exact
+    assert (MM.decode_ppm(MM.encode_ppm(rng)) == rng).all()
+    # PPM with comments + RGB: luminance = integer mean
+    rgb = np.stack([rng, (rng + 3) % 256, (rng + 7) % 256], axis=2)
+    ppm = MM.encode_ppm(rgb)
+    ppm_c = b"P6\n# a comment\n19 23\n255\n" + ppm.split(b"255\n", 1)[1]
+    want = (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    assert (MM.decode_ppm(ppm_c) == want).all()
+    # BMP roundtrip against the independent test encoder
+    assert (MM.decode_bmp(_encode_bmp_24(rng)) == rng).all()
+    assert (MM.decode_bmp(_encode_bmp_24(rgb)) == want).all()
+    # compressed formats still refuse loudly
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG\r\n\x1a\n....", 4, 4)
+
+
+def test_media_features_real_ppm_payloads_end_to_end(spark):
+    """The feature pipeline decodes REAL image bytes: PPM payloads
+    whose pixels equal the deterministic grid must produce features
+    identical to the opaque-payload path, through the same Arrow
+    mapInPandas plumbing."""
+    from optimizing_spark.sources import datagen
+
+    docs = datagen.documents_spark_fast(spark, 120, partitions=3) \
+        .select("doc_id", "spans").localCheckpoint()
+    raw = MM.synthetic_media(spark, docs).localCheckpoint()
+    ppm = MM.synthetic_media(spark, docs, fmt="ppm").localCheckpoint()
+    assert ppm.count() == raw.count() > 0
+    head = ppm.select("payload").first().payload
+    assert bytes(head[:2]) == b"P6"  # genuinely real image bytes
+    fa = {r.media_ref: (r.mean_px, r.std_px, r.phash)
+          for r in MM.extract_features(raw).collect()}
+    fb = {r.media_ref: (r.mean_px, r.std_px, r.phash)
+          for r in MM.extract_features(ppm).collect()}
+    assert fa == fb
