@@ -308,3 +308,55 @@ def test_streaming_time_join_equals_batch(spark, tmp_path):
         & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 60 SECONDS"))
     ).collect()}
     assert got == want and len(want) > 50
+
+
+def test_streaming_snapshot_sink_equals_batch_appends(spark, tmp_path):
+    """foreachBatch -> snapshot commits: a 3-micro-batch run produces
+    3 append versions whose read_changes union equals the batch rows,
+    every version stays time-travelable, and a replayed batch_id is
+    skipped (exactly-once via the snapshot log)."""
+    from optimizing_spark.plans import snapshots as SN
+    from optimizing_spark.streaming.cells_stream import snapshot_sink
+
+    src = str(tmp_path / "snap_src")
+    root = str(tmp_path / "tables")
+    chunks = []
+    for i in range(3):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("obj_id"),
+            F.pmod(F.col("id") * 7919, F.lit(1 << 16)).alias("ix"))
+        df.coalesce(1).write.parquet(src, mode="append")
+        chunks.append(df)
+
+    stream = spark.readStream.schema("obj_id long, ix bigint") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream.writeStream.foreachBatch(
+        snapshot_sink(spark, root, "ev")) \
+        .option("checkpointLocation", str(tmp_path / "ckpt")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    log = SN.snapshot_log(root, "ev")
+    assert len(log) == 3
+    assert all(e["operation"] == "append" for e in log)
+    assert sorted(e["meta"]["batch_id"] for e in log) == [0, 1, 2]
+
+    cur = SN.read_snapshot(spark, root, "ev")
+    assert cur.count() == 300
+    got = sorted(r.obj_id for r in cur.collect())
+    assert got == list(range(300))
+    # incremental read over the streamed commits == the later batches
+    delta = sorted(r.obj_id for r in
+                   SN.read_changes(spark, root, "ev", from_version=1)
+                   .collect())
+    assert len(delta) == 200 and min(delta) >= 100
+    # time travel to the first micro-batch
+    assert SN.read_snapshot(spark, root, "ev", version=1).count() == 100
+
+    # a replayed batch is skipped, not double-committed
+    sink = snapshot_sink(spark, root, "ev")
+    sink(chunks[2], 2)
+    assert len(SN.snapshot_log(root, "ev")) == 3
+    # but a new batch id commits
+    sink(chunks[0].limit(10), 3)
+    assert SN.read_snapshot(spark, root, "ev").count() == 310
