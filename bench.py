@@ -552,6 +552,100 @@ def run_sketch() -> dict:
     }
 
 
+def run_curate() -> dict:
+    """Curation-pipeline scale stress (round-4 verdict #5): run
+    curate_corpus (quality+lang gates -> exact dedup -> LSH near-dup
+    drop) on a >=20M-doc synthetic corpus with PLANTED duplication —
+    an exact-dup band, a near-dup band, and one 5000-member near-dup
+    cluster whose LSH buckets exceed the 4096-row cap, forcing the
+    hot-bucket self-join fallback to actually fire. Records the band
+    bucket histogram, peak per-stage shuffle bytes, and task-time skew
+    (max/median) of the heaviest stages via the Spark status REST API.
+    Doc count: $SPARK_GRAFT_CURATE_DOCS (default 20M)."""
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators import dedup as DD
+    from optimizing_spark.sources import datagen
+
+    n = int(os.environ.get("SPARK_GRAFT_CURATE_DOCS", "20000000"))
+    # ~95% of cluster members are exact copies sharing every band
+    # hash, so the cluster bucket (~4750+) exceeds the 4096 fallback
+    # threshold in all 4 bands while the verify stage stays bounded
+    # (~4-5M in-cluster pairs, not the ~40M a fully-mutated 15k
+    # cluster spreads into)
+    hot = 5000
+    spark = _session(CPUS)
+    # a UI-enabled session is required for the REST metrics
+    if spark.conf.get("spark.ui.enabled", "false") != "true":
+        spark.stop()
+        from optimizing_spark.session import get_spark
+        spark = get_spark("curate_bench", cores=CPUS,
+                          shuffle_partitions=max(64, CPUS * 2),
+                          extra={"spark.ui.enabled": "true"})
+    path = f"/tmp/curate_docs_{n}"
+    if not os.path.isdir(path):
+        datagen.curation_docs_spark(spark, n, partitions=max(64, CPUS * 2),
+                                    hot_cluster=hot) \
+            .write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    survivors = DD.curate_corpus(docs).count()
+    wall = time.time() - t0
+
+    # band-bucket dashboard (shares minhash_lsh_pairs' exact banding)
+    hist = DD.lsh_band_stats(docs).toPandas()
+    max_bucket = int(hist.bucket_size.max())
+    hot_buckets = int(hist[hist.bucket_size > 4096].n_buckets.sum())
+
+    # stage metrics: top stages by shuffle write + task-time skew
+    base = "http://localhost:4040/api/v1"
+    stages_meta, peak_shuffle = [], 0
+    try:
+        apps = _json.load(urllib.request.urlopen(f"{base}/applications"))
+        app = apps[0]["id"]
+        stages = _json.load(urllib.request.urlopen(
+            f"{base}/applications/{app}/stages?status=complete"))
+        stages.sort(key=lambda s: s.get("shuffleWriteBytes", 0), reverse=True)
+        peak_shuffle = max((s.get("shuffleWriteBytes", 0) for s in stages),
+                          default=0)
+        for s in stages[:5]:
+            q = _json.load(urllib.request.urlopen(
+                f"{base}/applications/{app}/stages/{s['stageId']}/"
+                f"{s['attemptId']}/taskSummary?quantiles=0.5,1.0"))
+            med, mx = q["executorRunTime"]
+            stages_meta.append({
+                "stage": s["stageId"],
+                "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "task_ms_median": round(med),
+                "task_ms_max": round(mx),
+                "max_over_median": round(mx / med, 2) if med else None,
+            })
+    except Exception as e:  # UI scrape is best-effort diagnostics
+        stages_meta = [{"error": str(e)}]
+
+    return {
+        "metric": "curate_docs_per_sec",
+        "value": round(n / wall),
+        "unit": "docs/s",
+        "docs": n,
+        "survivors": survivors,
+        "wall_sec": round(wall, 1),
+        "planted": {"exact_dup_mod": 17, "near_dup_mod": 13,
+                    "hot_cluster": hot},
+        "lsh_band_buckets": {
+            "max_bucket": max_bucket,
+            "buckets_over_4096": hot_buckets,
+            "hot_fallback_fired": hot_buckets > 0,
+        },
+        "peak_stage_shuffle_write_mb": round(peak_shuffle / 1e6, 1),
+        "heaviest_stages": stages_meta,
+    }
+
+
 def run_render() -> dict:
     """E3 end-to-end at the reference's EXACT config (main.cpp:43-50;
     Raytracing.hpp:417-499): 256x256 px, 2x2 subpixels, 16 samples per
@@ -609,5 +703,7 @@ if __name__ == "__main__":
         print(json.dumps(run_sketch()))
     elif "--render" in sys.argv:
         print(json.dumps(run_render()))
+    elif "--curate" in sys.argv:
+        print(json.dumps(run_curate()))
     else:
         print(json.dumps(run_headline()))

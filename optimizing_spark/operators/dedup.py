@@ -42,6 +42,48 @@ def minhash_signatures(
     return df.withColumn("mh_sig", TX.minhash_signature_col(text, n_perms, k))
 
 
+def _band_keys(sig: DataFrame, key: str, bands: int, rows: int) -> DataFrame:
+    """(key, band, band_hash) keys of the minhash banding — the ONE
+    definition shared by minhash_lsh_pairs and lsh_band_stats, so the
+    bucket dashboard provably describes the operator's actual buckets."""
+    return sig.select(
+        F.col(key),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> slice(mh_sig, b * {rows} + 1, {rows}))"
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("band_hash", F.expr(
+        "aggregate(band_sig, cast(7 as bigint), (acc, x) -> (acc * 1048573 + x) % 2147483647)"
+    )).drop("band_sig")
+
+
+def lsh_band_stats(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n_perms: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Bucket-size histogram of the minhash-LSH banding — the text-dedup
+    twin of similarity.band_bucket_stats: one row per (band,
+    bucket_size) with the number of buckets that size. Buckets larger
+    than minhash_lsh_pairs' max_bucket_rows are the ones its hot
+    fallback routes through the equi self-join; this dashboard is how
+    an operator sees them coming at 100 TB."""
+    rows = n_perms // bands
+    sig = minhash_signatures(df.select(key, text), text, n_perms,
+                             k=shingle_k)
+    sig = sig.filter(F.expr("element_at(mh_sig, 1) < 2147483647"))
+    keyed = _band_keys(sig, key, bands, rows)
+    sizes = keyed.groupBy("band", "band_hash").agg(
+        F.count("*").alias("bucket_size"))
+    return sizes.groupBy("band", "bucket_size").agg(
+        F.count("*").alias("n_buckets"))
+
+
 def _bucket_pairs(
     keyed: DataFrame, bucket_cols: list[str], key: str, max_bucket_rows: int
 ) -> DataFrame:
@@ -102,17 +144,7 @@ def minhash_lsh_pairs(
     # jaccard threshold, so drop them before banding. Sentinel check:
     # any real shingle yields sig[0] < M31; shingle-less == M31.
     sig = sig.filter(F.expr("element_at(mh_sig, 1) < 2147483647"))
-    banded = sig.select(
-        F.col(key),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> slice(mh_sig, b * {rows} + 1, {rows}))"
-            )
-        ).alias("band", "band_sig"),
-    ).withColumn("band_hash", F.expr(
-        "aggregate(band_sig, cast(7 as bigint), (acc, x) -> (acc * 1048573 + x) % 2147483647)"
-    )).drop("band_sig")
+    banded = _band_keys(sig, key, bands, rows)
     # candidate pairs: group each (band, hash) bucket once and expand
     # in-bucket pairs JVM-side — ONE evaluation of the signature
     # pipeline and one shuffle, vs a self-join that recomputes the
