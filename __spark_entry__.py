@@ -2187,6 +2187,42 @@ def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part(users, "users_day").unionByName(part(evs, "events_all"))
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable bloom-filter semi-join pruning
+    (functions/sketches.bloom_build/bloom_might_contain): the build
+    side is orders with o_totalprice >= 400000 (~3k keys at sf0.01 —
+    the shape where the key set is too big to ship as a join relation
+    at 100 TB but its 8 KB bloom always broadcasts), the probe side is
+    every lineitem row. Returns ONE row of integer diagnostics:
+    (n_big, n_pass, n_true, n_false_pos) — n_pass counts probe rows
+    surviving the map-side bloom prefilter, n_true the exact matches,
+    and their gap the bloom's actual false positives (a handful at the
+    default 5 hashes / 65536 bits — nonzero by design so the gate
+    proves the engines build the IDENTICAL bit array, not just any
+    correct filter). No false negatives ever: every true row passes."""
+    from optimizing_spark.functions import sketches as SK
+
+    small = D.load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 400000).select(F.col("o_orderkey").alias("k"))
+    big = D.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"))
+    bl = SK.bloom_assemble(SK.bloom_build(small, "k"))
+    flagged = (
+        big.join(F.broadcast(bl))
+        .withColumn("_pass", SK.bloom_might_contain(F.col("k"), F.col("bloom")))
+        .drop("bloom")
+        .join(F.broadcast(small.distinct().withColumn("_hit", F.lit(1))),
+              "k", "left")
+    )
+    return flagged.agg(
+        F.count("*").alias("n_big"),
+        F.count(F.when(F.col("_pass"), 1)).alias("n_pass"),
+        F.count(F.when(F.col("_hit") == 1, 1)).alias("n_true"),
+        F.count(F.when(F.col("_pass") & F.col("_hit").isNull(), 1))
+        .alias("n_false_pos"),
+    )
+
+
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal as-of join (operators/temporal.py): every click event
     picks the latest purchase by the same user at-or-before its ts
@@ -2610,6 +2646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
+        # --- round-4 additions (tail: harness-verified) ---
+        "q_bloom_prune": q_bloom_prune,
     }
 
 
@@ -3038,6 +3076,38 @@ def _text_oracles() -> dict[str, str]:
         """,
         "q_minhash": OT.minhash_rows_sql(),
         "q_simhash": OT.simhash_sql(),
+        "q_bloom_prune": """
+            -- rebuilds the engine's EXACT bloom bit set: position i of
+            -- key k = hash60('B'||i||':'||k) % 65536 (5 hashes); a
+            -- probe key passes iff all 5 of its positions are set
+            WITH sk AS (
+                SELECT DISTINCT o_orderkey AS kk FROM orders
+                WHERE o_totalprice >= 400000
+            ), hi AS (SELECT i FROM range(5) t(i)),
+            spos AS (
+                SELECT DISTINCT
+                       CAST(('0x'||substr(md5('B'||i||':'||CAST(kk AS VARCHAR)),1,15))
+                            AS BIGINT) % 65536 AS p
+                FROM sk, hi
+            ), bk AS (SELECT DISTINCT l_orderkey AS kk FROM lineitem),
+            bpos AS (
+                SELECT kk, i,
+                       CAST(('0x'||substr(md5('B'||i||':'||CAST(kk AS VARCHAR)),1,15))
+                            AS BIGINT) % 65536 AS p
+                FROM bk, hi
+            ), pass AS (
+                SELECT kk FROM bpos JOIN spos USING (p)
+                GROUP BY kk HAVING count(*) = 5
+            )
+            SELECT (SELECT count(*) FROM lineitem) AS n_big,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IN (SELECT kk FROM pass)) AS n_pass,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IN (SELECT kk FROM sk)) AS n_true,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IN (SELECT kk FROM pass)
+                      AND l_orderkey NOT IN (SELECT kk FROM sk)) AS n_false_pos
+        """,
         "q_lsh_pairs": lsh_pairs_sql,
         "q_dedup_cc": dedup_cc_sql,
         "q_ngram_jaccard": ngram_sql,

@@ -185,3 +185,111 @@ def hll_distinct(
     """Per-group HLL distinct-count estimate of ``key`` (one row per
     group, estimate rounded to 6 decimals)."""
     return hll_finalize(hll_registers(df, groups, key), groups, est_col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970, "Space/time trade-offs in hash coding with
+# allowable errors" — public literature): the shuffle-pruning sketch.
+#
+# The 100 TB use case is the bloom-pruned semi join: the build side's
+# keys are too many to broadcast as a hash relation, but their bloom
+# (BLOOM_WORDS int64 words — 8 KB at the default) always is. The big
+# probe side filters MAP-SIDE against the broadcast bloom BEFORE the
+# join exchange, so non-matching rows (all but the fp rate) never
+# shuffle. Spark has a JVM-private runtime version of this
+# (spark.sql.optimizer.runtime.bloomFilter.*); this one is portable +
+# deterministic (md5-derived bits, same hash60 convention as CMS/HLL)
+# so a warehouse SQL engine reproduces the EXACT same bit array and
+# pass set — see __spark_entry__.q_bloom_prune's DuckDB twin.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 5        # hash functions
+BLOOM_WORDS = 1024  # int64 words -> 65536 bits (8 KB broadcast)
+
+
+def _bloom_pos(key: Column, i: int, n_bits: int) -> Column:
+    """Bit position i of a key: hash60("B<i>:key") % n_bits (portable;
+    the "B" namespace keeps bloom bits independent of the CMS buckets
+    of the same values)."""
+    return hash60(F.concat_ws(":", F.lit(f"B{i}"), key.cast("string"))) % n_bits
+
+
+def bloom_build(df: DataFrame, key: str, k: int = BLOOM_K,
+                words: int = BLOOM_WORDS) -> DataFrame:
+    """Sparse bloom filter over ``df[key]``: one (word_idx, word) row
+    per touched 64-bit word — at most ``words`` rows TOTAL regardless
+    of input size. The agg is bit_or, so map-side partial combine
+    bounds every task's shuffle output at ``words`` rows and two
+    sketches merge by elementwise OR (per-partition / per-day blooms
+    roll up for free). NULL keys are excluded (a NULL can't equi-join
+    anyway, so it must not set bits)."""
+    n_bits = words * 64
+    kc = F.col(key)
+    pos = (
+        df.filter(kc.isNotNull())
+        .select(F.explode(F.array(
+            *[_bloom_pos(kc, i, n_bits) for i in range(k)])).alias("_p"))
+    )
+    return (
+        pos.select(
+            F.shiftrightunsigned(F.col("_p"), 6).alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                F.col("_p").bitwiseAND(F.lit(63)).cast("int")).alias("_bit"),
+        )
+        .groupBy("word_idx").agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def bloom_assemble(counters: DataFrame, words: int = BLOOM_WORDS) -> DataFrame:
+    """Dense 1-row array<long> of length ``words`` from bloom_build's
+    sparse rows (untouched words -> 0) — the broadcastable form."""
+    return (
+        counters.agg(F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))).alias("_m"))
+        .select(F.expr(
+            f"transform(sequence(0, {words - 1}), "
+            f"i -> coalesce(_m[i], CAST(0 AS BIGINT)))").alias("bloom"))
+    )
+
+
+def bloom_might_contain(key: Column, bloom: Column, k: int = BLOOM_K,
+                        words: int = BLOOM_WORDS) -> Column:
+    """True iff every one of the key's k bits is set — no false
+    negatives; false positives at the classic (1 - e^(-kn/m))^k rate.
+    Pure JVM bit arithmetic (whole-stage codegen'd)."""
+    n_bits = words * 64
+    test = F.lit(True)
+    for i in range(k):
+        p = _bloom_pos(key, i, n_bits)
+        word = F.element_at(
+            bloom, F.shiftrightunsigned(p, 6).cast("int") + F.lit(1))
+        bit = F.call_function(
+            "shiftrightunsigned", word, p.bitwiseAND(F.lit(63)).cast("int"))
+        test = test & (bit.bitwiseAND(F.lit(1)) == F.lit(1))
+    return test
+
+
+def bloom_semi_join(big: DataFrame, small: DataFrame, key: str,
+                    k: int = BLOOM_K, words: int = BLOOM_WORDS) -> DataFrame:
+    """Exact left-semi join of ``big`` against ``small[key]`` with a
+    bloom prefilter: big rows whose key provably isn't in small (all
+    but the fp rate) are dropped map-side BEFORE the exact join's
+    exchange. Same rows as big.join(small, key, "left_semi") — the
+    bloom only ever passes a superset (no false negatives), and the
+    exact semi join removes the false positives.
+
+    The bloom is MATERIALIZED (one tiny extra job: <= ``words`` rows,
+    8 KB at the default) and injected as a literal predicate — the
+    same execute-then-inject shape as Spark's own runtime bloom join
+    (InjectRuntimeFilter's BloomFilterSubquery executes before the
+    main query). A lazy crossJoin-against-the-1-row-bloom form exists
+    (q_bloom_prune uses it for the oracle gate) but is NOT safe here:
+    Catalyst's PushDownLeftSemiAntiJoin reorders the exact semi join
+    BELOW that join-shaped filter, shuffling the unpruned big side —
+    the literal predicate pins the filter under the exchange (and lets
+    it ride down to the scan with the other pushed filters)."""
+    rows = bloom_assemble(bloom_build(small, key, k, words), words).collect()
+    bloom_lit = F.lit(list(rows[0]["bloom"]))
+    pre = big.filter(bloom_might_contain(F.col(key), bloom_lit, k, words))
+    return pre.join(small.select(key).distinct(), key, "left_semi")

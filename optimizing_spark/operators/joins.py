@@ -228,6 +228,10 @@ def knn_join(
        below read it instead of re-executing the join subtree (the
        round-2 plan evaluated it ~3x; candidate volume is
        ~oversample*k rows per query, so the checkpoint is small).
+       The checkpoint (plus the pruning-flags 1-row collect below)
+       serializes one extra tiny job per call; latency-critical
+       callers can pass checkpoint=False to keep the plan fully lazy
+       at the cost of re-evaluating the ring join per consumer.
     3. Fast path: queries whose d_k-disc ring bound fits inside r0 are
        provably complete — their top-k is emitted with NO second join.
     4. Bound pass: satisfied queries whose bound exceeds r0 re-ring at

@@ -155,3 +155,96 @@ def test_hll_null_keys_excluded(spark):
     only_null = spark.range(5).select(
         F.lit("z").alias("g"), F.lit(None).cast("string").alias("k"))
     assert SK.hll_distinct(only_null, ["g"], "k").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def _py_bloom_words(keys, k=SK.BLOOM_K, words=SK.BLOOM_WORDS):
+    """Pure-Python replica of bloom_build's packed words."""
+    n_bits = words * 64
+    out = [0] * words
+    for key in keys:
+        for i in range(k):
+            h = int(hashlib.md5(f"B{i}:{key}".encode()).hexdigest()[:15], 16)
+            p = h % n_bits
+            out[p >> 6] |= 1 << (p & 63)
+    # Python ints are unbounded; fold to signed int64 like Spark's long
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in out]
+
+
+def test_bloom_words_match_python_replica(spark):
+    keys = list(range(0, 4000, 3))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = SK.bloom_assemble(SK.bloom_build(df, "k")).collect()[0]["bloom"]
+    assert list(got) == _py_bloom_words(keys)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    small = spark.range(0, 3000).select((F.col("id") * 7).alias("k"))
+    bl = SK.bloom_assemble(SK.bloom_build(small, "k"))
+    # every build key passes
+    hits = (small.join(F.broadcast(bl))
+            .filter(SK.bloom_might_contain(F.col("k"), F.col("bloom"))))
+    assert hits.count() == 3000
+    # disjoint probe keys: fp rate near (1 - e^(-kn/m))^k, never huge
+    probe = spark.range(0, 20000).select((F.col("id") * 7 + 3).alias("k"))
+    fp = (probe.join(F.broadcast(bl))
+          .filter(SK.bloom_might_contain(F.col("k"), F.col("bloom")))
+          .count())
+    n, m, k = 3000, SK.BLOOM_WORDS * 64, SK.BLOOM_K
+    expected = (1.0 - math.exp(-k * n / m)) ** k
+    assert fp / 20000 < max(4 * expected, 0.01)
+
+
+def test_bloom_mergeable_by_bit_or(spark):
+    """bloom(A ∪ B) == elementwise OR of bloom(A), bloom(B) — the
+    property that lets per-partition / per-day blooms roll up."""
+    a = spark.range(0, 500).select(F.col("id").alias("k"))
+    b = spark.range(400, 900).select(F.col("id").alias("k"))
+    wa = SK.bloom_assemble(SK.bloom_build(a, "k")).collect()[0]["bloom"]
+    wb = SK.bloom_assemble(SK.bloom_build(b, "k")).collect()[0]["bloom"]
+    wu = SK.bloom_assemble(
+        SK.bloom_build(a.unionByName(b), "k")).collect()[0]["bloom"]
+    assert [x | y for x, y in zip(wa, wb)] == list(wu)
+
+
+def test_bloom_semi_join_exact_and_prunes_before_exchange(spark):
+    """Same rows as the plain left-semi join, and — with auto-broadcast
+    off, forcing the exact join onto a shuffle — the bloom prefilter
+    sits BELOW the big side's Exchange in the plan (rows are dropped
+    map-side before they shuffle: the entire point at 100 TB)."""
+    big = spark.range(0, 50000).select((F.col("id") % 9973).alias("k"),
+                                       F.col("id").alias("payload"))
+    small = spark.range(0, 400).select((F.col("id") * 13).alias("k"))
+    expect = sorted(r["payload"]
+                    for r in big.join(small, "k", "left_semi").collect())
+    with_bloom = SK.bloom_semi_join(big, small, "k")
+    assert sorted(r["payload"] for r in with_bloom.collect()) == expect
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = SK.bloom_semi_join(big, small, "k") \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the big-side branch that feeds the semi join's Exchange must
+    # already contain the bloom membership filter (shiftrightunsigned
+    # bit test) — i.e. pruning happens before the shuffle
+    exch = plan.find("Exchange hashpartitioning(k#")
+    flt = plan.find("shiftrightunsigned")
+    assert exch != -1 and flt != -1 and flt > exch, plan[:2000]
+
+
+def test_bloom_null_keys(spark):
+    """NULL build keys set no bits; NULL probe keys never pass (a NULL
+    can't equi-join, so the prefilter must not let it through)."""
+    small = spark.createDataFrame([(1,), (None,)], "k long")
+    bl_words = SK.bloom_assemble(SK.bloom_build(small, "k")).collect()[0]["bloom"]
+    assert bl_words == _py_bloom_words([1])
+    probe = spark.createDataFrame([(1,), (None,)], "k long")
+    bl = SK.bloom_assemble(SK.bloom_build(small, "k"))
+    passed = (probe.join(F.broadcast(bl))
+              .filter(SK.bloom_might_contain(F.col("k"), F.col("bloom"))))
+    assert [r["k"] for r in passed.collect()] == [1]
