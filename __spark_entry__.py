@@ -172,6 +172,65 @@ def q_pip_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "point_id")
 
 
+def q_pip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-NON-CONVEX-polygon join: points against concave
+    8-vertex supplier stars via the even-odd crossing-number rule
+    (geometry.point_in_polygon_crossing) — integer multiply-through,
+    no division, so bit-exact vs the oracle's unrolled 8-edge SQL.
+    Generalizes q_pip_poly beyond convex rings; the half-plane test
+    would wrongly accept the star's concave notches."""
+    p = D.points(spark, sf_dir).select(
+        F.col("point_id"), F.col("px").alias("x"), F.col("py").alias("y"))
+    polys = D.star_polygons(spark, sf_dir)
+    out = J.polygon_join(p, polys, method="broadcast", test="crossing")
+    return out.select("query_id", "point_id")
+
+
+def q_hex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal cell counts — the H3-analog of q_cell_counts: every
+    customer point binned to its nearest two-lattice hex center
+    (cells.hex_cell, integer squared-distance nearest-center pick),
+    then a plain hash count per (hq, hr) cell. Same 100 TB shape as
+    the square grid: one scan, one shuffle keyed on uniform integer
+    cells."""
+    p = D.points(spark, sf_dir)
+    hq, hr = C.hex_cell(F.col("px"), F.col("py"))
+    return (
+        p.select(hq.alias("hq"), hr.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count("*").alias("n_pts"))
+    )
+
+
+def q_hex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex neighbor-ring load — O17's 3x3 kring re-expressed on the
+    hex grid (cells.hex_neighbor_offsets: self + 6 neighbors): per
+    query point, count customer points whose hex cell lies in the
+    7-cell ring around the query's cell. Equi-join on (hq, hr) after
+    exploding the constant offset array on the TINY query side —
+    never on the point table."""
+    p = D.points(spark, sf_dir)
+    phq, phr = C.hex_cell(F.col("px"), F.col("py"))
+    pts = p.select(phq.alias("hq"), phr.alias("hr"))
+    q = D.knn_queries(spark, sf_dir)
+    qhq, qhr = C.hex_cell(F.col("qx"), F.col("qy"))
+    ring = (
+        q.select("query_id", qhq.alias("_q0"), qhr.alias("_r0"))
+        .withColumn("_o", F.explode(F.concat(
+            F.array(F.struct(F.lit(0).alias("dq"), F.lit(0).alias("dr"))),
+            C.hex_neighbor_offsets())))
+        .select(
+            "query_id",
+            (F.col("_q0") + F.col("_o.dq")).alias("hq"),
+            (F.col("_r0") + F.col("_o.dr")).alias("hr"),
+        )
+    )
+    hits = pts.join(F.broadcast(ring), ["hq", "hr"]).groupBy("query_id").agg(
+        F.count("*").alias("n_ring"))
+    return q.select("query_id").join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("n_ring", F.lit(0)).alias("n_ring"))
+
+
 def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — the vector-side raster↔vector staple: per
     polygon zone (supplier diamonds), aggregate the contained points
@@ -2648,6 +2707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         # --- round-4 additions (tail: harness-verified) ---
         "q_bloom_prune": q_bloom_prune,
+        "q_pip_concave": q_pip_concave,
+        "q_hex_counts": q_hex_counts,
+        "q_hex_ring": q_hex_ring,
     }
 
 
@@ -3107,6 +3169,43 @@ def _text_oracles() -> dict[str, str]:
                    (SELECT count(*) FROM lineitem
                     WHERE l_orderkey IN (SELECT kk FROM pass)
                       AND l_orderkey NOT IN (SELECT kk FROM sk)) AS n_false_pos
+        """,
+        "q_pip_concave": f"""
+            WITH star AS ({D.SQL_STAR_POLYGONS}), pts AS ({D.SQL_POINTS})
+            SELECT star.query_id, pts.point_id
+            FROM star JOIN pts ON {D.star_crossing_sql("px", "py")}
+        """,
+        "q_hex_counts": f"""
+            WITH pts AS ({D.SQL_POINTS}), hx AS (
+                SELECT {C.hex_cell_sql("px", "py")[0]} AS hq,
+                       {C.hex_cell_sql("px", "py")[1]} AS hr
+                FROM pts
+            )
+            SELECT hq, hr, count(*) AS n_pts FROM hx GROUP BY hq, hr
+        """,
+        "q_hex_ring": f"""
+            WITH pts AS ({D.SQL_POINTS}), hx AS (
+                SELECT {C.hex_cell_sql("px", "py")[0]} AS hq,
+                       {C.hex_cell_sql("px", "py")[1]} AS hr
+                FROM pts
+            ), knnq AS ({D.SQL_KNN_QUERIES}), qh AS (
+                SELECT query_id,
+                       {C.hex_cell_sql("qx", "qy")[0]} AS q0,
+                       {C.hex_cell_sql("qx", "qy")[1]} AS r0
+                FROM knnq
+            ), offs(dq, dr) AS (
+                VALUES (0,0),(2,0),(-2,0),(1,1),(1,-1),(-1,1),(-1,-1)
+            ), ring AS (
+                SELECT query_id, q0 + dq AS hq, r0 + dr AS hr
+                FROM qh CROSS JOIN offs
+            )
+            SELECT qh.query_id, COALESCE(hx2.n, 0) AS n_ring
+            FROM qh
+            LEFT JOIN (
+                SELECT ring.query_id AS qid, count(*) AS n
+                FROM ring JOIN hx ON ring.hq = hx.hq AND ring.hr = hx.hr
+                GROUP BY ring.query_id
+            ) hx2 ON qh.query_id = hx2.qid
         """,
         "q_lsh_pairs": lsh_pairs_sql,
         "q_dedup_cc": dedup_cc_sql,

@@ -407,6 +407,90 @@ def assign_octree_capacity_pow2(
 
 
 # ---------------------------------------------------------------------------
+# Hexagonal cell index (H3-analog binning)
+# ---------------------------------------------------------------------------
+
+# Default half-pitches: h/w = 1774/1024 = 1.73242 ~ sqrt(3) = 1.73205,
+# so cells are near-regular pointy-packed hexagons; w a power of two
+# keeps one of the two divisions exact-by-construction.
+HEX_W = 1024
+HEX_H = 1774
+
+
+def _floordiv(a: Column, b: int) -> Column:
+    """Exact floor(a / b) for integer column a with |a| < 2^52 and
+    positive int b: the true quotient k has |a/b - k| >= 1/b when
+    nonzero, and 1/b vastly exceeds a double ulp at these magnitudes,
+    so correctly-rounded double division never crosses an integer
+    boundary and floor() is exact."""
+    return F.floor(a / F.lit(b)).cast("long")
+
+
+def hex_cell(x: Column, y: Column, w: int = HEX_W, h: int = HEX_H) -> tuple[Column, Column]:
+    """Hexagonal binning — the H3 analog of the coarse grid (O6): maps
+    a point to its nearest center of the two-lattice hexagonal grid
+    A = {(2wi, 2hj)} union B = {((2i+1)w, (2j+1)h)} (a centered
+    rectangular lattice; with h/w ~ sqrt(3) its Voronoi cells are
+    near-regular hexagons — the same two-lattice nearest-center
+    construction classical hexbin uses). Returns integer axial-style
+    coords (hq, hr) with center (w*hq, h*hr) and hq == hr (mod 2);
+    lattice A wins exact distance ties (deterministic, engine-exact:
+    all distances are INTEGER squared Euclidean).
+
+    Each of a cell's 6 neighbors differs by (+-2, 0) or (+-1, +-1) in
+    (hq, hr) — see hex_neighbor_offsets. ANSI-safe: squared distances
+    <= w^2 + h^2 < 2^22.
+    """
+    ia = _floordiv(x + w, 2 * w)
+    ja = _floordiv(y + h, 2 * h)
+    ib = _floordiv(x, 2 * w)
+    jb = _floordiv(y, 2 * h)
+    dxa = x - 2 * w * ia
+    dya = y - 2 * h * ja
+    dxb = x - (2 * w * ib + w)
+    dyb = y - (2 * h * jb + h)
+    da = dxa * dxa + dya * dya
+    db = dxb * dxb + dyb * dyb
+    pick_a = da <= db
+    hq = F.when(pick_a, 2 * ia).otherwise(2 * ib + 1).cast("long")
+    hr = F.when(pick_a, 2 * ja).otherwise(2 * jb + 1).cast("long")
+    return hq, hr
+
+
+def hex_cell_sql(px: str, py: str, w: int = HEX_W, h: int = HEX_H) -> tuple[str, str]:
+    """DuckDB twin of hex_cell: (hq-expr, hr-expr) SQL strings over an
+    integer point (px, py) — identical integer math (// is exact floor
+    division on BIGINT), so the assignment is bit-for-bit the Spark
+    one."""
+    ia = f"(({px}) + {w}) // {2 * w}"
+    ja = f"(({py}) + {h}) // {2 * h}"
+    ib = f"({px}) // {2 * w}"
+    jb = f"({py}) // {2 * h}"
+    dxa = f"(({px}) - {2 * w} * ({ia}))"
+    dya = f"(({py}) - {2 * h} * ({ja}))"
+    dxb = f"(({px}) - ({2 * w} * ({ib}) + {w}))"
+    dyb = f"(({py}) - ({2 * h} * ({jb}) + {h}))"
+    da = f"({dxa} * {dxa} + {dya} * {dya})"
+    db = f"({dxb} * {dxb} + {dyb} * {dyb})"
+    hq = f"CASE WHEN {da} <= {db} THEN 2 * ({ia}) ELSE 2 * ({ib}) + 1 END"
+    hr = f"CASE WHEN {da} <= {db} THEN 2 * ({ja}) ELSE 2 * ({jb}) + 1 END"
+    return hq, hr
+
+
+def hex_neighbor_offsets() -> Column:
+    """Array literal of the 6 (dq, dr) hex-neighbor offsets — the hex
+    analog of the square 3x3 kring (WorldPartition.hpp:198-204): the
+    two same-lattice side neighbors (+-2, 0) and the four other-lattice
+    diagonal neighbors (+-1, +-1); at h/w ~ sqrt(3) all six centers sit
+    at (near-)equal distance 2w."""
+    offs = [(2, 0), (-2, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)]
+    return F.array(*[
+        F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+        for dq, dr in offs
+    ])
+
+
+# ---------------------------------------------------------------------------
 # Neighbor rings (WorldPartition.hpp:194-213)
 # ---------------------------------------------------------------------------
 

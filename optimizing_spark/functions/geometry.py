@@ -158,6 +158,47 @@ def point_in_convex_polygon(x, y, vertices) -> Column:
     )
 
 
+def point_in_polygon_crossing(x, y, vertices) -> Column:
+    """Point-in-SIMPLE-polygon (convex or not) by the even-odd
+    crossing-number rule: count edges whose half-open y-span
+    [min(ay,by), max(ay,by)) straddles the horizontal ray from the
+    point and whose x-intersection lies strictly to the right of it;
+    odd count = inside.
+
+    The x-intersection test is multiplied through by (by - ay) so the
+    whole predicate is INTEGER arithmetic on integer coords — no
+    division, no epsilon, bit-identical across engines (the standard
+    exact form of the crossing test; with the half-open y rule a ray
+    through a vertex counts once, never twice). Generalizes
+    point_in_convex_polygon beyond convex rings — the reference is
+    AABB-only (BoundaryBox.hpp:42-46), this is the north star's
+    point-in-polygon join for arbitrary simple rings. One aggregate
+    fold over the edges keeps it a single codegen'd JVM expression.
+
+    ANSI-safe bound: |(px-ax)*(by-ay)| <= world_edge^2 (< 2^34 at the
+    2^16 world) — far below long overflow.
+    """
+    vs = _c(vertices)
+    px, py = _c(x), _c(y)
+    n = F.size(vs)
+
+    def crossed(i):
+        a = F.element_at(vs, i + 1)
+        b = F.element_at(vs, F.pmod(i + 1, n) + 1)
+        lhs = (px - a["x"]) * (b["y"] - a["y"])
+        rhs = (b["x"] - a["x"]) * (py - a["y"])
+        up = (a["y"] <= py) & (b["y"] > py) & (lhs < rhs)
+        down = (b["y"] <= py) & (a["y"] > py) & (lhs > rhs)
+        return F.when(up | down, F.lit(1)).otherwise(F.lit(0))
+
+    cnt = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0),
+        lambda acc, i: acc + crossed(i),
+    )
+    return F.pmod(cnt, F.lit(2)) == 1
+
+
 def polygon_bbox(vertices) -> list[Column]:
     """[min_x, min_y, max_x, max_y] of a vertex ring — the coarse
     prefilter for polygon joins (cheap AABB reject before the

@@ -136,6 +136,7 @@ def polygon_join(
     method: str = "broadcast",
     world: Box2 | None = None,
     depth: int = 6,
+    test: str = "convex",
 ) -> DataFrame:
     """Point-in-convex-polygon join — the north star's "broadcast
     point-in-polygon join", generalizing pip_join (O1/O11) from AABBs
@@ -154,6 +155,13 @@ def polygon_join(
     exactly one cell so no dedup pass is needed. At 100 TB this is the
     plan: shuffle keyed on uniform integer cells, exact predicate only
     on co-located candidates.
+
+    test='convex' (default) uses the boundary-inclusive CCW half-plane
+    fold (geometry.point_in_convex_polygon); test='crossing' uses the
+    even-odd crossing-number rule (geometry.point_in_polygon_crossing)
+    and handles arbitrary SIMPLE rings — concave stars included — with
+    the same integer-exact guarantee and the same bbox prefilter /
+    broadcast / cell-join plans.
     """
     bx0, by0, bx1, by1 = G.polygon_bbox(F.col("vertices"))
     polys = polygons.select(
@@ -165,8 +173,14 @@ def polygon_join(
         (F.col("x") >= F.col("_bx0")) & (F.col("x") <= F.col("_bx1"))
         & (F.col("y") >= F.col("_by0")) & (F.col("y") <= F.col("_by1"))
     )
-    in_poly = G.point_in_convex_polygon(
-        F.col("x"), F.col("y"), F.col("vertices"))
+    if test == "convex":
+        in_poly = G.point_in_convex_polygon(
+            F.col("x"), F.col("y"), F.col("vertices"))
+    elif test == "crossing":
+        in_poly = G.point_in_polygon_crossing(
+            F.col("x"), F.col("y"), F.col("vertices"))
+    else:
+        raise ValueError(f"unknown test {test!r}")
     if method == "broadcast":
         out = points.join(F.broadcast(polys), in_box & in_poly)
     elif method == "cells":

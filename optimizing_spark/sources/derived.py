@@ -132,6 +132,77 @@ FROM supplier
 """
 
 
+def star_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One CONCAVE 8-vertex star per supplier: the q_pip_poly diamond's
+    axis spikes (radius ex/ey) alternating with pulled-in diagonal
+    vertices (radius ix=1+(ex>>2), iy=1+(ey>>2)), CCW order — every
+    polygon is simple but non-convex (4 reflex vertices), so only the
+    crossing-number test classifies it correctly. Integer coords, so
+    polygon predicates are exact."""
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    cx = (k * _QC[0]) % E
+    cy = (k * _QC[1]) % E
+    ex = 1024 + (k % 1024)
+    ey = 768 + (k % 768)
+    ix = F.shiftright(ex, 2) + 1
+    iy = F.shiftright(ey, 2) + 1
+
+    def v(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    return s.select(
+        k.alias("query_id"),
+        F.array(
+            v(cx + ex, cy), v(cx + ix, cy + iy),
+            v(cx, cy + ey), v(cx - ix, cy + iy),
+            v(cx - ex, cy), v(cx - ix, cy - iy),
+            v(cx, cy - ey), v(cx + ix, cy - iy),
+        ).alias("vertices"),
+    )
+
+
+# DuckDB twin of star_polygons(): the star parameters as columns; the
+# oracle unrolls the 8 crossing-number edge tests over these.
+SQL_STAR_POLYGONS = f"""
+SELECT CAST(s_suppkey AS BIGINT) AS query_id,
+       (CAST(s_suppkey AS BIGINT) * {_QC[0]}) % {E} AS cx,
+       (CAST(s_suppkey AS BIGINT) * {_QC[1]}) % {E} AS cy,
+       1024 + CAST(s_suppkey AS BIGINT) % 1024 AS ex,
+       768 + CAST(s_suppkey AS BIGINT) % 768 AS ey,
+       1 + ((1024 + CAST(s_suppkey AS BIGINT) % 1024) >> 2) AS ix,
+       1 + ((768 + CAST(s_suppkey AS BIGINT) % 768) >> 2) AS iy
+FROM supplier
+"""
+
+# Star vertex ring as (x-expr, y-expr) pairs over the SQL_STAR_POLYGONS
+# columns — shared by the oracle generator so the unrolled edge tests
+# provably walk the SAME ring as star_polygons().
+STAR_RING_SQL = [
+    ("cx + ex", "cy"), ("cx + ix", "cy + iy"),
+    ("cx", "cy + ey"), ("cx - ix", "cy + iy"),
+    ("cx - ex", "cy"), ("cx - ix", "cy - iy"),
+    ("cx", "cy - ey"), ("cx + ix", "cy - iy"),
+]
+
+
+def star_crossing_sql(px: str = "px", py: str = "py") -> str:
+    """SUM-of-CASE crossing-number parity over STAR_RING_SQL — the
+    exact integer multiply-through form of
+    geometry.point_in_polygon_crossing, unrolled for DuckDB."""
+    terms = []
+    ring = STAR_RING_SQL
+    for i in range(len(ring)):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % len(ring)]
+        lhs = f"(({px}) - ({ax})) * (({by}) - ({ay}))"
+        rhs = f"(({bx}) - ({ax})) * (({py}) - ({ay}))"
+        up = f"(({ay}) <= ({py}) AND ({by}) > ({py}) AND {lhs} < {rhs})"
+        dn = f"(({by}) <= ({py}) AND ({ay}) > ({py}) AND {lhs} > {rhs})"
+        terms.append(f"CASE WHEN {up} OR {dn} THEN 1 ELSE 0 END")
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
 # ---------------------------------------------------------------------------
 # points: one 2D point per customer
 # ---------------------------------------------------------------------------
