@@ -688,6 +688,85 @@ def run_render() -> dict:
     }
 
 
+def run_hex(n: int = 20_000_000) -> dict:
+    """The BASELINE metric's own phrasing — "docs/sec tiled + joined
+    (H3 res 7-9)" — over the engine's hexagonal index: n synthetic doc
+    points are hex-binned at THREE nested pitches (the H3 res-7/8/9
+    analog: half-pitch w halves per level, h/w ~ sqrt(3) at every
+    level) and the finest level is then driven through the 7-cell
+    neighbor-ring join against 10k query points. Everything is JVM
+    expression math + two hash shuffles — the 100 TB shape (uniform
+    integer keys, no skew, broadcast ring side). value = docs/sec
+    through the full tile-x3 + ring-join pipeline, min of 2 runs,
+    pure-CPU calibration attached."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.functions import cells
+
+    spark = _session(CPUS)
+    E = 65536
+    pts = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 7919 + 17) % E).alias("px"),
+        ((F.col("id") * 9973 + 31) % E).alias("py"),
+    )
+    qs = spark.range(10_000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 104729 + 12345) % E).alias("qx"),
+        ((F.col("id") * 48271 + 54321) % E).alias("qy"),
+    )
+    # res 7 -> coarsest; each level halves the half-pitch (4x the cells)
+    levels = {7: (4096, 7096), 8: (2048, 3548), 9: (1024, 1774)}
+
+    def pipeline() -> dict:
+        out = {}
+        for lvl, (w, h) in levels.items():
+            hq, hr = cells.hex_cell(F.col("px"), F.col("py"), w, h)
+            out[f"res{lvl}_cells"] = (
+                pts.select(hq.alias("hq"), hr.alias("hr"))
+                .groupBy("hq", "hr").count().count()
+            )
+        w, h = levels[9]
+        phq, phr = cells.hex_cell(F.col("px"), F.col("py"), w, h)
+        qhq, qhr = cells.hex_cell(F.col("qx"), F.col("qy"), w, h)
+        ring = (
+            qs.select("query_id", qhq.alias("_q0"), qhr.alias("_r0"))
+            .withColumn("_o", F.explode(F.concat(
+                F.array(F.struct(F.lit(0).alias("dq"), F.lit(0).alias("dr"))),
+                cells.hex_neighbor_offsets())))
+            .select("query_id",
+                    (F.col("_q0") + F.col("_o.dq")).alias("hq"),
+                    (F.col("_r0") + F.col("_o.dr")).alias("hr"))
+        )
+        joined = (
+            pts.select(phq.alias("hq"), phr.alias("hr"))
+            .join(F.broadcast(ring), ["hq", "hr"])
+            .groupBy("query_id").count()
+        )
+        out["ring_join_rows"] = joined.count()
+        return out
+
+    pts.count()  # materialize input listing/codegen warm-up
+    calib_before = _quick_calibration(CPUS)
+    runs, detail = [], {}
+    for _ in range(2):
+        t0 = time.time()
+        detail = pipeline()
+        runs.append(time.time() - t0)
+    best = min(runs)
+    calib_after = _quick_calibration(CPUS)
+    return {
+        "metric": "hex_tiled_joined_docs_per_sec",
+        "value": round(n / best),
+        "unit": "docs/sec",
+        "docs": n,
+        "wall_sec": [round(x, 2) for x in runs],
+        "levels": {str(k): {"w": w, "h": h} for k, (w, h) in levels.items()},
+        "detail": detail,
+        "calibration": {"before": calib_before, "after": calib_after},
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -705,5 +784,7 @@ if __name__ == "__main__":
         print(json.dumps(run_render()))
     elif "--curate" in sys.argv:
         print(json.dumps(run_curate()))
+    elif "--hex" in sys.argv:
+        print(json.dumps(run_hex()))
     else:
         print(json.dumps(run_headline()))
