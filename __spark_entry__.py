@@ -231,6 +231,18 @@ def q_hex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.coalesce("n_ring", F.lit(0)).alias("n_ring"))
 
 
+def q_seg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-box intersection join (joins.segment_box_join): slanted
+    lineitem segments against broadcast supplier query boxes, exact
+    integer SAT predicate (bbox overlap + corner-sign straddle —
+    closed sets, touching counts). The 1D-geometry member of the
+    point/box/polygon/ray join family."""
+    segs = D.segments(spark, sf_dir)
+    qb = D.query_boxes(spark, sf_dir)
+    out = J.segment_box_join(segs, qb, method="broadcast")
+    return out.select("query_id", "seg_id")
+
+
 def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — the vector-side raster↔vector staple: per
     polygon zone (supplier diamonds), aggregate the contained points
@@ -2710,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_concave": q_pip_concave,
         "q_hex_counts": q_hex_counts,
         "q_hex_ring": q_hex_ring,
+        "q_seg_join": q_seg_join,
     }
 
 
@@ -3169,6 +3182,33 @@ def _text_oracles() -> dict[str, str]:
                    (SELECT count(*) FROM lineitem
                     WHERE l_orderkey IN (SELECT kk FROM pass)
                       AND l_orderkey NOT IN (SELECT kk FROM sk)) AS n_false_pos
+        """,
+        "q_seg_join": f"""
+            -- DuckDB 1.0.0 IEJoin planner hits an internal error on
+            -- LEAST/GREATEST inside inequality-join conditions, so the
+            -- segment bbox is materialized as plain columns first
+            -- (x1 < x2 always holds by construction: x2 = x1 + 37*sx,
+            -- sx >= 1) and the straddle filter runs post-join.
+            WITH segs0 AS ({D.SQL_SEGMENTS}), qb AS ({D.SQL_QUERY_BOXES}),
+            segs AS (
+                SELECT seg_id, x1, y1, x2, y2,
+                       x1 AS sminx, x2 AS smaxx,
+                       CASE WHEN y1 <= y2 THEN y1 ELSE y2 END AS sminy,
+                       CASE WHEN y1 <= y2 THEN y2 ELSE y1 END AS smaxy
+                FROM segs0
+            ),
+            cand AS (
+                SELECT query_id, seg_id,
+                       {D.seg_cross_sql("q_min_x", "q_min_y")} AS c1,
+                       {D.seg_cross_sql("q_min_x", "q_max_y")} AS c2,
+                       {D.seg_cross_sql("q_max_x", "q_min_y")} AS c3,
+                       {D.seg_cross_sql("q_max_x", "q_max_y")} AS c4
+                FROM segs JOIN qb
+                  ON sminx <= q_max_x AND smaxx >= q_min_x
+                 AND sminy <= q_max_y AND smaxy >= q_min_y
+            )
+            SELECT query_id, seg_id FROM cand
+            WHERE LEAST(c1, c2, c3, c4) <= 0 AND GREATEST(c1, c2, c3, c4) >= 0
         """,
         "q_pip_concave": f"""
             WITH star AS ({D.SQL_STAR_POLYGONS}), pts AS ({D.SQL_POINTS})

@@ -767,6 +767,108 @@ def run_hex(n: int = 20_000_000) -> dict:
     }
 
 
+HEXSCALE_DOCS = int(os.environ.get("SPARK_GRAFT_HEXSCALE_DOCS", "20000000"))
+
+
+def _ensure_hex_parquet() -> str:
+    """Materialize the hex-scaling input once (deterministic points) so
+    both parallelism levels read IDENTICAL bytes."""
+    path = "/tmp/spark_graft_hex_points"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from pyspark.sql import functions as F
+
+        spark = _session(CPUS)
+        E = 65536
+        spark.range(HEXSCALE_DOCS, numPartitions=64).select(
+            F.col("id").alias("point_id"),
+            ((F.col("id") * 7919 + 17) % E).alias("px"),
+            ((F.col("id") * 9973 + 31) % E).alias("py"),
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _hex_job(spark, path: str) -> int:
+    """The bench --hex pipeline off parquet: 3-level hex binning + the
+    res-9 7-cell ring join, single measured pass."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.functions import cells
+
+    E = 65536
+    pts = spark.read.parquet(path)
+    total = 0
+    for w, h in ((4096, 7096), (2048, 3548), (1024, 1774)):
+        hq, hr = cells.hex_cell(F.col("px"), F.col("py"), w, h)
+        total += (pts.select(hq.alias("hq"), hr.alias("hr"))
+                  .groupBy("hq", "hr").count().count())
+    w, h = 1024, 1774
+    qs = spark.range(10_000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 104729 + 12345) % E).alias("qx"),
+        ((F.col("id") * 48271 + 54321) % E).alias("qy"),
+    )
+    qhq, qhr = cells.hex_cell(F.col("qx"), F.col("qy"), w, h)
+    phq, phr = cells.hex_cell(F.col("px"), F.col("py"), w, h)
+    ring = (
+        qs.select("query_id", qhq.alias("_q0"), qhr.alias("_r0"))
+        .withColumn("_o", F.explode(F.concat(
+            F.array(F.struct(F.lit(0).alias("dq"), F.lit(0).alias("dr"))),
+            cells.hex_neighbor_offsets())))
+        .select("query_id",
+                (F.col("_q0") + F.col("_o.dq")).alias("hq"),
+                (F.col("_r0") + F.col("_o.dr")).alias("hr"))
+    )
+    total += (pts.select(phq.alias("hq"), phr.alias("hr"))
+              .join(F.broadcast(ring), ["hq", "hr"])
+              .groupBy("query_id").count().count())
+    return total
+
+
+def run_hexscale() -> dict:
+    """North-rule scaling criterion tied to the metric's OWN pipeline:
+    the hex tile-x3 + ring join at local[N] vs local[4N] over the same
+    parquet, throughput at both + efficiency, host calibration
+    attached (same protocol as --scaling)."""
+    from pyspark.sql import SparkSession
+
+    path = _ensure_hex_parquet()
+    lo, hi = SCALING_LEVELS
+    results = {}
+    for cores in (lo, hi):
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = _session(cores)
+        _hex_job(spark, path)  # warm-up
+        iters = []
+        for _ in range(SCALING_REPEATS):
+            t0 = time.time()
+            _hex_job(spark, path)
+            iters.append(time.time() - t0)
+        best = min(iters)
+        results[cores] = {
+            "sec": round(best, 3),
+            "all_iters_sec": [round(x, 3) for x in iters],
+            "docs_per_sec": round(HEXSCALE_DOCS / best),
+        }
+        spark.stop()
+    speedup = results[lo]["sec"] / results[hi]["sec"]
+    eff = speedup / (hi / lo)
+    calib = _host_calibration((lo, hi))
+    return {
+        "metric": f"hex_scaling_efficiency_{lo}_to_{hi}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs": HEXSCALE_DOCS,
+        "repeats": SCALING_REPEATS,
+        "per_level": results,
+        "speedup": round(speedup, 3),
+        "host_calibration": calib,
+        "efficiency_vs_attainable": round(speedup / calib["attainable_speedup"], 3),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -784,6 +886,8 @@ if __name__ == "__main__":
         print(json.dumps(run_render()))
     elif "--curate" in sys.argv:
         print(json.dumps(run_curate()))
+    elif "--hexscale" in sys.argv:
+        print(json.dumps(run_hexscale()))
     elif "--hex" in sys.argv:
         print(json.dumps(run_hex()))
     else:

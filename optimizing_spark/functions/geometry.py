@@ -158,6 +158,37 @@ def point_in_convex_polygon(x, y, vertices) -> Column:
     )
 
 
+def segment_intersects_box(x1, y1, x2, y2, box: "BoxCols") -> Column:
+    """Closed segment vs closed AABB intersection, exact separating-axis
+    form: (1) the segment's bbox overlaps the box (the x and y axes),
+    and (2) the box's four corners do NOT all lie strictly on one side
+    of the segment's supporting line (the segment-normal axis) —
+    cross products of each corner against the segment direction, keep
+    iff least <= 0 <= greatest. Those three axes are the complete 2D
+    SAT set for a segment against an axis-aligned box, so the test is
+    exact; with integer coords every cross product is exact integer
+    (|cross| <= 2 * world_edge^2 < 2^34 — ANSI-safe). Touching counts
+    (closed sets), matching the closed 3D AABB convention
+    (BoundaryBox.hpp:47-51); degenerate zero-length segments reduce to
+    point-in-box."""
+    ax1, ay1, ax2, ay2 = _c(x1), _c(y1), _c(x2), _c(y2)
+    qx0, qy0 = _c(box.min_x), _c(box.min_y)
+    qx1, qy1 = _c(box.max_x), _c(box.max_y)
+    overlap = (
+        (F.least(ax1, ax2) <= qx1) & (F.greatest(ax1, ax2) >= qx0)
+        & (F.least(ay1, ay2) <= qy1) & (F.greatest(ay1, ay2) >= qy0)
+    )
+    dx = ax2 - ax1
+    dy = ay2 - ay1
+
+    def cross(cx, cy):
+        return dx * (cy - ay1) - dy * (cx - ax1)
+
+    cs = [cross(qx0, qy0), cross(qx0, qy1), cross(qx1, qy0), cross(qx1, qy1)]
+    straddle = (F.least(*cs) <= 0) & (F.greatest(*cs) >= 0)
+    return overlap & straddle
+
+
 def point_in_polygon_crossing(x, y, vertices) -> Column:
     """Point-in-SIMPLE-polygon (convex or not) by the even-odd
     crossing-number rule: count edges whose half-open y-span

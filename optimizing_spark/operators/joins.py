@@ -199,6 +199,58 @@ def polygon_join(
     return out.drop("_bx0", "_by0", "_bx1", "_by1")
 
 
+def segment_box_join(
+    segments: DataFrame,
+    boxes: DataFrame,
+    method: str = "broadcast",
+    world: Box2 | None = None,
+    depth: int = 6,
+) -> DataFrame:
+    """Segment-vs-box intersection join — 1D geometry (roads,
+    trajectories, network edges) against query tiles, completing the
+    point/box/polygon/ray family. segments(seg_id, x1, y1, x2, y2) x
+    boxes(query_id, q_min_x..q_max_y), exact integer SAT predicate
+    (geometry.segment_intersects_box; the batch-join form of the
+    reference's per-ray slab walk, Raytracing.hpp:267-289).
+
+    method='broadcast': broadcast the boxes, stream segments through.
+    method='cells': both sides explode to fixed-depth grid cells of
+    their bboxes and candidates meet in a (cell_x, cell_y) equi-join —
+    the 100 TB shape (same as range_join); pairs are emitted only in
+    the reporting cell = cell of the bbox-overlap region's min corner,
+    so no dedup pass is needed.
+    """
+    qbox = G.BoxCols("q_min_x", "q_min_y", "q_max_x", "q_max_y")
+    pred = G.segment_intersects_box(
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"), qbox)
+    if method == "broadcast":
+        return segments.join(F.broadcast(boxes), pred)
+    if method != "cells":
+        raise ValueError(f"unknown method {method!r}")
+    if world is None:
+        raise ValueError("method='cells' needs a world box")
+    n, sx, sy = _grid(world, depth)
+    s = explode_covering_cells(
+        segments
+        .withColumn("_s_min_x", F.least("x1", "x2"))
+        .withColumn("_s_min_y", F.least("y1", "y2"))
+        .withColumn("_s_max_x", F.greatest("x1", "x2"))
+        .withColumn("_s_max_y", F.greatest("y1", "y2")),
+        world, depth, "_s_min_x", "_s_min_y", "_s_max_x", "_s_max_y",
+    )
+    q = explode_covering_cells(
+        boxes, world, depth, "q_min_x", "q_min_y", "q_max_x", "q_max_y")
+    joined = s.join(q, ["cell_x", "cell_y"]).filter(pred)
+    rx = F.greatest(F.col("_s_min_x"), F.col("q_min_x"))
+    ry = F.greatest(F.col("_s_min_y"), F.col("q_min_y"))
+    report = (
+        (_gcoord(rx, world.min_x, sx, n) == F.col("cell_x"))
+        & (_gcoord(ry, world.min_y, sy, n) == F.col("cell_y"))
+    )
+    return joined.filter(report).drop(
+        "cell_x", "cell_y", "_s_min_x", "_s_min_y", "_s_max_x", "_s_max_y")
+
+
 def ring_semi_join(
     objects: DataFrame, queries: DataFrame, world: Box2, depth: int, k: int = 1
 ) -> DataFrame:

@@ -132,6 +132,54 @@ FROM supplier
 """
 
 
+def segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One slanted line segment per lineitem: anchored at the object's
+    (ix, iy), direction (37*sx, +-23*sy) with the sign alternating on
+    obj_id parity so both orientations occur. Integer endpoints (x2/y2
+    may exceed the world edge or go negative — segment joins must not
+    assume in-world coords); max length ~ 4.3k."""
+    o = objects2d(spark, sf_dir)
+    return o.select(
+        F.col("obj_id").alias("seg_id"),
+        F.col("ix").alias("x1"),
+        F.col("iy").alias("y1"),
+        (F.col("ix") + 37 * F.col("sx")).alias("x2"),
+        (F.col("iy") + F.when(F.col("obj_id") % 2 == 0, 23 * F.col("sy"))
+         .otherwise(-23 * F.col("sy"))).alias("y2"),
+    )
+
+
+SQL_SEGMENTS = f"""
+SELECT obj_id AS seg_id,
+       ix AS x1, iy AS y1,
+       ix + 37 * sx AS x2,
+       iy + CASE WHEN obj_id % 2 = 0 THEN 23 * sy ELSE -23 * sy END AS y2
+FROM ({SQL_OBJECTS})
+"""
+
+
+def seg_cross_sql(cx: str, cy: str) -> str:
+    """Cross product of box corner (cx, cy) against the segment
+    direction — the SQL twin of geometry.segment_intersects_box's
+    per-corner term."""
+    return f"((x2 - x1) * (({cy}) - y1) - (y2 - y1) * (({cx}) - x1))"
+
+
+def seg_box_pred_sql() -> str:
+    """Full exact SAT predicate (bbox overlap + corner straddle) over
+    SQL_SEGMENTS x SQL_QUERY_BOXES columns."""
+    c1 = seg_cross_sql("q_min_x", "q_min_y")
+    c2 = seg_cross_sql("q_min_x", "q_max_y")
+    c3 = seg_cross_sql("q_max_x", "q_min_y")
+    c4 = seg_cross_sql("q_max_x", "q_max_y")
+    return (
+        "LEAST(x1, x2) <= q_max_x AND GREATEST(x1, x2) >= q_min_x"
+        " AND LEAST(y1, y2) <= q_max_y AND GREATEST(y1, y2) >= q_min_y"
+        f" AND LEAST({c1}, {c2}, {c3}, {c4}) <= 0"
+        f" AND GREATEST({c1}, {c2}, {c3}, {c4}) >= 0"
+    )
+
+
 def star_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One CONCAVE 8-vertex star per supplier: the q_pip_poly diamond's
     axis spikes (radius ex/ey) alternating with pulled-in diagonal

@@ -338,3 +338,96 @@ def test_polygon_join_cells_equals_broadcast(spark):
     b = joins.polygon_join(pts, pdf, method="cells", world=world, depth=5) \
         .select("query_id", "point_id").toPandas()
     assert set(zip(a.query_id, a.point_id)) == set(zip(b.query_id, b.point_id))
+
+
+# ---------------------------------------------------------------------------
+# Segment-box intersection join
+# ---------------------------------------------------------------------------
+
+def _lb_segment_hits_box(x1, y1, x2, y2, bx0, by0, bx1, by1):
+    """Independent exact oracle: Liang-Barsky clipping in exact
+    rational arithmetic (Fractions) — a DIFFERENT algorithm from the
+    engine's SAT predicate, closed-set semantics."""
+    from fractions import Fraction
+
+    dx, dy = x2 - x1, y2 - y1
+    t0, t1 = Fraction(0), Fraction(1)
+    for p, q in ((-dx, x1 - bx0), (dx, bx1 - x1),
+                 (-dy, y1 - by0), (dy, by1 - y1)):
+        if p == 0:
+            if q < 0:
+                return False
+        else:
+            t = Fraction(q, p)
+            if p < 0:
+                if t > t1:
+                    return False
+                t0 = max(t0, t)
+            else:
+                if t < t0:
+                    return False
+                t1 = min(t1, t)
+    return t0 <= t1
+
+
+def test_segment_box_join_matches_rational_oracle(spark):
+    rng = np.random.default_rng(7)
+    n_seg, n_box = 300, 25
+    segs = []
+    for i in range(n_seg):
+        x1, y1 = int(rng.integers(0, 2000)), int(rng.integers(0, 2000))
+        dx, dy = int(rng.integers(-400, 401)), int(rng.integers(-400, 401))
+        segs.append((i, x1, y1, x1 + dx, y1 + dy))
+    boxes = []
+    for i in range(n_box):
+        bx0, by0 = int(rng.integers(0, 1800)), int(rng.integers(0, 1800))
+        boxes.append((i, bx0, by0, bx0 + int(rng.integers(1, 500)),
+                      by0 + int(rng.integers(1, 500))))
+    # force touching cases: a segment ending exactly on a box corner
+    # and one collinear with a box edge
+    segs.append((n_seg, boxes[0][1] - 50, boxes[0][2] - 50,
+                 boxes[0][1], boxes[0][2]))
+    segs.append((n_seg + 1, boxes[1][1] - 100, boxes[1][2],
+                 boxes[1][3] + 100, boxes[1][2]))
+
+    sdf = spark.createDataFrame(segs, "seg_id long, x1 long, y1 long, x2 long, y2 long")
+    bdf = spark.createDataFrame(
+        boxes, "query_id long, q_min_x long, q_min_y long, q_max_x long, q_max_y long")
+    got = joins.segment_box_join(sdf, bdf, method="broadcast") \
+        .select("query_id", "seg_id").toPandas()
+    got_pairs = set(zip(got.query_id, got.seg_id))
+    want = {
+        (qid, sid)
+        for qid, bx0, by0, bx1, by1 in boxes
+        for sid, x1, y1, x2, y2 in segs
+        if _lb_segment_hits_box(x1, y1, x2, y2, bx0, by0, bx1, by1)
+    }
+    assert got_pairs == want
+    assert (0, n_seg) in got_pairs  # corner-touch counts (closed)
+    assert (1, n_seg + 1) in got_pairs  # edge-collinear counts
+
+
+def test_segment_box_join_cells_equals_broadcast(spark):
+    from optimizing_spark.config import Box2
+
+    rng = np.random.default_rng(23)
+    segs = []
+    for i in range(2000):
+        x1, y1 = int(rng.integers(0, 65536)), int(rng.integers(0, 65536))
+        segs.append((i, x1, y1, x1 + int(rng.integers(-4000, 4001)),
+                     y1 + int(rng.integers(-4000, 4001))))
+    boxes = []
+    for i in range(30):
+        bx0, by0 = int(rng.integers(0, 60000)), int(rng.integers(0, 60000))
+        boxes.append((i, bx0, by0, bx0 + int(rng.integers(500, 4000)),
+                      by0 + int(rng.integers(500, 4000))))
+    sdf = spark.createDataFrame(segs, "seg_id long, x1 long, y1 long, x2 long, y2 long")
+    bdf = spark.createDataFrame(
+        boxes, "query_id long, q_min_x long, q_min_y long, q_max_x long, q_max_y long")
+    world = Box2(0.0, 0.0, 65536.0, 65536.0)
+    a = joins.segment_box_join(sdf, bdf, method="broadcast") \
+        .select("query_id", "seg_id").toPandas()
+    b = joins.segment_box_join(sdf, bdf, method="cells", world=world, depth=5) \
+        .select("query_id", "seg_id").toPandas()
+    assert len(b) == len(set(zip(b.query_id, b.seg_id)))  # exactly-once
+    assert set(zip(a.query_id, a.seg_id)) == set(zip(b.query_id, b.seg_id))
