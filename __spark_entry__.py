@@ -231,6 +231,21 @@ def q_hex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.coalesce("n_ring", F.lit(0)).alias("n_ring"))
 
 
+def q_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon overlap join (joins.polygon_polygon_join):
+    concave supplier stars vs broadcast customer diamonds, exact
+    closed semantics — any edge-pair intersection (mutual non-strict
+    straddle + edge bbox, all integer) or either containment (vertex-0
+    crossing parity). The oracle unrolls all 32 edge pairs + both
+    containment parities in DuckDB."""
+    stars = D.star_polygons(spark, sf_dir).select(
+        "query_id", F.col("vertices").alias("vertices_a"))
+    dias = D.customer_diamonds(spark, sf_dir).select(
+        "poly_id", F.col("vertices").alias("vertices_b"))
+    out = J.polygon_polygon_join(stars, dias, method="broadcast")
+    return out.select("query_id", "poly_id")
+
+
 def q_seg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-box intersection join (joins.segment_box_join): slanted
     lineitem segments against broadcast supplier query boxes, exact
@@ -2723,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hex_counts": q_hex_counts,
         "q_hex_ring": q_hex_ring,
         "q_seg_join": q_seg_join,
+        "q_poly_poly": q_poly_poly,
     }
 
 
@@ -3182,6 +3198,18 @@ def _text_oracles() -> dict[str, str]:
                    (SELECT count(*) FROM lineitem
                     WHERE l_orderkey IN (SELECT kk FROM pass)
                       AND l_orderkey NOT IN (SELECT kk FROM sk)) AS n_false_pos
+        """,
+        "q_poly_poly": f"""
+            WITH star AS ({D.SQL_STAR_POLYGONS}), dia AS ({D.SQL_CUST_DIAMONDS}),
+            cand AS (
+                SELECT star.query_id, dia.poly_id,
+                       cx, cy, ex, ey, ix, iy, dcx, dcy, dex, dey
+                FROM star JOIN dia
+                  ON cx - ex <= dcx + dex AND cx + ex >= dcx - dex
+                 AND cy - ey <= dcy + dey AND cy + ey >= dcy - dey
+            )
+            SELECT query_id, poly_id FROM cand
+            WHERE {D.poly_overlap_sql(D.STAR_RING_SQL, D.DIAMOND_RING_SQL)}
         """,
         "q_seg_join": f"""
             -- DuckDB 1.0.0 IEJoin planner hits an internal error on

@@ -230,6 +230,73 @@ def point_in_polygon_crossing(x, y, vertices) -> Column:
     return F.pmod(cnt, F.lit(2)) == 1
 
 
+def segments_intersect(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> Column:
+    """Closed segment-segment intersection, exact integer form: each
+    segment must straddle the other's supporting line NON-strictly
+    (orientation cross products bracket zero) AND the segment bboxes
+    must overlap. The bbox term is what makes the zero-orientation
+    (collinear / endpoint-on-line) cases exact: for collinear
+    segments the straddles degenerate to true and bbox overlap is
+    exactly 1D interval overlap on the shared line; for a single zero
+    the line-crossing point coincides with the on-line endpoint, which
+    the strict straddle of the other side then certifies. Touching
+    counts (closed sets). |orientation| <= (2*world_edge)^2 < 2^36 —
+    ANSI-safe."""
+    ax1, ay1, ax2, ay2 = _c(ax1), _c(ay1), _c(ax2), _c(ay2)
+    bx1, by1, bx2, by2 = _c(bx1), _c(by1), _c(bx2), _c(by2)
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    o1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    straddle_b = ((o1 <= 0) & (o2 >= 0)) | ((o1 >= 0) & (o2 <= 0))
+    straddle_a = ((o3 <= 0) & (o4 >= 0)) | ((o3 >= 0) & (o4 <= 0))
+    bbox = (
+        (F.least(ax1, ax2) <= F.greatest(bx1, bx2))
+        & (F.greatest(ax1, ax2) >= F.least(bx1, bx2))
+        & (F.least(ay1, ay2) <= F.greatest(by1, by2))
+        & (F.greatest(ay1, ay2) >= F.least(by1, by2))
+    )
+    return straddle_a & straddle_b & bbox
+
+
+def polygons_overlap(verts_a, verts_b) -> Column:
+    """Closed overlap of two SIMPLE polygons (convex or not): true iff
+    any edge of A intersects any edge of B (segments_intersect — this
+    alone covers every boundary-touching configuration), or one
+    polygon strictly contains the other (vertex 0 inside by the
+    crossing rule; when boundaries are disjoint, containment is
+    equivalent to any single vertex being inside). Exact integer
+    arithmetic throughout; one nested exists fold, no explode."""
+    va, vb = _c(verts_a), _c(verts_b)
+    na, nb = F.size(va), F.size(vb)
+
+    def edge(vs, n, i):
+        return F.element_at(vs, i + 1), F.element_at(vs, F.pmod(i + 1, n) + 1)
+
+    def pair(i, j):
+        a0, a1 = edge(va, na, i)
+        b0, b1 = edge(vb, nb, j)
+        return segments_intersect(
+            a0["x"], a0["y"], a1["x"], a1["y"],
+            b0["x"], b0["y"], b1["x"], b1["y"])
+
+    edges_hit = F.exists(
+        F.sequence(F.lit(0), na - 1),
+        lambda i: F.exists(F.sequence(F.lit(0), nb - 1), lambda j: pair(i, j)),
+    )
+    av0 = F.element_at(va, 1)
+    bv0 = F.element_at(vb, 1)
+    return (
+        edges_hit
+        | point_in_polygon_crossing(av0["x"], av0["y"], vb)
+        | point_in_polygon_crossing(bv0["x"], bv0["y"], va)
+    )
+
+
 def polygon_bbox(vertices) -> list[Column]:
     """[min_x, min_y, max_x, max_y] of a vertex ring — the coarse
     prefilter for polygon joins (cheap AABB reject before the

@@ -199,6 +199,62 @@ def polygon_join(
     return out.drop("_bx0", "_by0", "_bx1", "_by1")
 
 
+def polygon_polygon_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    method: str = "broadcast",
+    world: Box2 | None = None,
+    depth: int = 6,
+) -> DataFrame:
+    """Polygon-polygon overlap join — the classic spatial join,
+    completing the point/segment/box/polygon family. polys_a(a_id,
+    vertices_a) x polys_b(b_id, vertices_b), exact closed semantics
+    (geometry.polygons_overlap: any edge pair intersects, or either
+    vertex-0 containment), integer arithmetic throughout.
+
+    method='broadcast': broadcast polys_b; the join condition runs the
+    O(1) bbox reject before the edge-pair fold. method='cells': both
+    sides explode their bboxes to fixed-depth grid cells, candidates
+    meet in a (cell_x, cell_y) equi-join with reporting-cell dedup —
+    the 100 TB shape, same as range_join/segment_box_join.
+    """
+    abx0, aby0, abx1, aby1 = G.polygon_bbox(F.col("vertices_a"))
+    bbx0, bby0, bbx1, bby1 = G.polygon_bbox(F.col("vertices_b"))
+    a = polys_a.select(
+        "*",
+        abx0.alias("_ax0"), aby0.alias("_ay0"),
+        abx1.alias("_ax1"), aby1.alias("_ay1"),
+    )
+    b = polys_b.select(
+        "*",
+        bbx0.alias("_bx0"), bby0.alias("_by0"),
+        bbx1.alias("_bx1"), bby1.alias("_by1"),
+    )
+    bbox_hit = (
+        (F.col("_ax0") <= F.col("_bx1")) & (F.col("_ax1") >= F.col("_bx0"))
+        & (F.col("_ay0") <= F.col("_by1")) & (F.col("_ay1") >= F.col("_by0"))
+    )
+    overlap = G.polygons_overlap(F.col("vertices_a"), F.col("vertices_b"))
+    drop = ["_ax0", "_ay0", "_ax1", "_ay1", "_bx0", "_by0", "_bx1", "_by1"]
+    if method == "broadcast":
+        return a.join(F.broadcast(b), bbox_hit & overlap).drop(*drop)
+    if method != "cells":
+        raise ValueError(f"unknown method {method!r}")
+    if world is None:
+        raise ValueError("method='cells' needs a world box")
+    n, sx, sy = _grid(world, depth)
+    ac = explode_covering_cells(a, world, depth, "_ax0", "_ay0", "_ax1", "_ay1")
+    bc = explode_covering_cells(b, world, depth, "_bx0", "_by0", "_bx1", "_by1")
+    joined = ac.join(bc, ["cell_x", "cell_y"]).filter(bbox_hit & overlap)
+    rx = F.greatest(F.col("_ax0"), F.col("_bx0"))
+    ry = F.greatest(F.col("_ay0"), F.col("_by0"))
+    report = (
+        (_gcoord(rx, world.min_x, sx, n) == F.col("cell_x"))
+        & (_gcoord(ry, world.min_y, sy, n) == F.col("cell_y"))
+    )
+    return joined.filter(report).drop("cell_x", "cell_y", *drop)
+
+
 def segment_box_join(
     segments: DataFrame,
     boxes: DataFrame,

@@ -234,12 +234,12 @@ STAR_RING_SQL = [
 ]
 
 
-def star_crossing_sql(px: str = "px", py: str = "py") -> str:
-    """SUM-of-CASE crossing-number parity over STAR_RING_SQL — the
-    exact integer multiply-through form of
-    geometry.point_in_polygon_crossing, unrolled for DuckDB."""
+def ring_crossing_sql(ring: list[tuple[str, str]], px: str, py: str) -> str:
+    """SUM-of-CASE crossing-number parity over an arbitrary vertex
+    ring of (x-expr, y-expr) pairs — the exact integer
+    multiply-through form of geometry.point_in_polygon_crossing,
+    unrolled for DuckDB."""
     terms = []
-    ring = STAR_RING_SQL
     for i in range(len(ring)):
         ax, ay = ring[i]
         bx, by = ring[(i + 1) % len(ring)]
@@ -249,6 +249,90 @@ def star_crossing_sql(px: str = "px", py: str = "py") -> str:
         dn = f"(({by}) <= ({py}) AND ({ay}) > ({py}) AND {lhs} > {rhs})"
         terms.append(f"CASE WHEN {up} OR {dn} THEN 1 ELSE 0 END")
     return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def star_crossing_sql(px: str = "px", py: str = "py") -> str:
+    """Crossing parity against the supplier star ring."""
+    return ring_crossing_sql(STAR_RING_SQL, px, py)
+
+
+def seg_pair_sql(a0, a1, b0, b1) -> str:
+    """Exact closed segment-segment intersection over four (x-expr,
+    y-expr) endpoint pairs — the SQL twin of
+    geometry.segments_intersect (mutual non-strict straddle + edge
+    bbox overlap)."""
+    (ax0, ay0), (ax1, ay1) = a0, a1
+    (bx0, by0), (bx1, by1) = b0, b1
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (f"((({qx}) - ({px})) * (({ry}) - ({py}))"
+                f" - (({qy}) - ({py})) * (({rx}) - ({px})))")
+
+    o1 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    o2 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    o3 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    o4 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    sb = f"(({o1} <= 0 AND {o2} >= 0) OR ({o1} >= 0 AND {o2} <= 0))"
+    sa = f"(({o3} <= 0 AND {o4} >= 0) OR ({o3} >= 0 AND {o4} <= 0))"
+    bb = (f"LEAST({ax0}, {ax1}) <= GREATEST({bx0}, {bx1})"
+          f" AND GREATEST({ax0}, {ax1}) >= LEAST({bx0}, {bx1})"
+          f" AND LEAST({ay0}, {ay1}) <= GREATEST({by0}, {by1})"
+          f" AND GREATEST({ay0}, {ay1}) >= LEAST({by0}, {by1})")
+    return f"({sa} AND {sb} AND {bb})"
+
+
+def poly_overlap_sql(ring_a: list[tuple[str, str]],
+                     ring_b: list[tuple[str, str]]) -> str:
+    """Closed polygon-polygon overlap: OR over all edge-pair
+    intersections + both vertex-0 containment parities — the SQL twin
+    of geometry.polygons_overlap, fully unrolled."""
+    na, nb = len(ring_a), len(ring_b)
+    pairs = [
+        seg_pair_sql(ring_a[i], ring_a[(i + 1) % na],
+                     ring_b[j], ring_b[(j + 1) % nb])
+        for i in range(na) for j in range(nb)
+    ]
+    a_in_b = ring_crossing_sql(ring_b, ring_a[0][0], ring_a[0][1])
+    b_in_a = ring_crossing_sql(ring_a, ring_b[0][0], ring_b[0][1])
+    return "(" + " OR ".join(pairs + [f"({a_in_b})", f"({b_in_a})"]) + ")"
+
+
+def customer_diamonds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One small convex diamond per customer, centered on that
+    customer's point (so polygon-polygon joins compose with the point
+    tables), CCW order, integer coords."""
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    dcx = (k * _PC[0]) % E
+    dcy = (k * _PC[1]) % E
+    dex = 256 + (k % 256)
+    dey = 192 + (k % 192)
+
+    def v(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    return c.select(
+        k.alias("poly_id"),
+        F.array(
+            v(dcx, dcy - dey), v(dcx + dex, dcy),
+            v(dcx, dcy + dey), v(dcx - dex, dcy),
+        ).alias("vertices"),
+    )
+
+
+SQL_CUST_DIAMONDS = f"""
+SELECT CAST(c_custkey AS BIGINT) AS poly_id,
+       (CAST(c_custkey AS BIGINT) * {_PC[0]}) % {E} AS dcx,
+       (CAST(c_custkey AS BIGINT) * {_PC[1]}) % {E} AS dcy,
+       256 + CAST(c_custkey AS BIGINT) % 256 AS dex,
+       192 + CAST(c_custkey AS BIGINT) % 192 AS dey
+FROM customer
+"""
+
+DIAMOND_RING_SQL = [
+    ("dcx", "dcy - dey"), ("dcx + dex", "dcy"),
+    ("dcx", "dcy + dey"), ("dcx - dex", "dcy"),
+]
 
 
 # ---------------------------------------------------------------------------

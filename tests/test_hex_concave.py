@@ -204,3 +204,154 @@ def test_hex_cells_partition_exclusively(spark):
     g = got.sort_values(["x", "y"]).reset_index(drop=True)
     assert (g.hq.to_numpy() == want.hq.to_numpy()).all()
     assert (g.hr.to_numpy() == want.hr.to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# Segment-segment + polygon-polygon overlap
+# ---------------------------------------------------------------------------
+
+def _on_seg(px, py, x1, y1, x2, y2):
+    return ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) == 0
+            and min(x1, x2) <= px <= max(x1, x2)
+            and min(y1, y2) <= py <= max(y1, y2))
+
+
+def _frac_seg_intersect(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Independent exact oracle: solve the parametric line system in
+    Fractions (a different algorithm from the engine's orientation
+    SAT), closed semantics, degenerate/collinear cases explicit."""
+    from fractions import Fraction
+
+    if (ax1, ay1) == (ax2, ay2) and (bx1, by1) == (bx2, by2):
+        return (ax1, ay1) == (bx1, by1)
+    if (ax1, ay1) == (ax2, ay2):
+        return _on_seg(ax1, ay1, bx1, by1, bx2, by2)
+    if (bx1, by1) == (bx2, by2):
+        return _on_seg(bx1, by1, ax1, ay1, ax2, ay2)
+    d1x, d1y = ax2 - ax1, ay2 - ay1
+    d2x, d2y = bx2 - bx1, by2 - by1
+    denom = d1x * d2y - d1y * d2x
+    if denom != 0:
+        # a + t*d1 = b + s*d2
+        t = Fraction((bx1 - ax1) * d2y - (by1 - ay1) * d2x, denom)
+        s = Fraction((bx1 - ax1) * d1y - (by1 - ay1) * d1x, denom)
+        return 0 <= t <= 1 and 0 <= s <= 1
+    if d1x * (by1 - ay1) - d1y * (bx1 - ax1) != 0:
+        return False  # parallel, distinct lines
+    # collinear: 1D interval overlap (both axes = bbox overlap)
+    return (min(ax1, ax2) <= max(bx1, bx2) and max(ax1, ax2) >= min(bx1, bx2)
+            and min(ay1, ay2) <= max(by1, by2)
+            and max(ay1, ay2) >= min(by1, by2))
+
+
+def test_segments_intersect_matches_rational_oracle(spark):
+    cases = []
+    for _ in range(600):
+        a = [int(RNG.integers(0, 120)) for _ in range(4)]
+        b = [int(RNG.integers(0, 120)) for _ in range(4)]
+        cases.append(tuple(a + b))
+    # constructed: touching at endpoint, T-touch, collinear overlap,
+    # collinear disjoint, degenerate point on / off segment
+    cases += [
+        (0, 0, 10, 10, 10, 10, 20, 0),        # endpoint touch
+        (0, 0, 10, 0, 5, 0, 5, 8),            # T-touch on interior
+        (0, 0, 10, 0, 4, 0, 20, 0),           # collinear overlap
+        (0, 0, 10, 0, 11, 0, 20, 0),          # collinear disjoint
+        (0, 0, 10, 0, 3, 0, 3, 0),            # point on segment
+        (0, 0, 10, 0, 3, 1, 3, 1),            # point off segment
+        (0, 0, 0, 0, 0, 0, 0, 0),             # two equal points
+    ]
+    df = spark.createDataFrame(
+        cases, "ax1 long, ay1 long, ax2 long, ay2 long, "
+               "bx1 long, by1 long, bx2 long, by2 long")
+    got = df.select(
+        "*",
+        geometry.segments_intersect(
+            "ax1", "ay1", "ax2", "ay2", "bx1", "by1", "bx2", "by2"
+        ).alias("hit")).toPandas()
+    n_hits = 0
+    for _, r in got.iterrows():
+        want = _frac_seg_intersect(r.ax1, r.ay1, r.ax2, r.ay2,
+                                   r.bx1, r.by1, r.bx2, r.by2)
+        assert bool(r.hit) == want, tuple(r)
+        n_hits += want
+    assert n_hits >= 5  # constructed positives all present
+
+
+def _py_polys_overlap(ring_a, ring_b):
+    na, nb = len(ring_a), len(ring_b)
+    for i in range(na):
+        for j in range(nb):
+            a0, a1 = ring_a[i], ring_a[(i + 1) % na]
+            b0, b1 = ring_b[j], ring_b[(j + 1) % nb]
+            if _frac_seg_intersect(*a0, *a1, *b0, *b1):
+                return True
+    return (_crossing_inside(*ring_a[0], ring_b)
+            or _crossing_inside(*ring_b[0], ring_a))
+
+
+def _diamond(cx, cy, ex, ey):
+    return [(cx, cy - ey), (cx + ex, cy), (cx, cy + ey), (cx - ex, cy)]
+
+
+def test_polygon_polygon_join_matches_python_oracle(spark):
+    stars = [(1, 1000, 1000, 400, 300), (2, 2500, 800, 250, 350),
+             (3, 600, 2400, 150, 120)]
+    dias = []
+    for i in range(120):
+        dias.append((i, int(RNG.integers(0, 3200)), int(RNG.integers(0, 3200)),
+                     int(RNG.integers(40, 400)), int(RNG.integers(40, 300))))
+    # constructed: diamond fully inside a star spike, star notch case,
+    # vertex-touching diamond (east spike tip = west diamond vertex)
+    dias.append((200, 1000, 1000, 30, 30))        # inside star core
+    dias.append((201, 1000 + 400 + 50, 1000, 50, 40))  # touches east tip
+    a_df = spark.createDataFrame(
+        [(qid, [{"x": x, "y": y} for x, y in _star(cx, cy, ex, ey)])
+         for qid, cx, cy, ex, ey in stars],
+        "query_id long, vertices_a array<struct<x:long,y:long>>")
+    b_df = spark.createDataFrame(
+        [(pid, [{"x": x, "y": y} for x, y in _diamond(cx, cy, ex, ey)])
+         for pid, cx, cy, ex, ey in dias],
+        "poly_id long, vertices_b array<struct<x:long,y:long>>")
+    got = joins.polygon_polygon_join(a_df, b_df, method="broadcast") \
+        .select("query_id", "poly_id").toPandas()
+    got_pairs = set(zip(got.query_id, got.poly_id))
+    want = {
+        (qid, pid)
+        for qid, cx, cy, ex, ey in stars
+        for pid, dx_, dy_, dex, dey in dias
+        if _py_polys_overlap(_star(cx, cy, ex, ey), _diamond(dx_, dy_, dex, dey))
+    }
+    assert got_pairs == want
+    assert (1, 200) in got_pairs   # containment (no edge intersections)
+    assert (1, 201) in got_pairs   # vertex-touch counts (closed)
+
+
+def test_polygon_polygon_join_cells_equals_broadcast(spark):
+    from optimizing_spark.config import Box2
+
+    stars, dias = [], []
+    for i in range(25):
+        stars.append((i, int(RNG.integers(2000, 63000)),
+                      int(RNG.integers(2000, 63000)),
+                      int(RNG.integers(500, 2000)), int(RNG.integers(400, 1500))))
+    for i in range(800):
+        dias.append((i, int(RNG.integers(0, 65536)), int(RNG.integers(0, 65536)),
+                     int(RNG.integers(100, 600)), int(RNG.integers(80, 500))))
+    a_df = spark.createDataFrame(
+        [(qid, [{"x": x, "y": y} for x, y in _star(cx, cy, ex, ey)])
+         for qid, cx, cy, ex, ey in stars],
+        "query_id long, vertices_a array<struct<x:long,y:long>>")
+    b_df = spark.createDataFrame(
+        [(pid, [{"x": x, "y": y} for x, y in _diamond(cx, cy, ex, ey)])
+         for pid, cx, cy, ex, ey in dias],
+        "poly_id long, vertices_b array<struct<x:long,y:long>>")
+    world = Box2(0.0, 0.0, 65536.0, 65536.0)
+    a = joins.polygon_polygon_join(a_df, b_df, method="broadcast") \
+        .select("query_id", "poly_id").toPandas()
+    b = joins.polygon_polygon_join(a_df, b_df, method="cells",
+                                   world=world, depth=5) \
+        .select("query_id", "poly_id").toPandas()
+    assert len(b) == len(set(zip(b.query_id, b.poly_id)))
+    assert set(zip(a.query_id, a.poly_id)) == set(zip(b.query_id, b.poly_id))
+    assert len(a) > 0
