@@ -32,6 +32,13 @@ Operator coverage map (reference file:line cites in the module docs):
 - interval-overlap join        -> q_interval (bucketed, no nested loop)
 - portable sketches            -> q_hll (HyperLogLog), q_cms_tokens
                                   (Count-Min; both engine-portable)
+- bloom semi-join pruning      -> q_bloom_prune (bit-exact sketch)
+- non-convex PIP (crossing)    -> q_pip_concave (integer even-odd)
+- hexagonal cells (H3 analog)  -> q_hex_counts, q_hex_ring
+- segment-box join (exact SAT) -> q_seg_join
+- polygon-polygon overlap      -> q_poly_poly (all edge pairs +
+                                  containment, closed semantics)
+- distance-band self-join      -> q_dist_join (kring + exact d^2)
 plus the text/dedup/similarity/event suite (q_token_count ..
 q_top_customers) — every queries() key has an oracle_sql() twin.
 """
@@ -229,6 +236,17 @@ def q_hex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ring"))
     return q.select("query_id").join(hits, "query_id", "left").select(
         "query_id", F.coalesce("n_ring", F.lit(0)).alias("n_ring"))
+
+
+def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band self-join (joins.distance_join): all unordered
+    customer-point pairs within Euclidean distance 1500 (closed),
+    exact integer squared distances, each pair exactly once. Cell
+    equi-join + kring explode — never an all-pairs product; oracle is
+    the plain inequality join."""
+    p = D.points(spark, sf_dir).select(
+        "point_id", F.col("px").alias("x"), F.col("py").alias("y"))
+    return J.distance_join(p, d=1500, world=POW2_WORLD_2D, depth=5)
 
 
 def q_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2739,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hex_ring": q_hex_ring,
         "q_seg_join": q_seg_join,
         "q_poly_poly": q_poly_poly,
+        "q_dist_join": q_dist_join,
     }
 
 
@@ -3198,6 +3217,18 @@ def _text_oracles() -> dict[str, str]:
                    (SELECT count(*) FROM lineitem
                     WHERE l_orderkey IN (SELECT kk FROM pass)
                       AND l_orderkey NOT IN (SELECT kk FROM sk)) AS n_false_pos
+        """,
+        "q_dist_join": f"""
+            WITH pts AS ({D.SQL_POINTS})
+            SELECT a.point_id AS id_a, b.point_id AS id_b,
+                   (a.px - b.px) * (a.px - b.px)
+                   + (a.py - b.py) * (a.py - b.py) AS dist2
+            FROM pts a JOIN pts b
+              ON b.px BETWEEN a.px - 1500 AND a.px + 1500
+             AND b.py BETWEEN a.py - 1500 AND a.py + 1500
+             AND a.point_id < b.point_id
+            WHERE (a.px - b.px) * (a.px - b.px)
+                  + (a.py - b.py) * (a.py - b.py) <= 2250000
         """,
         "q_poly_poly": f"""
             WITH star AS ({D.SQL_STAR_POLYGONS}), dia AS ({D.SQL_CUST_DIAMONDS}),

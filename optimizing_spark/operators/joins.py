@@ -199,6 +199,56 @@ def polygon_join(
     return out.drop("_bx0", "_by0", "_bx1", "_by1")
 
 
+def distance_join(
+    points: DataFrame,
+    d: int,
+    world: Box2,
+    depth: int = 5,
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Distance-band self-join: all unordered pairs of points within
+    Euclidean distance d (closed), each exactly once (id_a < id_b),
+    with the exact integer squared distance. The cell-index shape:
+    one side keeps its single cell, the other explodes to the
+    Chebyshev-<=r ring (r = ceil(d / cell_edge)) around its cell, so
+    candidates meet in ONE (cell_x, cell_y) equi-shuffle and the
+    exact d^2 predicate runs only on co-located candidates — the
+    100 TB plan (cf. ring_semi_join / WorldPartition.hpp:194-213).
+    The id_a < id_b filter dedups the symmetric appearance, so no
+    distinct pass is needed."""
+    n, sx, sy = _grid(world, depth)
+    r = int(-(-d // min(sx, sy)))  # ceil
+    a = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+    ).withColumn("cell_x", _gcoord(F.col("ax"), world.min_x, sx, n)) \
+     .withColumn("cell_y", _gcoord(F.col("ay"), world.min_y, sy, n))
+    b = (
+        points.select(
+            F.col(id_col).alias("id_b"),
+            F.col("x").alias("bx"), F.col("y").alias("by"),
+        )
+        .withColumn("_bcx", _gcoord(F.col("bx"), world.min_x, sx, n))
+        .withColumn("_bcy", _gcoord(F.col("by"), world.min_y, sy, n))
+        .withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .select(
+            "id_b", "bx", "by",
+            (F.col("_bcx") + F.col("_dx")).alias("cell_x"),
+            (F.col("_bcy") + F.col("_dy")).alias("cell_y"),
+        )
+    )
+    dist2 = (
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    )
+    return (
+        a.join(b, ["cell_x", "cell_y"])
+        .filter((F.col("id_a") < F.col("id_b")) & (dist2 <= F.lit(d * d)))
+        .select("id_a", "id_b", dist2.alias("dist2"))
+    )
+
+
 def polygon_polygon_join(
     polys_a: DataFrame,
     polys_b: DataFrame,

@@ -431,3 +431,31 @@ def test_segment_box_join_cells_equals_broadcast(spark):
         .select("query_id", "seg_id").toPandas()
     assert len(b) == len(set(zip(b.query_id, b.seg_id)))  # exactly-once
     assert set(zip(a.query_id, a.seg_id)) == set(zip(b.query_id, b.seg_id))
+
+
+def test_distance_join_matches_brute_force(spark):
+    from optimizing_spark.config import Box2
+
+    rng = np.random.default_rng(31)
+    n = 1200
+    px = rng.integers(0, 65536, size=n)
+    py = rng.integers(0, 65536, size=n)
+    d = 2500
+    pts = spark.createDataFrame(
+        [(int(i), int(px[i]), int(py[i])) for i in range(n)],
+        "point_id long, x long, y long")
+    world = Box2(0.0, 0.0, 65536.0, 65536.0)
+    got = joins.distance_join(pts, d=d, world=world, depth=5).toPandas()
+    got_pairs = {(a, b): dd for a, b, dd in
+                 zip(got.id_a, got.id_b, got.dist2)}
+    dx = px[:, None] - px[None, :]
+    dy = py[:, None] - py[None, :]
+    d2 = dx * dx + dy * dy
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if d2[i, j] <= d * d:
+                want[(i, j)] = d2[i, j]
+    assert got_pairs == want
+    assert len(got) == len(set(zip(got.id_a, got.id_b)))  # exactly-once
+    assert len(want) > 0
