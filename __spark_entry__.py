@@ -234,8 +234,9 @@ def q_hex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = pts.join(F.broadcast(ring), ["hq", "hr"]).groupBy("query_id").agg(
         F.count("*").alias("n_ring"))
-    return q.select("query_id").join(hits, "query_id", "left").select(
-        "query_id", F.coalesce("n_ring", F.lit(0)).alias("n_ring"))
+    # hits is bounded by the query count — broadcast the left join too
+    return q.select("query_id").join(F.broadcast(hits), "query_id", "left") \
+        .select("query_id", F.coalesce("n_ring", F.lit(0)).alias("n_ring"))
 
 
 def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
