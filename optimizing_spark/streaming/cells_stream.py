@@ -47,6 +47,28 @@ def streaming_cell_counts(
     )
 
 
+def streaming_hex_counts(
+    stream_docs: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Hex-cell windowed counts over a streaming docs source — the
+    H3-analog of streaming_cell_counts: geocode is stateless and
+    hex_cell (functions/cells.py) is a pure closed-form expression, so
+    the streaming aggregation state is exactly the per-(window, hq,
+    hr) counters and the result equals the batch hex binning on the
+    same rows."""
+    g = geocode(stream_docs, how="jvm")
+    hq, hr = C.hex_cell(F.col("ix"), F.col("iy"))
+    return (
+        g.select(F.col(ts_col), hq.alias("hq"), hr.alias("hr"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), "hq", "hr")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def streaming_exact_dedup(
     stream_docs: DataFrame,
     text: str = "text",

@@ -360,3 +360,37 @@ def test_streaming_snapshot_sink_equals_batch_appends(spark, tmp_path):
     # but a new batch id commits
     sink(chunks[0].limit(10), 3)
     assert SN.read_snapshot(spark, root, "ev").count() == 310
+
+
+def test_streaming_hex_counts_equal_batch(spark, docs_dir):
+    """Hex binning streams: windowed (hq, hr) counters over the doc
+    stream equal the batch hex assignment on the same rows."""
+    from optimizing_spark.functions import cells as FC
+
+    schema = datagen.DOCS_SCHEMA
+    stream = spark.readStream.schema(schema).parquet(docs_dir).withColumn(
+        "ts", F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.xxhash64("doc_id"), F.lit(100))))
+    counts = CS.streaming_hex_counts(stream, window="10 seconds",
+                                     watermark="1 minute")
+    q = counts.writeStream.format("memory").queryName("hex_counts_mem") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.table("hex_counts_mem")
+
+    g0 = geocode(spark.read.parquet(docs_dir).withColumn(
+        "ts", F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.xxhash64("doc_id"), F.lit(100)))),
+        how="jvm")
+    hq, hr = FC.hex_cell(F.col("ix"), F.col("iy"))
+    batch = (
+        g0.select("ts", hq.alias("hq"), hr.alias("hr"))
+        .groupBy(F.window("ts", "10 seconds"), "hq", "hr")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    g = got.select("window", "hq", "hr", "n_docs").toPandas()
+    b = batch.select("window", "hq", "hr", "n_docs").toPandas()
+    bmap = {(str(r.window), r.hq, r.hr): r.n_docs for r in b.itertuples()}
+    assert len(g) > 0
+    for r in g.itertuples():
+        assert bmap[(str(r.window), r.hq, r.hr)] == r.n_docs
