@@ -2679,6 +2679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_exact_dedup, q_simhash, q_ngram_jaccard) rotate to the tail.
     Tail queries remain harness-verified every round via
     `python tests/compare_harness.py /root/testdata/sf0.01`.
+    The 7 round-4 additions (q_bloom_prune, q_pip_concave,
+    q_hex_counts, q_hex_ring, q_seg_join, q_poly_poly, q_dist_join)
+    also sit in the tail — harness-verified at sf0.01 AND sf0.1.
     """
     return {
         # --- gate window (first 50) ---
