@@ -2668,20 +2668,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-gated query registry.
 
     ORDERING MATTERS: the driver's correctness checker caps at the
-    FIRST 50 keys (dict order).  Round-4 rotation policy (per the
-    round-3 verdict): the 17 queries that never received a driver
-    gate row (q_interval ... q_hist_refresh, incl. the SURVEY §2
-    evidence for O9/O31/O32) are placed inside the first 50; 17
-    long-stable basics that were driver-green in rounds 1-3
-    (q_extract, q_linear_control, q_tonemap, q_morton, q_remove,
-    q_relocate, q_rebuild, q_ray_box, q_ray_circle, q_mirror_bounce,
-    q_token_count, q_quality, q_lang_guess, q_fingerprint,
-    q_exact_dedup, q_simhash, q_ngram_jaccard) rotate to the tail.
-    Tail queries remain harness-verified every round via
+    FIRST 50 keys (dict order).
+
+    STANDING ROTATION SCHEDULE (per the round-4 verdict): every
+    query is driver-gated at least once every 2 rounds.  Each round,
+    queries added (or changed) that round enter the first-50 window;
+    an equal number of long-stable basics — driver-green in at least
+    two prior rounds — rotate to the tail.  Tail queries remain
+    harness-verified every round via
     `python tests/compare_harness.py /root/testdata/sf0.01`.
-    The 7 round-4 additions (q_bloom_prune, q_pip_concave,
-    q_hex_counts, q_hex_ring, q_seg_join, q_poly_poly, q_dist_join)
-    also sit in the tail — harness-verified at sf0.01 AND sf0.1.
+
+    Round-5 rotation: the 7 round-4 additions (q_bloom_prune,
+    q_pip_concave, q_hex_counts, q_hex_ring, q_seg_join, q_poly_poly,
+    q_dist_join) enter the gate window; 7 long-stable basics
+    (q_agg_wide, q_spans, q_sessionize, q_hourly_events,
+    q_json_extract, q_monthly_orders, q_sample — each driver-green in
+    rounds 1-4) rotate to the tail.  Round-4 history: the 17
+    previously-ungated queries (q_interval ... q_hist_refresh)
+    entered the window and went driver-green; 17 round-1-3 basics
+    (q_extract ... q_ngram_jaccard) rotated to the tail.
     """
     return {
         # --- gate window (first 50) ---
@@ -2704,8 +2709,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mirror_depth5": q_mirror_depth5,
         "q_diffuse_bounce": q_diffuse_bounce,
         "q_refract_chain": q_refract_chain,
-        "q_agg_wide": q_agg_wide,
-        "q_spans": q_spans,
         "q_repetition": q_repetition,
         "q_curate": q_curate,
         "q_minhash": q_minhash,
@@ -2716,7 +2719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk_pq": q_embed_topk_pq,
         "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
-        "q_sessionize": q_sessionize,
         "q_hll": q_hll,
         "q_interval": q_interval,
         "q_asof": q_asof,
@@ -2724,19 +2726,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_top_tokens": q_top_tokens,
         "q_cms_tokens": q_cms_tokens,
-        "q_sample": q_sample,
         "q_stratified": q_stratified,
-        "q_hourly_events": q_hourly_events,
         "q_multi_assign": q_multi_assign,
-        "q_json_extract": q_json_extract,
-        "q_monthly_orders": q_monthly_orders,
         "q_top_customers": q_top_customers,
         "q_snapshot_delete": q_snapshot_delete,
         "q_snapshot_changes": q_snapshot_changes,
         "q_docs_pipeline": q_docs_pipeline,
         "q_hist_refresh": q_hist_refresh,
+        # --- round-4 additions (round-5 rotation: now driver-gated) ---
+        "q_bloom_prune": q_bloom_prune,
+        "q_pip_concave": q_pip_concave,
+        "q_hex_counts": q_hex_counts,
+        "q_hex_ring": q_hex_ring,
+        "q_seg_join": q_seg_join,
+        "q_poly_poly": q_poly_poly,
+        "q_dist_join": q_dist_join,
         # --- tail (past the driver's 50-row window; harness-verified,
-        #     driver-green in rounds 1-3) ---
+        #     driver-green in rounds 1-4) ---
+        "q_agg_wide": q_agg_wide,
+        "q_spans": q_spans,
+        "q_sessionize": q_sessionize,
+        "q_hourly_events": q_hourly_events,
+        "q_json_extract": q_json_extract,
+        "q_monthly_orders": q_monthly_orders,
+        "q_sample": q_sample,
         "q_morton": q_morton,
         "q_linear_control": q_linear_control,
         "q_remove": q_remove,
@@ -2754,14 +2767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
-        # --- round-4 additions (tail: harness-verified) ---
-        "q_bloom_prune": q_bloom_prune,
-        "q_pip_concave": q_pip_concave,
-        "q_hex_counts": q_hex_counts,
-        "q_hex_ring": q_hex_ring,
-        "q_seg_join": q_seg_join,
-        "q_poly_poly": q_poly_poly,
-        "q_dist_join": q_dist_join,
     }
 
 

@@ -457,15 +457,25 @@ def hex_cell(x: Column, y: Column, w: int = HEX_W, h: int = HEX_H) -> tuple[Colu
     return hq, hr
 
 
+def _floordiv_sql(a: str, b: int) -> str:
+    """DuckDB twin of _floordiv: true floor(a / b). DuckDB's `//`
+    truncates toward zero on BIGINT (-7 // 2 = -3), so it is NOT the
+    Spark F.floor(a/b) for negative a; mirror Spark's exact
+    double-division floor instead (exact for |a| < 2^52, same
+    argument as _floordiv)."""
+    return f"CAST(floor(CAST({a} AS DOUBLE) / {b}) AS BIGINT)"
+
+
 def hex_cell_sql(px: str, py: str, w: int = HEX_W, h: int = HEX_H) -> tuple[str, str]:
     """DuckDB twin of hex_cell: (hq-expr, hr-expr) SQL strings over an
-    integer point (px, py) — identical integer math (// is exact floor
-    division on BIGINT), so the assignment is bit-for-bit the Spark
-    one."""
-    ia = f"(({px}) + {w}) // {2 * w}"
-    ja = f"(({py}) + {h}) // {2 * h}"
-    ib = f"({px}) // {2 * w}"
-    jb = f"({py}) // {2 * h}"
+    integer point (px, py) — floor division via _floordiv_sql (NOT
+    DuckDB `//`, which truncates toward zero and diverges for
+    negative coordinates), so the assignment is bit-for-bit the
+    Spark one on the full signed domain."""
+    ia = _floordiv_sql(f"(({px}) + {w})", 2 * w)
+    ja = _floordiv_sql(f"(({py}) + {h})", 2 * h)
+    ib = _floordiv_sql(f"({px})", 2 * w)
+    jb = _floordiv_sql(f"({py})", 2 * h)
     dxa = f"(({px}) - {2 * w} * ({ia}))"
     dya = f"(({py}) - {2 * h} * ({ja}))"
     dxb = f"(({px}) - ({2 * w} * ({ib}) + {w}))"

@@ -150,12 +150,14 @@ def test_crossing_equals_halfplane_on_strict_interior(spark):
 
 def test_hex_cell_is_nearest_lattice_center(spark):
     w, h = cells.HEX_W, cells.HEX_H
-    pts = [(int(RNG.integers(0, 65536)), int(RNG.integers(0, 65536)))
+    pts = [(int(RNG.integers(-65536, 65536)), int(RNG.integers(-65536, 65536)))
            for _ in range(300)]
     # exact same-lattice midpoints (x = w mod 2w / y = h mod 2h) and
-    # lattice centers themselves — the tie-rule edge cases
+    # lattice centers themselves — the tie-rule edge cases — plus
+    # negative-quadrant mirrors
     pts += [(w, h), (3 * w, 5 * h), (2 * w, 2 * h), (5 * w, 16 * h),
-            (w, 4 * h), (6 * w, 3 * h)]
+            (w, 4 * h), (6 * w, 3 * h),
+            (-w, -h), (-3 * w, 5 * h), (-2 * w, -2 * h), (-5 * w, -16 * h)]
     df = spark.createDataFrame(pts, "x long, y long")
     hq, hr = cells.hex_cell(F.col("x"), F.col("y"))
     got = df.select("x", "y", hq.alias("hq"), hr.alias("hr")).toPandas()
@@ -189,8 +191,13 @@ def test_hex_cells_partition_exclusively(spark):
     import duckdb
 
     w, h = cells.HEX_W, cells.HEX_H
-    pts = [(int(RNG.integers(0, 65536)), int(RNG.integers(0, 65536)))
+    # negative coordinates included: DuckDB `//` truncates toward zero,
+    # so the SQL twin must emit true floor division to stay bit-exact
+    # on the signed domain (segments' coords are documented to go
+    # negative).
+    pts = [(int(RNG.integers(-65536, 65536)), int(RNG.integers(-65536, 65536)))
            for _ in range(500)]
+    pts += [(-3000, -5000), (-1, -1), (-w, -h), (-2 * w, 2 * h), (0, -65536)]
     df = spark.createDataFrame(pts, "x long, y long")
     hq, hr = cells.hex_cell(F.col("x"), F.col("y"))
     got = df.select("x", "y", hq.alias("hq"), hr.alias("hr")).toPandas()
