@@ -244,10 +244,11 @@ def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-point pairs within Euclidean distance 1500 (closed),
     exact integer squared distances, each pair exactly once. Cell
     equi-join + kring explode — never an all-pairs product; oracle is
-    the plain inequality join."""
+    the plain inequality join. depth=None auto-sizes cells to ~d
+    (picks depth 5 here: cell_edge 2048 for d=1500, ring r=1)."""
     p = D.points(spark, sf_dir).select(
         "point_id", F.col("px").alias("x"), F.col("py").alias("y"))
-    return J.distance_join(p, d=1500, world=POW2_WORLD_2D, depth=5)
+    return J.distance_join(p, d=1500, world=POW2_WORLD_2D, depth=None)
 
 
 def q_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:

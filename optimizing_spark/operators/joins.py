@@ -29,6 +29,8 @@ right plan when one side is a handful of query geometries).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -199,12 +201,16 @@ def polygon_join(
     return out.drop("_bx0", "_by0", "_bx1", "_by1")
 
 
+DIST_JOIN_MAX_FANOUT = 81  # (2r+1)^2 at r=4 — the silent-blow-up guard
+
+
 def distance_join(
     points: DataFrame,
     d: int,
     world: Box2,
-    depth: int = 5,
+    depth: int | None = None,
     id_col: str = "point_id",
+    max_fanout: int = DIST_JOIN_MAX_FANOUT,
 ) -> DataFrame:
     """Distance-band self-join: all unordered pairs of points within
     Euclidean distance d (closed), each exactly once (id_a < id_b),
@@ -215,9 +221,28 @@ def distance_join(
     exact d^2 predicate runs only on co-located candidates — the
     100 TB plan (cf. ring_semi_join / WorldPartition.hpp:194-213).
     The id_a < id_b filter dedups the symmetric appearance, so no
-    distinct pass is needed."""
+    distinct pass is needed.
+
+    depth=None (default) auto-picks floor(log2(min_extent / d))
+    clamped to [0, 12]: cell_edge lands in [d, 2d) so the ring radius
+    is exactly r=1 and the explode fan-out a fixed 9 cells. A caller
+    passing an explicit deep depth with a large d explodes
+    quadratically — (2r+1)^2 — so the fan-out is guarded like the LSH
+    bucket cap (dedup.minhash_lsh_pairs max_bucket_rows): exceeding
+    `max_fanout` raises instead of silently shuffling r^2 copies."""
+    if depth is None:
+        ext = min(world.max_x - world.min_x, world.max_y - world.min_y)
+        depth = max(0, min(12, int(math.floor(math.log2(max(ext / max(d, 1), 1.0))))))
     n, sx, sy = _grid(world, depth)
     r = int(-(-d // min(sx, sy)))  # ceil
+    fanout = (2 * r + 1) ** 2
+    if fanout > max_fanout:
+        raise ValueError(
+            f"distance_join ring fan-out (2r+1)^2 = {fanout} exceeds "
+            f"max_fanout={max_fanout} (d={d}, cell_edge~{min(sx, sy):.0f} "
+            f"at depth={depth}); pass depth=None to auto-size cells to "
+            f"~d (r=1), choose a shallower depth, or raise max_fanout "
+            f"explicitly if the blow-up is intended.")
     a = points.select(
         F.col(id_col).alias("id_a"),
         F.col("x").alias("ax"), F.col("y").alias("ay"),

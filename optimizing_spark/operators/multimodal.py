@@ -1,11 +1,11 @@
 """Multimodal columns: image/audio/video payloads as opaque binary with
 typed metadata, processed via Arrow-batched mapInPandas.
 
-Decoding (round 4): REAL pure-NumPy decoders for the uncompressed
-formats — binary PPM (P6) and 24-bit BI_RGB BMP — run end-to-end
-through the feature pipeline; only COMPRESSED formats (PNG/JPEG) stay
-behind a clearly-marked NotImplementedError (no imaging libs in this
-container; swapping in `PIL.Image.open` changes one dispatch line).
+Decoding: REAL pure-NumPy decoders for binary PPM (P6), 24-bit BI_RGB
+BMP (round 4), and non-interlaced 8-bit PNG via stdlib zlib (round 5)
+run end-to-end through the feature pipeline; only JPEG stays behind a
+clearly-marked NotImplementedError (no DCT codec in this container;
+swapping in `PIL.Image.open` changes one dispatch line).
 Everything Spark-side is real and tested: schemas, batching,
 partitioning, feature extraction, and the frame-sampling plumbing.
 
@@ -46,9 +46,11 @@ def synthetic_media(spark: SparkSession, docs: DataFrame,
 
     fmt='raw' (legacy): 128 opaque bytes, decoded by the deterministic
     fake grid. fmt='ppm': a REAL binary PPM (P6) whose pixels ARE that
-    same grid — so the feature pipeline decodes real image bytes
-    end-to-end and must produce identical features to the raw path."""
-    if fmt not in ("raw", "ppm"):
+    same grid; fmt='png': the same grid zlib-compressed into a real
+    non-interlaced 8-bit PNG (cycling the full filter set) — so the
+    feature pipeline decodes real (compressed) image bytes end-to-end
+    and must produce identical features to the raw path."""
+    if fmt not in ("raw", "ppm", "png"):
         raise ValueError(f"unknown media fmt {fmt!r}")
     refs = docs.select(
         F.explode("spans").alias("s")
@@ -68,6 +70,9 @@ def synthetic_media(spark: SparkSession, docs: DataFrame,
                 if fmt == "ppm":
                     payloads.append(
                         encode_ppm(_decode_image_stub(raw, w_px, h_px)))
+                elif fmt == "png":
+                    payloads.append(
+                        encode_png(_decode_image_stub(raw, w_px, h_px)))
                 else:
                     payloads.append(raw)
                 metas.append({
@@ -88,13 +93,13 @@ def synthetic_media(spark: SparkSession, docs: DataFrame,
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB decode — deterministic fake pixel grid from the payload.
 
-    Production: `PIL.Image.open(io.BytesIO(payload))`. Compressed
-    formats (PNG/JPEG) have no decoder in this container; raise if
-    someone expects one. Uncompressed PPM/BMP ARE really decoded —
-    see decode_image.
+    Production: `PIL.Image.open(io.BytesIO(payload))`. JPEG has no
+    decoder in this container (a DCT codec is out of scope); raise if
+    someone expects one. PPM/BMP/PNG ARE really decoded — see
+    decode_image / decode_png.
     """
-    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
-        raise NotImplementedError("compressed image decode not available in this sandbox")
+    if payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode not available in this sandbox")
     h = zlib.crc32(payload)
     rng = np.arange(width * height, dtype=np.uint32)
     return ((rng * 2654435761 + h) % 256).astype(np.uint8).reshape(height, width)
@@ -172,17 +177,151 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return (rgb.sum(axis=2) // 3).astype(np.uint8)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, filters: str = "cycle") -> bytes:
+    """PNG encoder (8-bit grayscale or RGB, non-interlaced) from an
+    HxW or HxWx3 uint8 array — public RFC 2083 layout: IHDR + one
+    zlib IDAT + IEND, CRC-32 per chunk. filters='none' emits filter-0
+    rows; 'cycle' rotates through the full filter set
+    (None/Sub/Up/Average/Paeth) per row so a decoder round-trip
+    exercises every unfilter branch."""
+    gray = img.ndim == 2
+    arr = img[:, :, None] if gray else img
+    h, w, c = arr.shape
+    colortype = 0 if gray else 2
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        row = arr[y].reshape(-1)
+        f = 0 if filters == "none" else y % 5
+        left = np.concatenate([np.zeros(c, np.uint8), row[:-c]])
+        upleft = np.concatenate([np.zeros(c, np.uint8), prev[:-c]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+        else:
+            a, b, cc = (left.astype(np.int32), prev.astype(np.int32),
+                        upleft.astype(np.int32))
+            p = a + b - cc
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, b, cc)).astype(np.uint8)
+            enc = row - pred
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, colortype, 0, 0, 0]))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decode of a non-interlaced 8-bit PNG (grayscale,
+    gray+alpha, RGB, RGBA): returns HxW uint8 luminance (integer mean
+    of the color channels, alpha ignored — the decode_ppm/decode_bmp
+    convention). Pure stdlib zlib + NumPy: chunk walk, IDAT concat,
+    zlib.decompress, per-scanline unfilter of the public RFC 2083
+    filter set (None/Sub/Up/Average/Paeth). The None/Up rows are
+    whole-row vectorized; Sub/Average/Paeth carry an intra-row
+    left-pixel dependency, so they run the sequential reference
+    recurrence. Only palette/16-bit/interlaced PNGs and JPEG remain
+    undecodable in this container."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        if typ == b"IHDR":
+            ihdr = payload[pos + 8:pos + 8 + ln]
+        elif typ == b"IDAT":
+            idat.append(payload[pos + 8:pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bitdepth, colortype, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    if bitdepth != 8 or interlace != 0 or channels is None:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB/alpha PNG supported "
+            f"(bitdepth={bitdepth}, colortype={colortype}, "
+            f"interlace={interlace})")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG scanline data")
+    bpp = channels  # bytes per pixel at bitdepth 8
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        rec = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — vectorized, uint8 wraps mod 256
+            rec += prev
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                rec[i] = (int(rec[i]) + int(rec[i - bpp])) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(rec[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(rec[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, channels)
+    if colortype == 0:
+        return px[:, :, 0]
+    if colortype == 4:  # gray + alpha: luminance is the gray channel
+        return px[:, :, 0]
+    rgb = px[:, :, :3].astype(np.uint16)
+    return (rgb.sum(axis=2) // 3).astype(np.uint8)
+
+
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Dispatch decode: REAL pure-NumPy decoders for the uncompressed
-    formats (PPM P6, 24-bit BMP), NotImplementedError for compressed
-    formats (no imaging libs in this container), and the deterministic
-    fake grid for legacy synthetic payloads — so the Spark-side
-    plumbing (schema, batching, features) is exercised with real pixel
-    bytes end-to-end wherever the format allows."""
+    """Dispatch decode: REAL pure-NumPy decoders for PPM P6, 24-bit
+    BMP, and (round 5) non-interlaced 8-bit PNG via stdlib zlib;
+    NotImplementedError only for JPEG (no DCT codec in this
+    container), and the deterministic fake grid for legacy synthetic
+    payloads — so the Spark-side plumbing (schema, batching,
+    features) is exercised with real pixel bytes end-to-end wherever
+    the format allows."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     return _decode_image_stub(payload, width, height)
 
 

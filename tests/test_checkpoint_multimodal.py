@@ -140,10 +140,59 @@ def test_ppm_bmp_real_decode_roundtrip():
     # BMP roundtrip against the independent test encoder
     assert (MM.decode_bmp(_encode_bmp_24(rng)) == rng).all()
     assert (MM.decode_bmp(_encode_bmp_24(rgb)) == want).all()
-    # compressed formats still refuse loudly
+    # JPEG (the one remaining undecodable format) still refuses loudly
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG\r\n\x1a\n....", 4, 4)
+        MM.decode_image(b"\xff\xd8\xff\xe0....", 4, 4)
+
+
+def test_png_real_decode_roundtrip():
+    """Pure-NumPy PNG codec: encode->decode is exact for gray and RGB
+    with BOTH filter strategies ('cycle' hits every RFC 2083 unfilter
+    branch: None/Sub/Up/Average/Paeth); RGBA and gray+alpha payloads
+    built chunk-by-chunk (independent of the encoder) decode to the
+    color-channel luminance with alpha ignored."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    rng = (np.arange(19 * 23, dtype=np.uint32) * 2654435761 % 256) \
+        .astype(np.uint8).reshape(23, 19)
+    rgb = np.stack([rng, (rng + 3) % 256, (rng + 7) % 256], axis=2)
+    want = (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    for filt in ("none", "cycle"):
+        assert (MM.decode_png(MM.encode_png(rng, filters=filt)) == rng).all()
+        assert (MM.decode_png(MM.encode_png(rgb, filters=filt)) == want).all()
+    # gradient image: Sub/Up/Paeth rows actually change the bytes
+    g = np.add.outer(np.arange(50), np.arange(40)).astype(np.uint8)
+    assert (MM.decode_png(MM.encode_png(g)) == g).all()
+
+    def _chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _zlib.crc32(typ + data)))
+
+    def _manual_png(px, colortype):
+        h, w, c = px.shape
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">II", w, h) + bytes([8, colortype, 0, 0, 0])
+        return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _zlib.compress(raw))
+                + _chunk(b"IEND", b""))
+
+    alpha = ((rng.astype(np.uint16) * 3) % 256).astype(np.uint8)
+    rgba = np.concatenate([rgb, alpha[:, :, None]], axis=2).astype(np.uint8)
+    assert (MM.decode_png(_manual_png(rgba, 6)) == want).all()
+    ga = np.stack([rng, alpha], axis=2)
+    assert (MM.decode_png(_manual_png(ga, 4)) == rng).all()
+    # unsupported variants refuse loudly: 16-bit and palette
+    ihdr16 = struct.pack(">II", 4, 4) + bytes([16, 0, 0, 0, 0])
+    bad = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16)
+           + _chunk(b"IDAT", _zlib.compress(b"\x00" * 36))
+           + _chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        MM.decode_png(bad)
 
 
 def test_media_features_real_ppm_payloads_end_to_end(spark):
@@ -164,4 +213,25 @@ def test_media_features_real_ppm_payloads_end_to_end(spark):
           for r in MM.extract_features(raw).collect()}
     fb = {r.media_ref: (r.mean_px, r.std_px, r.phash)
           for r in MM.extract_features(ppm).collect()}
+    assert fa == fb
+
+
+def test_media_features_real_png_payloads_end_to_end(spark):
+    """Round 5: the feature pipeline decodes real COMPRESSED bytes —
+    zlib-deflated PNG payloads (cycling all five scanline filters)
+    must produce features identical to the opaque-payload path,
+    through the same Arrow mapInPandas plumbing."""
+    from optimizing_spark.sources import datagen
+
+    docs = datagen.documents_spark_fast(spark, 120, partitions=3) \
+        .select("doc_id", "spans").localCheckpoint()
+    raw = MM.synthetic_media(spark, docs).localCheckpoint()
+    png = MM.synthetic_media(spark, docs, fmt="png").localCheckpoint()
+    assert png.count() == raw.count() > 0
+    head = png.select("payload").first().payload
+    assert bytes(head[:8]) == b"\x89PNG\r\n\x1a\n"  # real PNG bytes
+    fa = {r.media_ref: (r.mean_px, r.std_px, r.phash)
+          for r in MM.extract_features(raw).collect()}
+    fb = {r.media_ref: (r.mean_px, r.std_px, r.phash)
+          for r in MM.extract_features(png).collect()}
     assert fa == fb

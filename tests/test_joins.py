@@ -459,3 +459,33 @@ def test_distance_join_matches_brute_force(spark):
     assert got_pairs == want
     assert len(got) == len(set(zip(got.id_a, got.id_b)))  # exactly-once
     assert len(want) > 0
+
+    # auto-depth (depth=None) returns the identical pair set
+    auto = joins.distance_join(pts, d=d, world=world).toPandas()
+    auto_pairs = {(a, b): dd for a, b, dd in
+                  zip(auto.id_a, auto.id_b, auto.dist2)}
+    assert auto_pairs == want
+
+
+def test_distance_join_fanout_guard():
+    """Auto-depth keeps the ring explode at the fixed 9-cell fan-out
+    (cell_edge in [d, 2d) => r=1) across the d range, and an explicit
+    deep depth with a large d raises instead of silently shuffling
+    (2r+1)^2 copies — the r4-verdict blow-up guard."""
+    import math
+
+    from optimizing_spark.config import Box2
+
+    world = Box2(0.0, 0.0, 65536.0, 65536.0)
+    for d in (10, 100, 1500, 2500, 20000, 70000):
+        ext = 65536.0
+        depth = max(0, min(12, int(math.floor(math.log2(max(ext / max(d, 1), 1.0))))))
+        edge = ext / (1 << depth)
+        r = -(-d // int(edge))
+        assert r <= 1 or d > ext, (d, depth, edge, r)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fan-out"):
+        # depth=12 -> cell_edge=16, d=2500 -> r=157: must refuse
+        # (the guard fires before any DataFrame is touched)
+        joins.distance_join(None, 2500, world, depth=12)
