@@ -148,6 +148,143 @@ def streaming_time_join(
     )
 
 
+def streaming_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    d: int,
+    world,
+    depth: int | None = None,
+    ts_col: str = "ts",
+    bound_seconds: int = 60,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stream-stream SPATIAL join on the cell index — the spatial twin
+    of streaming_time_join: pairs (one row from each stream) whose
+    points lie within Euclidean distance ``d`` (closed, exact integer
+    d^2 residual) AND whose event times lie within ±``bound_seconds``.
+
+    The cell index is what makes this streamable: the left stream
+    keeps its single coarse cell, the right stream explodes to the
+    Chebyshev-<=r neighbor ring around its cell (r=1 when depth is
+    auto-picked so cell_edge ~ d, exactly the batch
+    operators.joins.distance_join shape / WorldPartition.hpp:194-213
+    load ring), and candidates meet in a (cell_x, cell_y) EQUI-join —
+    so the join state is hash-partitioned by cell, never a buffered
+    cross product. The watermark + time bound is the state contract
+    (same as streaming_time_join): it bounds how long a buffered row
+    can still match, letting Spark evict state; the spatial predicate
+    alone could never expire anything. Both explodes are stateless
+    projections, so streaming output equals the batch
+    distance-join + time-bound pair set on the same rows.
+
+    Output prefixes left/right columns ``l_``/``r_`` and carries the
+    exact integer ``dist2``.
+    """
+    from ..operators.joins import (
+        DIST_JOIN_MAX_FANOUT, _gcoord, _grid,
+    )
+    import math as _math
+
+    if depth is None:
+        ext = min(world.max_x - world.min_x, world.max_y - world.min_y)
+        depth = max(0, min(12, int(_math.floor(
+            _math.log2(max(ext / max(d, 1), 1.0))))))
+    n, sx, sy = _grid(world, depth)
+    r = int(-(-d // min(sx, sy)))  # ceil
+    fanout = (2 * r + 1) ** 2
+    if fanout > DIST_JOIN_MAX_FANOUT:
+        raise ValueError(
+            f"streaming_distance_join ring fan-out (2r+1)^2 = {fanout} "
+            f"exceeds {DIST_JOIN_MAX_FANOUT} (d={d}, depth={depth}); "
+            f"pass depth=None to auto-size cells to ~d (r=1).")
+    lc = (
+        left.withWatermark(ts_col, watermark)
+        .withColumn("cell_x", _gcoord(F.col("x"), world.min_x, sx, n))
+        .withColumn("cell_y", _gcoord(F.col("y"), world.min_y, sy, n))
+        .alias("l")
+    )
+    rc = (
+        right.withWatermark(ts_col, watermark)
+        .withColumn("_cx", _gcoord(F.col("x"), world.min_x, sx, n))
+        .withColumn("_cy", _gcoord(F.col("y"), world.min_y, sy, n))
+        .withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("cell_x", F.col("_cx") + F.col("_dx"))
+        .withColumn("cell_y", F.col("_cy") + F.col("_dy"))
+        .drop("_cx", "_cy", "_dx", "_dy")
+        .alias("r")
+    )
+    b = f"INTERVAL {int(bound_seconds)} SECONDS"
+    dist2 = (
+        (F.col("l.x") - F.col("r.x")) * (F.col("l.x") - F.col("r.x"))
+        + (F.col("l.y") - F.col("r.y")) * (F.col("l.y") - F.col("r.y"))
+    )
+    cond = (
+        (F.col("l.cell_x") == F.col("r.cell_x"))
+        & (F.col("l.cell_y") == F.col("r.cell_y"))
+        & (F.col(f"r.{ts_col}") >= F.expr(f"l.{ts_col} - {b}"))
+        & (F.col(f"r.{ts_col}") <= F.expr(f"l.{ts_col} + {b}"))
+        & (dist2 <= F.lit(int(d) * int(d)))
+    )
+    j = lc.join(rc, cond)
+    return j.select(
+        *[F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns],
+        dist2.alias("dist2"),
+    )
+
+
+def streaming_hex_ring_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    bound_seconds: int = 60,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stream-stream hex-ring join: pairs whose points land in the
+    SAME or ADJACENT hexagonal cell (functions.cells.hex_cell, the H3
+    analog) within ±``bound_seconds`` — the streaming form of the
+    batch hex kring join (O17's load ring is inherently incremental:
+    each arriving point matches the ring of cells around it). The
+    right stream explodes to its own cell plus the 6 hex neighbors
+    (hex_neighbor_offsets), candidates meet in a (hq, hr) equi-join,
+    watermark + time bound evict state. Output carries l_/r_ prefixed
+    columns plus the shared (hq, hr) ring cell."""
+    hq_l, hr_l = C.hex_cell(F.col("x"), F.col("y"))
+    lc = (
+        left.withWatermark(ts_col, watermark)
+        .withColumn("hq", hq_l).withColumn("hr", hr_l)
+        .alias("l")
+    )
+    hq_r, hr_r = C.hex_cell(F.col("x"), F.col("y"))
+    offs = F.array_union(
+        F.array(F.struct(F.lit(0).alias("dq"), F.lit(0).alias("dr"))),
+        C.hex_neighbor_offsets(),
+    )
+    rc = (
+        right.withWatermark(ts_col, watermark)
+        .withColumn("_hq", hq_r).withColumn("_hr", hr_r)
+        .withColumn("_o", F.explode(offs))
+        .withColumn("hq", F.col("_hq") + F.col("_o.dq"))
+        .withColumn("hr", F.col("_hr") + F.col("_o.dr"))
+        .drop("_hq", "_hr", "_o")
+        .alias("r")
+    )
+    b = f"INTERVAL {int(bound_seconds)} SECONDS"
+    cond = (
+        (F.col("l.hq") == F.col("r.hq"))
+        & (F.col("l.hr") == F.col("r.hr"))
+        & (F.col(f"r.{ts_col}") >= F.expr(f"l.{ts_col} - {b}"))
+        & (F.col(f"r.{ts_col}") <= F.expr(f"l.{ts_col} + {b}"))
+    )
+    j = lc.join(rc, cond)
+    return j.select(
+        *[F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns],
+        F.col("l.hq").alias("hq"), F.col("l.hr").alias("hr"),
+    )
+
+
 def streaming_cms_counters(
     stream: DataFrame,
     item: str,

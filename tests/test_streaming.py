@@ -394,3 +394,101 @@ def test_streaming_hex_counts_equal_batch(spark, docs_dir):
     assert len(g) > 0
     for r in g.itertuples():
         assert bmap[(str(r.window), r.hq, r.hr)] == r.n_docs
+
+
+def test_streaming_distance_join_equals_batch(spark, tmp_path):
+    """Stream-stream distance-band join (cell equi-key + ring explode
+    + watermark time bound) must produce exactly the batch pair set:
+    pairs within Euclidean d AND within the event-time bound."""
+    from optimizing_spark.config import Box2
+
+    world = Box2(0.0, 0.0, 4096.0, 4096.0)
+    d = 200
+    lsrc, rsrc = str(tmp_path / "sd_l"), str(tmp_path / "sd_r")
+    la = spark.range(300).select(
+        F.col("id").alias("a_id"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(4096)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(4096)).alias("y"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 13) % 300).alias("ts"))
+    rb = spark.range(300).select(
+        (F.col("id") + 9000).alias("b_id"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(4096)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(4)), F.lit(4096)).alias("y"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 31) % 300).alias("ts"))
+    la.repartition(3).write.parquet(lsrc)
+    rb.repartition(3).write.parquet(rsrc)
+
+    sl = spark.readStream.schema(
+        "a_id long, x bigint, y bigint, ts timestamp").parquet(lsrc)
+    sr = spark.readStream.schema(
+        "b_id long, x bigint, y bigint, ts timestamp").parquet(rsrc)
+    out = CS.streaming_distance_join(sl, sr, d=d, world=world,
+                                     bound_seconds=60)
+    q = out.writeStream.format("memory").queryName("sdj_mem") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {(r["l_a_id"], r["r_b_id"], r["dist2"])
+           for r in spark.table("sdj_mem").collect()}
+
+    bl = spark.read.parquet(lsrc)
+    br = spark.read.parquet(rsrc).withColumnsRenamed(
+        {"x": "rx", "y": "ry", "ts": "rts"})
+    dist2 = ((F.col("x") - F.col("rx")) * (F.col("x") - F.col("rx"))
+             + (F.col("y") - F.col("ry")) * (F.col("y") - F.col("ry")))
+    want = {(r["a_id"], r["b_id"], r["d2"]) for r in bl.crossJoin(br).filter(
+        (dist2 <= d * d)
+        & (F.col("rts") >= F.col("ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("rts") <= F.col("ts") + F.expr("INTERVAL 60 SECONDS"))
+    ).select("a_id", "b_id", dist2.alias("d2")).collect()}
+    assert got == want and len(want) > 5
+
+
+def test_streaming_hex_ring_join_equals_batch(spark, tmp_path):
+    """Stream-stream hex-ring join (same-or-adjacent hex cell within
+    the time bound) must equal the batch hex kring pair set."""
+    lsrc, rsrc = str(tmp_path / "sh_l"), str(tmp_path / "sh_r")
+    la = spark.range(250).select(
+        F.col("id").alias("a_id"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(5)), F.lit(8192)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(6)), F.lit(8192)).alias("y"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 7) % 240).alias("ts"))
+    rb = spark.range(250).select(
+        (F.col("id") + 5000).alias("b_id"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(8192)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(8)), F.lit(8192)).alias("y"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 11) % 240).alias("ts"))
+    la.repartition(3).write.parquet(lsrc)
+    rb.repartition(3).write.parquet(rsrc)
+
+    sl = spark.readStream.schema(
+        "a_id long, x bigint, y bigint, ts timestamp").parquet(lsrc)
+    sr = spark.readStream.schema(
+        "b_id long, x bigint, y bigint, ts timestamp").parquet(rsrc)
+    out = CS.streaming_hex_ring_join(sl, sr, bound_seconds=60)
+    q = out.writeStream.format("memory").queryName("shr_mem") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {(r["l_a_id"], r["r_b_id"]) for r in spark.table("shr_mem").collect()}
+
+    bl = spark.read.parquet(lsrc)
+    br = spark.read.parquet(rsrc).withColumnsRenamed(
+        {"x": "rx", "y": "ry", "ts": "rts"})
+    lhq, lhr = C.hex_cell(F.col("x"), F.col("y"))
+    rhq, rhr = C.hex_cell(F.col("rx"), F.col("ry"))
+    dq = lhq - rhq
+    dr = lhr - rhr
+    adjacent = (
+        ((dq == 0) & (dr == 0))
+        | ((F.abs(dq) == 2) & (dr == 0))
+        | ((F.abs(dq) == 1) & (F.abs(dr) == 1))
+    )
+    want = {(r["a_id"], r["b_id"]) for r in bl.crossJoin(br).filter(
+        adjacent
+        & (F.col("rts") >= F.col("ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("rts") <= F.col("ts") + F.expr("INTERVAL 60 SECONDS"))
+    ).select("a_id", "b_id").collect()}
+    assert got == want and len(want) > 5
