@@ -686,6 +686,311 @@ def run_curate() -> dict:
     }
 
 
+def run_bloom() -> dict:
+    """Bloom anti-join pruning datapoint (round-4 verdict #6): the
+    curate pipeline's final near-dup drop, measured both ways at the
+    20M-doc curation scale — plain shuffle left-anti vs
+    sketches.bloom_anti_join (8 KB materialized bloom routes provably-
+    clean survivors around the exchange map-side).
+
+    Method: the gated-dedup survivor table (``ded``) and the LSH drop
+    set are computed ONCE and stored to parquet (the documented 100 TB
+    pattern — run the anti join off the stored gated table), then each
+    variant runs `.count()` off those identical files with
+    auto-broadcast DISABLED (emulating the regime where the drop set
+    outgrows a broadcast — with broadcast on, Spark broadcasts the
+    drop set and there is no exchange to prune). Reported: rows/bytes
+    through the exchange per variant, rows pruned map-side, identical
+    survivor counts, wall per variant, REST shuffle-write delta."""
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.functions import sketches as SK
+    from optimizing_spark.operators import dedup as DD
+    from optimizing_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from optimizing_spark.functions import text as TX
+    from optimizing_spark.sources import datagen
+
+    n = int(os.environ.get("SPARK_GRAFT_CURATE_DOCS", "20000000"))
+    from optimizing_spark.session import get_spark
+    spark = get_spark("bloom_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    path = f"/tmp/curate_docs_{n}"
+    if not os.path.isdir(path):
+        datagen.curation_docs_spark(spark, n, partitions=max(64, CPUS * 2),
+                                    hot_cluster=5000) \
+            .write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+
+    ded_path, drop_path = f"/tmp/bloom_ded_{n}", f"/tmp/bloom_drop_{n}"
+    if not (os.path.isdir(ded_path) and os.path.isdir(drop_path)):
+        q = TX.quality_cols(docs, "text").withColumn(
+            "_lg", TX.lang_guess_col("text"))
+        keep = q.filter((F.col("n_tokens") >= 20)
+                        & (F.col("quality_score") >= 60)
+                        & (F.col("_lg") == "en"))
+        exact_dedup(keep, text="text", key="doc_id") \
+            .write.mode("overwrite").parquet(ded_path)
+        minhash_lsh_pairs(docs, text="text", key="doc_id") \
+            .select(F.col("b").alias("doc_id")).distinct() \
+            .write.mode("overwrite").parquet(drop_path)
+    ded = spark.read.parquet(ded_path)
+    drop = spark.read.parquet(drop_path)
+
+    base = "http://localhost:4040/api/v1"
+
+    def shuffle_bytes() -> int:
+        try:
+            apps = _json.load(urllib.request.urlopen(f"{base}/applications"))
+            app = apps[0]["id"]
+            stages = _json.load(urllib.request.urlopen(
+                f"{base}/applications/{app}/stages?status=complete"))
+            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        except Exception:
+            return 0
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    variants = {}
+    for name, df in (
+        ("plain_anti", ded.join(drop, "doc_id", "left_anti")),
+        ("bloom_anti", SK.bloom_anti_join(ded, drop, "doc_id")),
+    ):
+        s0 = shuffle_bytes()
+        t0 = time.time()
+        survivors = df.count()
+        wall = time.time() - t0
+        variants[name] = {
+            "survivors": survivors,
+            "wall_sec": round(wall, 2),
+            "shuffle_write_mb": round((shuffle_bytes() - s0) / 1e6, 1),
+        }
+    ded_rows = ded.count()
+    rows = SK.bloom_assemble(SK.bloom_build(drop, "doc_id")).collect()
+    bloom_lit = F.lit(list(rows[0]["bloom"]))
+    positive = ded.filter(
+        SK.bloom_might_contain(F.col("doc_id"), bloom_lit)).count()
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert variants["plain_anti"]["survivors"] == \
+        variants["bloom_anti"]["survivors"]
+    return {
+        "metric": "bloom_anti_join_prune",
+        "value": ded_rows - positive,
+        "unit": "rows_pruned_mapside",
+        "docs": n,
+        "ded_rows": ded_rows,
+        "drop_rows": drop.count(),
+        "bloom_positive_rows": positive,
+        "exchange_rows": {"plain_anti": ded_rows, "bloom_anti": positive},
+        "prune_frac": round((ded_rows - positive) / max(ded_rows, 1), 4),
+        "variants": variants,
+        "note": "auto-broadcast disabled to emulate drop-set > broadcast "
+                "range; identical survivor counts asserted",
+    }
+
+
+def _stage_skew(top_n: int = 3) -> list:
+    """Best-effort REST scrape: top completed stages by shuffle write
+    with median/max task run time — the no-hot-cell-task-over-2x-median
+    evidence for the cells-mode joins."""
+    import json as _json
+    import urllib.request
+
+    base = "http://localhost:4040/api/v1"
+    out = []
+    try:
+        apps = _json.load(urllib.request.urlopen(f"{base}/applications"))
+        app = apps[0]["id"]
+        stages = _json.load(urllib.request.urlopen(
+            f"{base}/applications/{app}/stages?status=complete"))
+        stages.sort(key=lambda s: s.get("shuffleWriteBytes", 0), reverse=True)
+        for s in stages[:top_n]:
+            q = _json.load(urllib.request.urlopen(
+                f"{base}/applications/{app}/stages/{s['stageId']}/"
+                f"{s['attemptId']}/taskSummary?quantiles=0.5,1.0"))
+            med, mx = q["executorRunTime"]
+            out.append({
+                "stage": s["stageId"],
+                "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "task_ms_median": round(med),
+                "task_ms_max": round(mx),
+                "max_over_median": round(mx / med, 2) if med else None,
+            })
+    except Exception as e:
+        out = [{"error": str(e)}]
+    return out
+
+
+def _cell_candidate_hist(left_cells, right_cells) -> dict:
+    """Per-cell candidate-pair histogram for a cells-mode join: join
+    the two sides' per-(cell_x, cell_y) counts and summarize
+    n_left * n_right — the per-cell work the equi-shuffle co-locates
+    (the hex/LSH band-bucket dashboard pattern)."""
+    from pyspark.sql import functions as F
+
+    lc = left_cells.groupBy("cell_x", "cell_y").agg(F.count("*").alias("nl"))
+    rc = right_cells.groupBy("cell_x", "cell_y").agg(F.count("*").alias("nr"))
+    per = lc.join(rc, ["cell_x", "cell_y"]).select(
+        (F.col("nl") * F.col("nr")).alias("cand"))
+    row = per.agg(
+        F.count("*").alias("cells"),
+        F.sum("cand").alias("total"),
+        F.expr("percentile_approx(cand, 0.5)").alias("p50"),
+        F.expr("percentile_approx(cand, 0.99)").alias("p99"),
+        F.max("cand").alias("max"),
+    ).collect()[0]
+    return {"co_located_cells": row["cells"],
+            "total_candidate_pairs": int(row["total"]),
+            "cand_per_cell_p50": int(row["p50"]),
+            "cand_per_cell_p99": int(row["p99"]),
+            "cand_per_cell_max": int(row["max"]),
+            "max_over_p50": round(row["max"] / max(row["p50"], 1), 1)}
+
+
+def run_seg(n: int = 20_000_000) -> dict:
+    """Segment-box join at scale (round-4 verdict #4): n short integer
+    segments (bounded length <= ~724, so each spans 1-2 grid cells per
+    axis) joined in CELLS mode against 2k query boxes at depth 6
+    (64x64 grid over the 65536^2 world, cell edge 1024). Reports the
+    per-cell candidate histogram (the reporting-cell dedup shape under
+    load) and task-time skew of the heaviest shuffle stages."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.config import Box2
+    from optimizing_spark.operators import joins
+    from optimizing_spark.operators.tiling import explode_covering_cells
+    from optimizing_spark.session import get_spark
+
+    E, depth = 65536, 6
+    world = Box2(0.0, 0.0, float(E), float(E))
+    spark = get_spark("seg_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    segs = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("seg_id"),
+        ((F.col("id") * 7919 + 17) % E).alias("x1"),
+        ((F.col("id") * 9973 + 31) % E).alias("y1"),
+    ).select(
+        "seg_id", "x1", "y1",
+        (F.col("x1") + (F.col("seg_id") * 104729 + 7) % 1025 - 512).alias("x2"),
+        (F.col("y1") + (F.col("seg_id") * 48271 + 3) % 1025 - 512).alias("y2"),
+    )
+    boxes = spark.range(2_000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 2654435761 + 11) % (E - 2048)).alias("q_min_x"),
+        ((F.col("id") * 40503 + 13) % (E - 2048)).alias("q_min_y"),
+    ).select(
+        "query_id", "q_min_x", "q_min_y",
+        (F.col("q_min_x") + 1024 + (F.col("query_id") * 31) % 1024)
+        .alias("q_max_x"),
+        (F.col("q_min_y") + 1024 + (F.col("query_id") * 37) % 1024)
+        .alias("q_max_y"),
+    )
+    segs.count()  # warm input
+    calib = _quick_calibration(CPUS)
+    t0 = time.time()
+    hits = joins.segment_box_join(segs, boxes, method="cells",
+                                  world=world, depth=depth).count()
+    wall = time.time() - t0
+    skew = _stage_skew()
+    s_cells = explode_covering_cells(
+        segs.withColumn("_s_min_x", F.least("x1", "x2"))
+        .withColumn("_s_min_y", F.least("y1", "y2"))
+        .withColumn("_s_max_x", F.greatest("x1", "x2"))
+        .withColumn("_s_max_y", F.greatest("y1", "y2")),
+        world, depth, "_s_min_x", "_s_min_y", "_s_max_x", "_s_max_y")
+    q_cells = explode_covering_cells(
+        boxes, world, depth, "q_min_x", "q_min_y", "q_max_x", "q_max_y")
+    hist = _cell_candidate_hist(s_cells, q_cells)
+    return {
+        "metric": "seg_join_segments_per_sec",
+        "value": round(n / wall),
+        "unit": "segments/sec",
+        "segments": n, "boxes": 2000, "depth": depth,
+        "wall_sec": round(wall, 2),
+        "hit_pairs": hits,
+        "cell_candidates": hist,
+        "heaviest_stages": skew,
+        "calibration": calib,
+    }
+
+
+def run_poly(n: int = 20_000_000) -> dict:
+    """Polygon-polygon join at scale (round-4 verdict #4): n small
+    integer diamonds (4-vertex simple polygons, extents <= ~600) vs 2k
+    larger query diamonds in CELLS mode at depth 6. Same dashboards as
+    run_seg: per-cell candidate histogram + task-time skew."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.config import Box2
+    from optimizing_spark.functions import geometry as G
+    from optimizing_spark.operators import joins
+    from optimizing_spark.operators.tiling import explode_covering_cells
+    from optimizing_spark.session import get_spark
+
+    E, depth = 65536, 6
+    world = Box2(0.0, 0.0, float(E), float(E))
+    spark = get_spark("poly_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+
+    def diamond(cx, cy, ex, ey):
+        return F.array(
+            F.struct((cx + ex).alias("x"), cy.alias("y")),
+            F.struct(cx.alias("x"), (cy + ey).alias("y")),
+            F.struct((cx - ex).alias("x"), cy.alias("y")),
+            F.struct(cx.alias("x"), (cy - ey).alias("y")),
+        )
+
+    polys = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("poly_id"),
+        diamond(((F.col("id") * 7919 + 17) % E).cast("long"),
+                ((F.col("id") * 9973 + 31) % E).cast("long"),
+                (100 + (F.col("id") * 13) % 500).cast("long"),
+                (80 + (F.col("id") * 17) % 420).cast("long"))
+        .alias("vertices_b"),
+    ).withColumnRenamed("poly_id", "b_id")
+    queries = spark.range(2_000).select(
+        F.col("id").alias("query_id"),
+        diamond((2048 + (F.col("id") * 2654435761 + 11) % (E - 4096)).cast("long"),
+                (2048 + (F.col("id") * 40503 + 13) % (E - 4096)).cast("long"),
+                (500 + (F.col("id") * 31) % 1500).cast("long"),
+                (400 + (F.col("id") * 37) % 1100).cast("long"))
+        .alias("vertices_a"),
+    )
+    polys.count()
+    calib = _quick_calibration(CPUS)
+    t0 = time.time()
+    hits = joins.polygon_polygon_join(queries, polys, method="cells",
+                                      world=world, depth=depth).count()
+    wall = time.time() - t0
+    skew = _stage_skew()
+    ab = G.polygon_bbox(F.col("vertices_a"))
+    bb = G.polygon_bbox(F.col("vertices_b"))
+    q_cells = explode_covering_cells(
+        queries.select("query_id", ab[0].alias("_x0"), ab[1].alias("_y0"),
+                       ab[2].alias("_x1"), ab[3].alias("_y1")),
+        world, depth, "_x0", "_y0", "_x1", "_y1")
+    p_cells = explode_covering_cells(
+        polys.select("b_id", bb[0].alias("_x0"), bb[1].alias("_y0"),
+                     bb[2].alias("_x1"), bb[3].alias("_y1")),
+        world, depth, "_x0", "_y0", "_x1", "_y1")
+    hist = _cell_candidate_hist(p_cells, q_cells)
+    return {
+        "metric": "poly_join_polygons_per_sec",
+        "value": round(n / wall),
+        "unit": "polygons/sec",
+        "polygons": n, "queries": 2000, "depth": depth,
+        "wall_sec": round(wall, 2),
+        "hit_pairs": hits,
+        "cell_candidates": hist,
+        "heaviest_stages": skew,
+        "calibration": calib,
+    }
+
+
 def run_render() -> dict:
     """E3 end-to-end at the reference's EXACT config (main.cpp:43-50;
     Raytracing.hpp:417-499): 256x256 px, 2x2 subpixels, 16 samples per
@@ -926,6 +1231,12 @@ if __name__ == "__main__":
         print(json.dumps(run_render()))
     elif "--curate" in sys.argv:
         print(json.dumps(run_curate()))
+    elif "--bloom" in sys.argv:
+        print(json.dumps(run_bloom()))
+    elif "--seg" in sys.argv:
+        print(json.dumps(run_seg()))
+    elif "--poly" in sys.argv:
+        print(json.dumps(run_poly()))
     elif "--hexscale" in sys.argv:
         print(json.dumps(run_hexscale()))
     elif "--hex" in sys.argv:

@@ -293,3 +293,31 @@ def bloom_semi_join(big: DataFrame, small: DataFrame, key: str,
     bloom_lit = F.lit(list(rows[0]["bloom"]))
     pre = big.filter(bloom_might_contain(F.col(key), bloom_lit, k, words))
     return pre.join(small.select(key).distinct(), key, "left_semi")
+
+
+def bloom_anti_join(big: DataFrame, small: DataFrame, key: str,
+                    k: int = BLOOM_K, words: int = BLOOM_WORDS) -> DataFrame:
+    """Exact left-ANTI join of ``big`` against ``small[key]`` with a
+    bloom route-around: rows whose key is provably NOT in small (bloom
+    negative — no false negatives, so provably safe to keep) bypass
+    the join entirely and never enter its exchange; only the bloom-
+    POSITIVE residue (~|small| + the fp rate of |big|) goes through
+    the exact anti join that removes true members. Union of the two
+    branches == big.join(small, key, "left_anti") row-for-row.
+
+    This is the anti-join shape Spark's own InjectRuntimeFilter never
+    produces (it only prefilters semi/inner joins, where bloom
+    negatives are DROPPED; for anti joins negatives must be KEPT, so
+    pruning the exchange requires routing them around the join, not
+    filtering them out). Both branches are scan + map-side filter —
+    no shuffle on the negative branch — but they DO evaluate ``big``'s
+    upstream plan twice: persist/checkpoint the input first if it is
+    an expensive subplan rather than a table scan (the 100 TB pattern
+    is to run this straight off the stored gated table).
+    """
+    rows = bloom_assemble(bloom_build(small, key, k, words), words).collect()
+    bloom_lit = F.lit(list(rows[0]["bloom"]))
+    maybe = bloom_might_contain(F.col(key), bloom_lit, k, words)
+    neg = big.filter(~maybe)
+    pos = big.filter(maybe).join(small.select(key).distinct(), key, "left_anti")
+    return neg.unionByName(pos)

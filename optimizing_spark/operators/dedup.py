@@ -263,6 +263,7 @@ def curate_corpus(
     min_tokens: int = 20,
     min_quality: int = 60,
     lang: str = "en",
+    bloom_prune: bool = False,
     **lsh_kwargs,
 ) -> DataFrame:
     """End-to-end corpus curation — the composition a training-data
@@ -288,6 +289,16 @@ def curate_corpus(
     quadratic; the LSH candidate stage is the bucketed one from
     minhash_lsh_pairs.
 
+    ``bloom_prune=True`` replaces the final anti join with
+    functions.sketches.bloom_anti_join: a materialized 8 KB bloom of
+    the drop set routes provably-clean survivors around the anti
+    join's exchange map-side, so only ~|drop| + fp-rate rows shuffle —
+    the prefilter for the 100 TB regime where the drop set outgrows a
+    broadcast. Identical output (the bloom has no false negatives and
+    the exact anti join removes false positives); the trade is one
+    extra evaluation of the gated-dedup subplan (both passes map-side
+    only — persist it first if that matters more than the exchange).
+
     Returns the surviving rows of ``df`` with n_tokens, quality_score
     and the language guess attached.
     """
@@ -300,6 +311,10 @@ def curate_corpus(
     ded = exact_dedup(keep, text=text, key=key)
     pairs = minhash_lsh_pairs(df, text=text, key=key, **lsh_kwargs)
     drop = pairs.select(F.col("b").alias(key)).distinct()
+    if bloom_prune:
+        from ..functions import sketches as SK
+
+        return SK.bloom_anti_join(ded, drop, key)
     return ded.join(drop, key, "left_anti")
 
 

@@ -248,3 +248,31 @@ def test_bloom_null_keys(spark):
     passed = (probe.join(F.broadcast(bl))
               .filter(SK.bloom_might_contain(F.col("k"), F.col("bloom"))))
     assert [r["k"] for r in passed.collect()] == [1]
+
+
+def test_bloom_anti_join_exact_and_routes_around_exchange(spark):
+    """Same rows as the plain left-anti join; with auto-broadcast off,
+    the exact anti join's exchange sees only the bloom-POSITIVE
+    residue while bloom-negative rows ride the union's shuffle-free
+    branch (no false negatives -> provably safe to keep)."""
+    big = spark.range(0, 50000).select((F.col("id") % 9973).alias("k"),
+                                       F.col("id").alias("payload"))
+    small = spark.range(0, 400).select((F.col("id") * 13).alias("k"))
+    expect = sorted(r["payload"]
+                    for r in big.join(small, "k", "left_anti").collect())
+    with_bloom = SK.bloom_anti_join(big, small, "k")
+    assert sorted(r["payload"] for r in with_bloom.collect()) == expect
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = SK.bloom_anti_join(big, small, "k") \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # a Union must exist (the negative branch bypasses the join
+    # entirely), and the anti join's big-side Exchange must sit above
+    # a bloom bit test (only maybe-members shuffle) — i.e. some
+    # shiftrightunsigned filter prints BELOW the first Exchange
+    exch = plan.find("Exchange hashpartitioning(k#")
+    assert "Union" in plan and exch != -1 \
+        and plan.find("shiftrightunsigned", exch) != -1, plan[:2000]

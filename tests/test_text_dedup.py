@@ -238,3 +238,17 @@ def test_connected_components_matches_union_find(spark, edges, n):
         got2 = dedup.connected_components(
             pairs, vertices=verts, key="doc_id", max_iter=10).toPandas()
         assert set(got2.cluster_id) == {0}
+
+
+def test_curate_corpus_bloom_prune_identical(spark, docs_df):
+    """bloom_prune=True must be a pure physical-plan change: the
+    survivor set equals the default anti-join path exactly."""
+    base = dedup.curate_corpus(
+        docs_df, min_tokens=8, min_quality=10, lang="en",
+        jaccard_num=5, jaccard_den=10)
+    pruned = dedup.curate_corpus(
+        docs_df, min_tokens=8, min_quality=10, lang="en",
+        bloom_prune=True, jaccard_num=5, jaccard_den=10)
+    a = sorted(r["doc_id"] for r in base.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in pruned.select("doc_id").collect())
+    assert a == b and len(a) > 0
