@@ -768,10 +768,11 @@ def run_bloom() -> dict:
             "shuffle_write_mb": round((shuffle_bytes() - s0) / 1e6, 1),
         }
     ded_rows = ded.count()
-    rows = SK.bloom_assemble(SK.bloom_build(drop, "doc_id")).collect()
-    bloom_lit = F.lit(list(rows[0]["bloom"]))
+    bloom_lit, words = SK._bloom_literal(drop, "doc_id", SK.BLOOM_K, None,
+                                         hash="xx")
     positive = ded.filter(
-        SK.bloom_might_contain(F.col("doc_id"), bloom_lit)).count()
+        SK.bloom_might_contain_bin(F.col("doc_id"), bloom_lit,
+                                   SK.BLOOM_K, words, hash="xx")).count()
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert variants["plain_anti"]["survivors"] == \
         variants["bloom_anti"]["survivors"]
@@ -782,6 +783,8 @@ def run_bloom() -> dict:
         "docs": n,
         "ded_rows": ded_rows,
         "drop_rows": drop.count(),
+        "bloom_words": words,
+        "bloom_kb": round(words * 8 / 1024, 1),
         "bloom_positive_rows": positive,
         "exchange_rows": {"plain_anti": ded_rows, "bloom_anti": positive},
         "prune_frac": round((ded_rows - positive) / max(ded_rows, 1), 4),

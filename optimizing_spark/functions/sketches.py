@@ -205,17 +205,43 @@ def hll_distinct(
 
 BLOOM_K = 5        # hash functions
 BLOOM_WORDS = 1024  # int64 words -> 65536 bits (8 KB broadcast)
+BLOOM_MAX_WORDS = 1 << 21  # 16 MB literal cap for auto-sizing
 
 
-def _bloom_pos(key: Column, i: int, n_bits: int) -> Column:
-    """Bit position i of a key: hash60("B<i>:key") % n_bits (portable;
-    the "B" namespace keeps bloom bits independent of the CMS buckets
-    of the same values)."""
+def bloom_size_words(n_keys: int, bits_per_key: int = 10,
+                     max_words: int = BLOOM_MAX_WORDS) -> int:
+    """Power-of-two word count sized to ~bits_per_key bits per distinct
+    key (fp ~1% at k=5 and 10 bits/key). A bloom sized for a small set
+    SATURATES on a big one — at n/m >= 1 every bit is set and the
+    filter passes everything (prunes nothing) — so the semi/anti join
+    wrappers size m to the measured key count instead of trusting the
+    8 KB default. Capped at ``max_words`` (16 MB literal): past that
+    (~13M keys at 10 bits/key) a single in-plan literal stops being
+    the right carrier — shard the bloom per key range or fall back to
+    the plain join."""
+    import math as _math
+
+    need = max(BLOOM_WORDS, (n_keys * bits_per_key + 63) // 64)
+    return min(max_words, 1 << _math.ceil(_math.log2(need)))
+
+
+def _bloom_pos(key: Column, i: int, n_bits: int,
+               hash: str = "md5") -> Column:
+    """Bit position i of a key. hash='md5': hash60("B<i>:key") % n_bits
+    — engine-PORTABLE (the "B" namespace keeps bloom bits independent
+    of the CMS buckets of the same values); a warehouse SQL engine
+    reproduces the bits (q_bloom_prune's DuckDB twin). hash='xx':
+    pmod(xxhash64(i, key), n_bits) — JVM-native, ~10x cheaper per row;
+    bits are Spark-specific, which join PRUNING never needs (the exact
+    join removes fps either way) — Spark's own InjectRuntimeFilter
+    blooms use xxhash for the same reason."""
+    if hash == "xx":
+        return F.pmod(F.xxhash64(F.lit(i), key), F.lit(n_bits))
     return hash60(F.concat_ws(":", F.lit(f"B{i}"), key.cast("string"))) % n_bits
 
 
 def bloom_build(df: DataFrame, key: str, k: int = BLOOM_K,
-                words: int = BLOOM_WORDS) -> DataFrame:
+                words: int = BLOOM_WORDS, hash: str = "md5") -> DataFrame:
     """Sparse bloom filter over ``df[key]``: one (word_idx, word) row
     per touched 64-bit word — at most ``words`` rows TOTAL regardless
     of input size. The agg is bit_or, so map-side partial combine
@@ -228,7 +254,7 @@ def bloom_build(df: DataFrame, key: str, k: int = BLOOM_K,
     pos = (
         df.filter(kc.isNotNull())
         .select(F.explode(F.array(
-            *[_bloom_pos(kc, i, n_bits) for i in range(k)])).alias("_p"))
+            *[_bloom_pos(kc, i, n_bits, hash) for i in range(k)])).alias("_p"))
     )
     return (
         pos.select(
@@ -243,7 +269,12 @@ def bloom_build(df: DataFrame, key: str, k: int = BLOOM_K,
 
 def bloom_assemble(counters: DataFrame, words: int = BLOOM_WORDS) -> DataFrame:
     """Dense 1-row array<long> of length ``words`` from bloom_build's
-    sparse rows (untouched words -> 0) — the broadcastable form."""
+    sparse rows (untouched words -> 0) — the broadcastable form.
+
+    NOTE: the transform's ``_m[i]`` map lookup is a linear scan in
+    Catalyst (O(words^2) total) — fine at the default 1024 words (used
+    by the q_bloom_prune oracle twin at gate scale), but for
+    auto-sized blooms use _bloom_literal's driver-side densify."""
     return (
         counters.agg(F.map_from_entries(
             F.collect_list(F.struct("word_idx", "word"))).alias("_m"))
@@ -270,8 +301,56 @@ def bloom_might_contain(key: Column, bloom: Column, k: int = BLOOM_K,
     return test
 
 
+def _bloom_literal(small: DataFrame, key: str, k: int,
+                   words: int | None, hash: str = "md5") -> tuple:
+    """Materialize small[key]'s bloom and return (BINARY-literal
+    column, words). words=None auto-sizes via bloom_size_words (one
+    extra tiny count job — the execute-then-inject shape already pays
+    a bloom job).
+
+    Carrier choice, measured: an array<long> literal via F.lit is
+    built element-by-element over py4j (~40 s at 2^18 words) and
+    bloom_assemble's SQL densify is O(words^2) in Catalyst's map
+    lookup — so the words densify DRIVER-SIDE in numpy and ship as
+    ONE bytes literal (py4j binary transfer, milliseconds at 2 MB).
+    Little-endian uint64 packing puts global bit p at byte p>>3, bit
+    p&7 — see bloom_might_contain_bin."""
+    import numpy as np
+
+    if words is None:
+        words = bloom_size_words(small.select(key).distinct().count())
+    arr = np.zeros(words, dtype=np.uint64)
+    for r in bloom_build(small, key, k, words, hash).collect():
+        arr[r["word_idx"]] = np.uint64(r["word"] & ((1 << 64) - 1))
+    return F.lit(arr.astype("<u8").tobytes()), words
+
+
+def bloom_might_contain_bin(key: Column, bloom_bin: Column,
+                            k: int = BLOOM_K,
+                            words: int = BLOOM_WORDS,
+                            hash: str = "md5") -> Column:
+    """bloom_might_contain over a BINARY bloom (little-endian uint64
+    words, as packed by _bloom_literal): bit p lives at byte p>>3
+    (1-based substring index p>>3 + 1), bit p&7 within it. The byte is
+    read via substring -> hex -> conv — all whole-stage-codegen'd JVM
+    string ops, negligible next to the k md5 hashes _bloom_pos already
+    computes per key."""
+    n_bits = words * 64
+    test = F.lit(True)
+    for i in range(k):
+        p = _bloom_pos(key, i, n_bits, hash)
+        byte = F.substring(
+            bloom_bin, (F.shiftrightunsigned(p, 3) + 1).cast("int"), 1)
+        val = F.conv(F.hex(byte), 16, 10).cast("int")
+        bit = F.call_function(
+            "shiftrightunsigned", val, p.bitwiseAND(F.lit(7)).cast("int"))
+        test = test & (bit.bitwiseAND(F.lit(1)) == F.lit(1))
+    return test
+
+
 def bloom_semi_join(big: DataFrame, small: DataFrame, key: str,
-                    k: int = BLOOM_K, words: int = BLOOM_WORDS) -> DataFrame:
+                    k: int = BLOOM_K, words: int | None = None,
+                    hash: str = "xx") -> DataFrame:
     """Exact left-semi join of ``big`` against ``small[key]`` with a
     bloom prefilter: big rows whose key provably isn't in small (all
     but the fp rate) are dropped map-side BEFORE the exact join's
@@ -288,15 +367,20 @@ def bloom_semi_join(big: DataFrame, small: DataFrame, key: str,
     Catalyst's PushDownLeftSemiAntiJoin reorders the exact semi join
     BELOW that join-shaped filter, shuffling the unpruned big side —
     the literal predicate pins the filter under the exchange (and lets
-    it ride down to the scan with the other pushed filters)."""
-    rows = bloom_assemble(bloom_build(small, key, k, words), words).collect()
-    bloom_lit = F.lit(list(rows[0]["bloom"]))
-    pre = big.filter(bloom_might_contain(F.col(key), bloom_lit, k, words))
+    it ride down to the scan with the other pushed filters).
+
+    ``words=None`` (default) sizes the bloom to the measured distinct
+    key count (bloom_size_words) — a fixed-size bloom saturates and
+    prunes NOTHING once n_keys ~ n_bits."""
+    bloom_lit, words = _bloom_literal(small, key, k, words, hash)
+    pre = big.filter(
+        bloom_might_contain_bin(F.col(key), bloom_lit, k, words, hash))
     return pre.join(small.select(key).distinct(), key, "left_semi")
 
 
 def bloom_anti_join(big: DataFrame, small: DataFrame, key: str,
-                    k: int = BLOOM_K, words: int = BLOOM_WORDS) -> DataFrame:
+                    k: int = BLOOM_K, words: int | None = None,
+                    hash: str = "xx") -> DataFrame:
     """Exact left-ANTI join of ``big`` against ``small[key]`` with a
     bloom route-around: rows whose key is provably NOT in small (bloom
     negative — no false negatives, so provably safe to keep) bypass
@@ -314,10 +398,13 @@ def bloom_anti_join(big: DataFrame, small: DataFrame, key: str,
     upstream plan twice: persist/checkpoint the input first if it is
     an expensive subplan rather than a table scan (the 100 TB pattern
     is to run this straight off the stored gated table).
+
+    ``words=None`` (default) sizes the bloom to the measured distinct
+    key count (bloom_size_words) — a fixed-size bloom saturates and
+    routes NOTHING around the exchange once n_keys ~ n_bits.
     """
-    rows = bloom_assemble(bloom_build(small, key, k, words), words).collect()
-    bloom_lit = F.lit(list(rows[0]["bloom"]))
-    maybe = bloom_might_contain(F.col(key), bloom_lit, k, words)
+    bloom_lit, words = _bloom_literal(small, key, k, words, hash)
+    maybe = bloom_might_contain_bin(F.col(key), bloom_lit, k, words, hash)
     neg = big.filter(~maybe)
     pos = big.filter(maybe).join(small.select(key).distinct(), key, "left_anti")
     return neg.unionByName(pos)

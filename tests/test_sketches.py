@@ -276,3 +276,30 @@ def test_bloom_anti_join_exact_and_routes_around_exchange(spark):
     exch = plan.find("Exchange hashpartitioning(k#")
     assert "Union" in plan and exch != -1 \
         and plan.find("shiftrightunsigned", exch) != -1, plan[:2000]
+
+
+def test_bloom_auto_sizes_to_key_count(spark):
+    """A bloom sized for the 8 KB default SATURATES at ~65k keys and
+    prunes nothing (the round-5 bench caught exactly this at a 1.3M
+    drop set); the join wrappers must auto-size m to the measured key
+    count so the prune fraction survives. 60k keys >> 65536 bits/10."""
+    assert SK.bloom_size_words(100) == SK.BLOOM_WORDS
+    assert SK.bloom_size_words(1_307_552) == 1 << 18  # 2 MB, not 8 KB
+    assert SK.bloom_size_words(10**9) == SK.BLOOM_MAX_WORDS  # capped
+    small = spark.range(0, 60_000).select(F.col("id").alias("k"))
+    big = spark.range(60_000, 260_000).select(F.col("id").alias("k"))
+    bloom_lit, words = SK._bloom_literal(small, "k", SK.BLOOM_K, None)
+    assert words > SK.BLOOM_WORDS
+    passed = big.filter(
+        SK.bloom_might_contain_bin(F.col("k"), bloom_lit, SK.BLOOM_K, words)
+    ).count()
+    # disjoint keys: everything passing is a false positive; at ~10
+    # bits/key the fp rate is ~1%, so >95% of the big side is pruned
+    assert passed < 0.05 * 200_000, passed
+    # and the saturated default would NOT have pruned: sanity-check the
+    # regression by forcing the old fixed size
+    bl_sat, w_sat = SK._bloom_literal(small, "k", SK.BLOOM_K, SK.BLOOM_WORDS)
+    sat_passed = big.filter(
+        SK.bloom_might_contain_bin(F.col("k"), bl_sat, SK.BLOOM_K, w_sat)
+    ).count()
+    assert sat_passed > 0.9 * 200_000, sat_passed
