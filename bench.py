@@ -742,7 +742,9 @@ def run_bloom() -> dict:
 
     base = "http://localhost:4040/api/v1"
 
-    def shuffle_bytes() -> int:
+    def shuffle_bytes() -> int | None:
+        """None (not 0) when the REST scrape fails — a recorded 0 must
+        mean MEASURED zero, never 'UI unreachable'."""
         try:
             apps = _json.load(urllib.request.urlopen(f"{base}/applications"))
             app = apps[0]["id"]
@@ -750,22 +752,30 @@ def run_bloom() -> dict:
                 f"{base}/applications/{app}/stages?status=complete"))
             return sum(s.get("shuffleWriteBytes", 0) for s in stages)
         except Exception:
-            return 0
+            return None
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     variants = {}
-    for name, df in (
-        ("plain_anti", ded.join(drop, "doc_id", "left_anti")),
-        ("bloom_anti", SK.bloom_anti_join(ded, drop, "doc_id")),
+    # Thunks, not prebuilt DataFrames: bloom_anti_join is EAGER (it
+    # runs the bloom-build jobs at construction), so building it
+    # before t0 would exclude the bloom's cost from its own recorded
+    # wall/shuffle — the honest comparison charges each variant its
+    # full price.
+    for name, mk in (
+        ("plain_anti", lambda: ded.join(drop, "doc_id", "left_anti")),
+        ("bloom_anti", lambda: SK.bloom_anti_join(ded, drop, "doc_id")),
     ):
         s0 = shuffle_bytes()
         t0 = time.time()
-        survivors = df.count()
+        survivors = mk().count()
         wall = time.time() - t0
+        s1 = shuffle_bytes()
         variants[name] = {
             "survivors": survivors,
             "wall_sec": round(wall, 2),
-            "shuffle_write_mb": round((shuffle_bytes() - s0) / 1e6, 1),
+            "shuffle_write_mb": (round((s1 - s0) / 1e6, 1)
+                                 if s0 is not None and s1 is not None
+                                 else None),
         }
     ded_rows = ded.count()
     bloom_lit, words = SK._bloom_literal(drop, "doc_id", SK.BLOOM_K, None,
@@ -844,6 +854,10 @@ def _cell_candidate_hist(left_cells, right_cells) -> dict:
         F.expr("percentile_approx(cand, 0.99)").alias("p99"),
         F.max("cand").alias("max"),
     ).collect()[0]
+    if row["cells"] == 0:  # no co-located cells: aggregates are NULL
+        return {"co_located_cells": 0, "total_candidate_pairs": 0,
+                "cand_per_cell_p50": 0, "cand_per_cell_p99": 0,
+                "cand_per_cell_max": 0, "max_over_p50": None}
     return {"co_located_cells": row["cells"],
             "total_candidate_pairs": int(row["total"]),
             "cand_per_cell_p50": int(row["p50"]),

@@ -348,6 +348,50 @@ def bloom_might_contain_bin(key: Column, bloom_bin: Column,
     return test
 
 
+def _bloom_cast_type(big: DataFrame, small: DataFrame, key: str) -> str | None:
+    """Common hash dtype for a bloom-pruned join's two key columns.
+
+    Both _bloom_pos modes are DTYPE-sensitive: xxhash64 hashes an INT
+    5 and a LONG 5 to different values, and the md5 path's string cast
+    renders 5 and 5.0 differently — while the exact join they guard
+    coerces the sides and matches. Hashing the build side with small's
+    dtype and probing with big's would then yield bloom FALSE
+    NEGATIVES for true members: silently wrong join results. So when
+    the dtypes differ, both sides cast (for HASHING ONLY — the exact
+    join still sees the original columns) to the same type: long for
+    integral/integral (lossless), double for any other numeric pair
+    (what Spark's join coercion compares anyway). Any other mismatch
+    (string vs numeric, etc.) raises — cast the keys explicitly or use
+    the plain join; a loud error beats a silent wrong answer."""
+    from pyspark.sql.types import IntegralType, NumericType
+
+    bt, st = big.schema[key].dataType, small.schema[key].dataType
+    if bt == st:
+        return None
+    if isinstance(bt, IntegralType) and isinstance(st, IntegralType):
+        return "long"
+    if isinstance(bt, NumericType) and isinstance(st, NumericType):
+        return "double"
+    raise ValueError(
+        f"bloom join key {key!r} has incompatible dtypes "
+        f"(big={bt.simpleString()}, small={st.simpleString()}): the "
+        f"bloom hash is dtype-sensitive, so mixed non-numeric key "
+        f"types would produce false negatives (wrong join results). "
+        f"Cast both sides to a common type first, or use the plain "
+        f"join.")
+
+
+def _bloom_keys(big: DataFrame, small: DataFrame, key: str) -> tuple:
+    """(distinct key set localCheckpointed, probe cast type) shared by
+    the semi/anti wrappers. The checkpoint means small's upstream plan
+    runs ONCE — not once for the auto-size count, once for the bloom
+    build, and once for the exact join (an expensive small side, e.g.
+    curate_corpus's LSH drop set, would otherwise run 3x)."""
+    t = _bloom_cast_type(big, small, key)
+    keys = small.select(key).distinct().localCheckpoint()
+    return keys, t
+
+
 def bloom_semi_join(big: DataFrame, small: DataFrame, key: str,
                     k: int = BLOOM_K, words: int | None = None,
                     hash: str = "xx") -> DataFrame:
@@ -371,11 +415,20 @@ def bloom_semi_join(big: DataFrame, small: DataFrame, key: str,
 
     ``words=None`` (default) sizes the bloom to the measured distinct
     key count (bloom_size_words) — a fixed-size bloom saturates and
-    prunes NOTHING once n_keys ~ n_bits."""
-    bloom_lit, words = _bloom_literal(small, key, k, words, hash)
+    prunes NOTHING once n_keys ~ n_bits.
+
+    The small side's distinct key set is localCheckpointed up front
+    (this call is already eager — it runs the bloom jobs — and the
+    checkpoint keeps an expensive small-side plan from running 3x);
+    mismatched numeric key dtypes hash through a common cast, other
+    mismatches raise (_bloom_cast_type)."""
+    keys, t = _bloom_keys(big, small, key)
+    build = keys if t is None else keys.select(F.col(key).cast(t).alias(key))
+    bloom_lit, words = _bloom_literal(build, key, k, words, hash)
+    probe = F.col(key) if t is None else F.col(key).cast(t)
     pre = big.filter(
-        bloom_might_contain_bin(F.col(key), bloom_lit, k, words, hash))
-    return pre.join(small.select(key).distinct(), key, "left_semi")
+        bloom_might_contain_bin(probe, bloom_lit, k, words, hash))
+    return pre.join(keys, key, "left_semi")
 
 
 def bloom_anti_join(big: DataFrame, small: DataFrame, key: str,
@@ -397,14 +450,23 @@ def bloom_anti_join(big: DataFrame, small: DataFrame, key: str,
     no shuffle on the negative branch — but they DO evaluate ``big``'s
     upstream plan twice: persist/checkpoint the input first if it is
     an expensive subplan rather than a table scan (the 100 TB pattern
-    is to run this straight off the stored gated table).
+    is to run this straight off the stored gated table). ``small``'s
+    plan, by contrast, runs ONCE: its distinct key set is
+    localCheckpointed (this call is already eager — it runs the bloom
+    jobs) and reused for the auto-size count, the bloom build, and the
+    exact join.
 
     ``words=None`` (default) sizes the bloom to the measured distinct
     key count (bloom_size_words) — a fixed-size bloom saturates and
     routes NOTHING around the exchange once n_keys ~ n_bits.
+    Mismatched numeric key dtypes hash through a common cast, other
+    mismatches raise (_bloom_cast_type).
     """
-    bloom_lit, words = _bloom_literal(small, key, k, words, hash)
-    maybe = bloom_might_contain_bin(F.col(key), bloom_lit, k, words, hash)
+    keys, t = _bloom_keys(big, small, key)
+    build = keys if t is None else keys.select(F.col(key).cast(t).alias(key))
+    bloom_lit, words = _bloom_literal(build, key, k, words, hash)
+    probe = F.col(key) if t is None else F.col(key).cast(t)
+    maybe = bloom_might_contain_bin(probe, bloom_lit, k, words, hash)
     neg = big.filter(~maybe)
-    pos = big.filter(maybe).join(small.select(key).distinct(), key, "left_anti")
+    pos = big.filter(maybe).join(keys, key, "left_anti")
     return neg.unionByName(pos)

@@ -295,9 +295,13 @@ def curate_corpus(
     join's exchange map-side, so only ~|drop| + fp-rate rows shuffle —
     the prefilter for the 100 TB regime where the drop set outgrows a
     broadcast. Identical output (the bloom has no false negatives and
-    the exact anti join removes false positives); the trade is one
-    extra evaluation of the gated-dedup subplan (both passes map-side
-    only — persist it first if that matters more than the exchange).
+    the exact anti join removes false positives). Two trades: (a) the
+    call becomes EAGER — bloom_anti_join runs the LSH drop-set plan
+    once (localCheckpointed inside, so once, not per-use) and the
+    bloom-build jobs at construction time, so this branch is not "one
+    lazy plan"; (b) the gated-dedup subplan evaluates twice (both
+    passes map-side only — persist/store it first if that matters more
+    than the exchange, as bench.py --bloom does).
 
     Returns the surviving rows of ``df`` with n_tokens, quality_score
     and the language guess attached.

@@ -204,6 +204,39 @@ def polygon_join(
 DIST_JOIN_MAX_FANOUT = 81  # (2r+1)^2 at r=4 — the silent-blow-up guard
 
 
+def _ring_grid(world: Box2, d: int, depth: int | None,
+               max_fanout: int = DIST_JOIN_MAX_FANOUT,
+               who: str = "distance_join") -> tuple:
+    """Shared cell-grid geometry for the distance-band joins (batch
+    distance_join and streaming.cells_stream.streaming_distance_join —
+    ONE policy so the stream==batch contract can't silently diverge).
+    Returns (depth, n, sx, sy, r).
+
+    depth=None auto-picks floor(log2(min_extent / d)) clamped to
+    [0, 12] so cell_edge lands in [d, 2d) and r=1. r is then clamped
+    to n-1: _gcoord clamps coordinates into [0, n-1], so ring offsets
+    with |dx| >= n can never equi-match any real cell — dropping them
+    changes nothing and keeps the auto path valid even when d exceeds
+    the world extent (depth 0, one cell, r=0: the exact d^2 predicate
+    does all the work). The fan-out guard therefore only fires on an
+    EXPLICIT deep depth with a large d."""
+    if depth is None:
+        ext = min(world.max_x - world.min_x, world.max_y - world.min_y)
+        depth = max(0, min(12, int(math.floor(
+            math.log2(max(ext / max(d, 1), 1.0))))))
+    n, sx, sy = _grid(world, depth)
+    r = min(int(-(-d // min(sx, sy))), n - 1)  # ceil, clamped to grid
+    fanout = (2 * r + 1) ** 2
+    if fanout > max_fanout:
+        raise ValueError(
+            f"{who} ring fan-out (2r+1)^2 = {fanout} exceeds "
+            f"max_fanout={max_fanout} (d={d}, cell_edge~{min(sx, sy):.0f} "
+            f"at depth={depth}); pass depth=None to auto-size cells to "
+            f"~d (r<=1), choose a shallower depth, or raise max_fanout "
+            f"explicitly if the blow-up is intended.")
+    return depth, n, sx, sy, r
+
+
 def distance_join(
     points: DataFrame,
     d: int,
@@ -225,33 +258,29 @@ def distance_join(
 
     depth=None (default) auto-picks floor(log2(min_extent / d))
     clamped to [0, 12]: cell_edge lands in [d, 2d) so the ring radius
-    is exactly r=1 and the explode fan-out a fixed 9 cells. A caller
-    passing an explicit deep depth with a large d explodes
-    quadratically — (2r+1)^2 — so the fan-out is guarded like the LSH
-    bucket cap (dedup.minhash_lsh_pairs max_bucket_rows): exceeding
-    `max_fanout` raises instead of silently shuffling r^2 copies."""
-    if depth is None:
-        ext = min(world.max_x - world.min_x, world.max_y - world.min_y)
-        depth = max(0, min(12, int(math.floor(math.log2(max(ext / max(d, 1), 1.0))))))
-    n, sx, sy = _grid(world, depth)
-    r = int(-(-d // min(sx, sy)))  # ceil
-    fanout = (2 * r + 1) ** 2
-    if fanout > max_fanout:
-        raise ValueError(
-            f"distance_join ring fan-out (2r+1)^2 = {fanout} exceeds "
-            f"max_fanout={max_fanout} (d={d}, cell_edge~{min(sx, sy):.0f} "
-            f"at depth={depth}); pass depth=None to auto-size cells to "
-            f"~d (r=1), choose a shallower depth, or raise max_fanout "
-            f"explicitly if the blow-up is intended.")
+    is exactly r=1 and the explode fan-out a fixed 9 cells (r clamps
+    to the grid width, so even d > world extent degrades gracefully to
+    one cell + exact predicate — see _ring_grid). A caller passing an
+    explicit deep depth with a large d explodes quadratically —
+    (2r+1)^2 — so the fan-out is guarded like the LSH bucket cap
+    (dedup.minhash_lsh_pairs max_bucket_rows): exceeding `max_fanout`
+    raises instead of silently shuffling r^2 copies."""
+    depth, n, sx, sy, r = _ring_grid(world, d, depth, max_fanout)
+    # coords cast to long: the d^2 residual squares coordinate deltas,
+    # which overflows 32-bit inputs under ANSI mode (the driver's
+    # default session) — the cast keeps the operator exact for any
+    # integral coordinate dtype
     a = points.select(
         F.col(id_col).alias("id_a"),
-        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("x").cast("long").alias("ax"),
+        F.col("y").cast("long").alias("ay"),
     ).withColumn("cell_x", _gcoord(F.col("ax"), world.min_x, sx, n)) \
      .withColumn("cell_y", _gcoord(F.col("ay"), world.min_y, sy, n))
     b = (
         points.select(
             F.col(id_col).alias("id_b"),
-            F.col("x").alias("bx"), F.col("y").alias("by"),
+            F.col("x").cast("long").alias("bx"),
+            F.col("y").cast("long").alias("by"),
         )
         .withColumn("_bcx", _gcoord(F.col("bx"), world.min_x, sx, n))
         .withColumn("_bcy", _gcoord(F.col("by"), world.min_y, sy, n))

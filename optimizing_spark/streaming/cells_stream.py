@@ -180,23 +180,10 @@ def streaming_distance_join(
     Output prefixes left/right columns ``l_``/``r_`` and carries the
     exact integer ``dist2``.
     """
-    from ..operators.joins import (
-        DIST_JOIN_MAX_FANOUT, _gcoord, _grid,
-    )
-    import math as _math
+    from ..operators.joins import _gcoord, _ring_grid
 
-    if depth is None:
-        ext = min(world.max_x - world.min_x, world.max_y - world.min_y)
-        depth = max(0, min(12, int(_math.floor(
-            _math.log2(max(ext / max(d, 1), 1.0))))))
-    n, sx, sy = _grid(world, depth)
-    r = int(-(-d // min(sx, sy)))  # ceil
-    fanout = (2 * r + 1) ** 2
-    if fanout > DIST_JOIN_MAX_FANOUT:
-        raise ValueError(
-            f"streaming_distance_join ring fan-out (2r+1)^2 = {fanout} "
-            f"exceeds {DIST_JOIN_MAX_FANOUT} (d={d}, depth={depth}); "
-            f"pass depth=None to auto-size cells to ~d (r=1).")
+    depth, n, sx, sy, r = _ring_grid(world, d, depth,
+                                     who="streaming_distance_join")
     lc = (
         left.withWatermark(ts_col, watermark)
         .withColumn("cell_x", _gcoord(F.col("x"), world.min_x, sx, n))
@@ -215,9 +202,12 @@ def streaming_distance_join(
         .alias("r")
     )
     b = f"INTERVAL {int(bound_seconds)} SECONDS"
+    # long cast: squaring 32-bit coordinate deltas overflows under
+    # ANSI mode — same guard as the batch distance_join
+    _lx, _ly = F.col("l.x").cast("long"), F.col("l.y").cast("long")
+    _rx, _ry = F.col("r.x").cast("long"), F.col("r.y").cast("long")
     dist2 = (
-        (F.col("l.x") - F.col("r.x")) * (F.col("l.x") - F.col("r.x"))
-        + (F.col("l.y") - F.col("r.y")) * (F.col("l.y") - F.col("r.y"))
+        (_lx - _rx) * (_lx - _rx) + (_ly - _ry) * (_ly - _ry)
     )
     cond = (
         (F.col("l.cell_x") == F.col("r.cell_x"))

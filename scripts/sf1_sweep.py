@@ -99,7 +99,12 @@ def build() -> None:
     spark.stop()
 
 
-def _spill() -> tuple[int, int]:
+def _spill() -> tuple[int, int] | tuple[None, None]:
+    """(mem, disk) bytes spilled across completed stages, or
+    (None, None) when the UI REST scrape fails (port taken by a
+    straggler, UI disabled, ...): a recorded 0 must mean MEASURED
+    zero — a 'zero spill' headline produced by a dead scrape would be
+    vacuous."""
     base = "http://localhost:4040/api/v1"
     try:
         apps = json.load(urllib.request.urlopen(f"{base}/applications"))
@@ -109,7 +114,7 @@ def _spill() -> tuple[int, int]:
         return (sum(s.get("memoryBytesSpilled", 0) for s in stages),
                 sum(s.get("diskBytesSpilled", 0) for s in stages))
     except Exception:
-        return (0, 0)
+        return (None, None)
 
 
 def run() -> dict:
@@ -141,10 +146,11 @@ def run() -> dict:
             rows = fn(spark, DST).count()
             wall = time.time() - t0
             m1, d1 = _spill()
+            scraped = None not in (m0, d0, m1, d1)
             report["queries"][name] = {
                 "rows": rows, "wall_sec": round(wall, 2),
-                "mem_spill_mb": round((m1 - m0) / 1e6, 1),
-                "disk_spill_mb": round((d1 - d0) / 1e6, 1),
+                "mem_spill_mb": round((m1 - m0) / 1e6, 1) if scraped else None,
+                "disk_spill_mb": round((d1 - d0) / 1e6, 1) if scraped else None,
             }
             print(f"ok    {name}: rows={rows} ({wall:.1f}s)", flush=True)
         except Exception as ex:  # noqa: BLE001

@@ -489,3 +489,28 @@ def test_distance_join_fanout_guard():
         # depth=12 -> cell_edge=16, d=2500 -> r=157: must refuse
         # (the guard fires before any DataFrame is touched)
         joins.distance_join(None, 2500, world, depth=12)
+
+
+def test_distance_join_d_exceeds_world(spark):
+    """d larger than the world extent must NOT dead-end in the auto
+    path: auto-depth bottoms out at 0 (one cell) and r clamps to the
+    grid width (ring offsets past the clamped grid can never match),
+    so the exact d^2 predicate does all the work and every qualifying
+    pair — here, all of them — comes back exactly once."""
+    from optimizing_spark.config import Box2
+
+    world = Box2(0.0, 0.0, 65536.0, 65536.0)
+    rng = np.random.default_rng(47)
+    n = 60
+    px = rng.integers(0, 65536, size=n)
+    py = rng.integers(0, 65536, size=n)
+    pts = spark.createDataFrame(
+        [(int(i), int(px[i]), int(py[i])) for i in range(n)],
+        "point_id long, x long, y long")
+    # d = 300000 > sqrt(2)*65536: every unordered pair qualifies
+    got = joins.distance_join(pts, d=300_000, world=world).toPandas()
+    assert len(got) == n * (n - 1) // 2
+    assert len(got) == len(set(zip(got.id_a, got.id_b)))
+    # streaming twin shares _ring_grid: same geometry, no raise
+    depth, ncells, _, _, r = joins._ring_grid(world, 300_000, None)
+    assert (depth, ncells, r) == (0, 1, 0)

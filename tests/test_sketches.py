@@ -303,3 +303,53 @@ def test_bloom_auto_sizes_to_key_count(spark):
         SK.bloom_might_contain_bin(F.col("k"), bl_sat, SK.BLOOM_K, w_sat)
     ).count()
     assert sat_passed > 0.9 * 200_000, sat_passed
+
+
+def test_bloom_join_mixed_key_dtypes(spark):
+    """xxhash64 (and the md5 path's string render) are DTYPE-sensitive:
+    an INT 5 and a LONG 5 hash differently, while the exact join they
+    guard coerces the sides and matches — so without a common hash
+    cast, true members test bloom-negative and the wrappers silently
+    return wrong rows. The wrappers must unify numeric key dtypes for
+    hashing (join results stay identical to the plain joins) and
+    refuse non-numeric mismatches loudly."""
+    big = spark.range(0, 20000).selectExpr(
+        "CAST(id % 4973 AS INT) AS k", "id AS payload")
+    small = spark.range(0, 300).selectExpr("CAST(id * 13 AS BIGINT) AS k")
+    for how, fn in (("left_semi", SK.bloom_semi_join),
+                    ("left_anti", SK.bloom_anti_join)):
+        expect = sorted(r["payload"]
+                        for r in big.join(small, "k", how).collect())
+        got = sorted(r["payload"]
+                     for r in fn(big, small, "k").collect())
+        assert got == expect, how
+    # int/double pair unifies through double the same way
+    smalld = spark.range(0, 300).selectExpr("CAST(id * 13 AS DOUBLE) AS k")
+    expect = sorted(r["payload"]
+                    for r in big.join(smalld, "k", "left_semi").collect())
+    got = sorted(r["payload"]
+                 for r in SK.bloom_semi_join(big, smalld, "k").collect())
+    assert got == expect and len(got) > 0
+    # non-numeric mismatch: loud error, never silent false negatives
+    smalls = spark.range(0, 300).selectExpr("CAST(id * 13 AS STRING) AS k")
+    with pytest.raises(ValueError, match="incompatible dtypes"):
+        SK.bloom_semi_join(big, smalls, "k")
+
+
+def test_bloom_small_side_evaluated_once(spark):
+    """The wrappers localCheckpoint small's distinct key set, so an
+    expensive small-side plan (curate's LSH drop set at 100 TB) runs
+    once — not once each for the auto-size count, the bloom build and
+    the exact join. Evidence: a non-deterministic small side still
+    yields a CONSISTENT join (every use sees the same materialized
+    keys)."""
+    big = spark.range(0, 2000).selectExpr("id AS k", "id AS payload")
+    small = (spark.range(0, 3000)
+             .selectExpr("CAST(rand(7) * 2000 AS BIGINT) AS k"))
+    out = SK.bloom_anti_join(big, small, "k")
+    keys = {r["k"] for r in out.collect()}
+    # rerunning the RESULT plan reuses the checkpointed keys: stable
+    assert {r["k"] for r in out.collect()} == keys
+    # and the two branches partition big exactly (no row lost/duped)
+    assert out.count() + big.join(
+        out.select("k"), "k", "left_anti").count() == 2000
