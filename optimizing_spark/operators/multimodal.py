@@ -2,12 +2,14 @@
 typed metadata, processed via Arrow-batched mapInPandas.
 
 Decoding: REAL pure-NumPy decoders for binary PPM (P6), 24-bit BI_RGB
-BMP (round 4), and non-interlaced 8-bit PNG via stdlib zlib (round 5)
-run end-to-end through the feature pipeline; only JPEG stays behind a
-clearly-marked NotImplementedError (no DCT codec in this container;
-swapping in `PIL.Image.open` changes one dispatch line).
-Everything Spark-side is real and tested: schemas, batching,
-partitioning, feature extraction, and the frame-sampling plumbing.
+BMP (round 4), non-interlaced 8-bit PNG via stdlib zlib, and — round 5
+— baseline sequential JPEG (operators/jpeg.py: T.81 Huffman entropy
+decode, dequantize, vectorized IDCT, 4:4:4/4:2:0 chroma, restart
+markers). Every format the synthetic pipeline emits decodes for real;
+only progressive/arithmetic JPEG variants remain behind a loud
+NotImplementedError. Everything Spark-side is real and tested:
+schemas, batching, partitioning, feature extraction, and the
+frame-sampling plumbing.
 
 Data model: media_ref strings in document spans resolve to rows of a
 `media` table (media_ref, kind, payload binary, meta struct). The
@@ -49,8 +51,11 @@ def synthetic_media(spark: SparkSession, docs: DataFrame,
     same grid; fmt='png': the same grid zlib-compressed into a real
     non-interlaced 8-bit PNG (cycling the full filter set) — so the
     feature pipeline decodes real (compressed) image bytes end-to-end
-    and must produce identical features to the raw path."""
-    if fmt not in ("raw", "ppm", "png"):
+    and must produce identical features to the raw path. fmt='jpeg':
+    the grid as a REAL baseline grayscale JPEG (quality 95) — decode
+    is lossy by spec, so features are close-but-not-equal to the raw
+    path (the DC/mean is preserved to quantization error)."""
+    if fmt not in ("raw", "ppm", "png", "jpeg"):
         raise ValueError(f"unknown media fmt {fmt!r}")
     refs = docs.select(
         F.explode("spans").alias("s")
@@ -73,6 +78,11 @@ def synthetic_media(spark: SparkSession, docs: DataFrame,
                 elif fmt == "png":
                     payloads.append(
                         encode_png(_decode_image_stub(raw, w_px, h_px)))
+                elif fmt == "jpeg":
+                    from optimizing_spark.operators.jpeg import encode_jpeg
+                    payloads.append(
+                        encode_jpeg(_decode_image_stub(raw, w_px, h_px),
+                                    quality=95))
                 else:
                     payloads.append(raw)
                 metas.append({
@@ -91,15 +101,10 @@ def synthetic_media(spark: SparkSession, docs: DataFrame,
 
 
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode — deterministic fake pixel grid from the payload.
-
-    Production: `PIL.Image.open(io.BytesIO(payload))`. JPEG has no
-    decoder in this container (a DCT codec is out of scope); raise if
-    someone expects one. PPM/BMP/PNG ARE really decoded — see
-    decode_image / decode_png.
-    """
-    if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode not available in this sandbox")
+    """STUB decode — deterministic fake pixel grid from an OPAQUE
+    legacy payload. All real image formats the pipeline emits (PPM,
+    BMP, PNG, baseline JPEG) are dispatched to real decoders before
+    this fallback — see decode_image."""
     h = zlib.crc32(payload)
     rng = np.arange(width * height, dtype=np.uint32)
     return ((rng * 2654435761 + h) % 256).astype(np.uint8).reshape(height, width)
@@ -310,18 +315,21 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Dispatch decode: REAL pure-NumPy decoders for PPM P6, 24-bit
-    BMP, and (round 5) non-interlaced 8-bit PNG via stdlib zlib;
-    NotImplementedError only for JPEG (no DCT codec in this
-    container), and the deterministic fake grid for legacy synthetic
-    payloads — so the Spark-side plumbing (schema, batching,
-    features) is exercised with real pixel bytes end-to-end wherever
-    the format allows."""
+    BMP, non-interlaced 8-bit PNG (stdlib zlib), and — round 5 —
+    baseline sequential JPEG (operators/jpeg.py, full T.81 Huffman +
+    IDCT path); the deterministic fake grid only for legacy opaque
+    synthetic payloads — so the Spark-side plumbing (schema,
+    batching, features) is exercised with real pixel bytes
+    end-to-end for every emitted format."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from optimizing_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     return _decode_image_stub(payload, width, height)
 
 

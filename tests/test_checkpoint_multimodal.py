@@ -140,9 +140,10 @@ def test_ppm_bmp_real_decode_roundtrip():
     # BMP roundtrip against the independent test encoder
     assert (MM.decode_bmp(_encode_bmp_24(rng)) == rng).all()
     assert (MM.decode_bmp(_encode_bmp_24(rgb)) == want).all()
-    # JPEG (the one remaining undecodable format) still refuses loudly
+    # round 5: JPEG now decodes for real (tests/test_jpeg.py); a
+    # truncated/garbage JPEG payload still refuses loudly
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         MM.decode_image(b"\xff\xd8\xff\xe0....", 4, 4)
 
 
