@@ -58,6 +58,7 @@ from optimizing_spark.config import POW2_WORLD_2D, POW2_WORLD_EDGE
 from optimizing_spark.functions import cells as C
 from optimizing_spark.functions import text as TX
 from optimizing_spark.operators import dedup as DD
+from optimizing_spark.operators import interpolate as ITP
 from optimizing_spark.operators import joins as J
 from optimizing_spark.operators import similarity as SIM
 from optimizing_spark.sources import derived as D
@@ -249,6 +250,20 @@ def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = D.points(spark, sf_dir).select(
         "point_id", F.col("px").alias("x"), F.col("py").alias("y"))
     return J.distance_join(p, d=1500, world=POW2_WORLD_2D, depth=None)
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation (interpolate.idw,
+    round 5): estimate an integer measurement at every supplier query
+    site from the customer sample sites within d=3000, Shepard
+    power-2 weights quantized to integers (w = 2^30 div (1+d2)) so
+    Spark and DuckDB agree bit-for-bit at any accumulation order.
+    Candidates come from joins.radius_join — the query side explodes
+    to its r=1 kring and broadcasts; the sample table never shuffles.
+    Zero-neighbor sites survive with n_pts=0 / NULL estimate."""
+    sites = D.sample_sites(spark, sf_dir)
+    qs = D.supplier_queries(spark, sf_dir)
+    return ITP.idw(sites, qs, d=3000, world=POW2_WORLD_2D)
 
 
 def q_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2684,7 +2699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_dist_join) enter the gate window; 7 long-stable basics
     (q_agg_wide, q_spans, q_sessionize, q_hourly_events,
     q_json_extract, q_monthly_orders, q_sample — each driver-green in
-    rounds 1-4) rotate to the tail.  Round-4 history: the 17
+    rounds 1-4) rotate to the tail.  The round-5 addition q_idw (IDW
+    interpolation) also enters the window on arrival, rotating
+    q_top_customers (driver-green rounds 1-4) to the tail.  Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
     (q_extract ... q_ngram_jaccard) rotated to the tail.
@@ -2729,7 +2746,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_tokens": q_cms_tokens,
         "q_stratified": q_stratified,
         "q_multi_assign": q_multi_assign,
-        "q_top_customers": q_top_customers,
         "q_snapshot_delete": q_snapshot_delete,
         "q_snapshot_changes": q_snapshot_changes,
         "q_docs_pipeline": q_docs_pipeline,
@@ -2742,8 +2758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seg_join": q_seg_join,
         "q_poly_poly": q_poly_poly,
         "q_dist_join": q_dist_join,
+        # --- round-5 additions (enter the window on arrival; one more
+        #     long-stable basic each rotates to the tail) ---
+        "q_idw": q_idw,
         # --- tail (past the driver's 50-row window; harness-verified,
-        #     driver-green in rounds 1-4) ---
+        #     driver-green in >= 2 prior rounds) ---
+        "q_top_customers": q_top_customers,
         "q_agg_wide": q_agg_wide,
         "q_spans": q_spans,
         "q_sessionize": q_sessionize,
@@ -3239,6 +3259,33 @@ def _text_oracles() -> dict[str, str]:
              AND a.point_id < b.point_id
             WHERE (a.px - b.px) * (a.px - b.px)
                   + (a.py - b.py) * (a.py - b.py) <= 2250000
+        """,
+        "q_idw": f"""
+            -- quantized Shepard weights: 2^30 // (1 + d2), all BIGINT
+            -- (DuckDB // truncates toward zero == floor here: every
+            -- operand is non-negative)
+            WITH sites AS ({D.SQL_SAMPLE_SITES}),
+            qs AS ({D.SQL_SUPPLIER_QUERIES}),
+            pairs AS (
+                SELECT qs.query_id,
+                       (1073741824 // (1 + (qs.qx - s.x) * (qs.qx - s.x)
+                                         + (qs.qy - s.y) * (qs.qy - s.y))) AS w,
+                       s.val
+                FROM qs JOIN sites s
+                  ON s.x BETWEEN qs.qx - 3000 AND qs.qx + 3000
+                 AND s.y BETWEEN qs.qy - 3000 AND qs.qy + 3000
+                WHERE (qs.qx - s.x) * (qs.qx - s.x)
+                      + (qs.qy - s.y) * (qs.qy - s.y) <= 9000000
+            )
+            SELECT qs.query_id, qs.qx, qs.qy,
+                   COUNT(pr.w) AS n_pts,
+                   CAST(COALESCE(SUM(pr.w * pr.val), 0) AS BIGINT) AS wsum,
+                   CAST(COALESCE(SUM(pr.w), 0) AS BIGINT) AS wtot,
+                   CAST(CASE WHEN COALESCE(SUM(pr.w), 0) > 0
+                             THEN SUM(pr.w * pr.val) // SUM(pr.w) END
+                        AS BIGINT) AS idw_val
+            FROM qs LEFT JOIN pairs pr ON pr.query_id = qs.query_id
+            GROUP BY qs.query_id, qs.qx, qs.qy
         """,
         "q_poly_poly": f"""
             WITH star AS ({D.SQL_STAR_POLYGONS}), dia AS ({D.SQL_CUST_DIAMONDS}),

@@ -303,6 +303,71 @@ def distance_join(
     )
 
 
+def radius_join(
+    points: DataFrame,
+    queries: DataFrame,
+    d: int,
+    world: Box2,
+    depth: int | None = None,
+    method: str = "broadcast",
+    max_fanout: int = DIST_JOIN_MAX_FANOUT,
+) -> DataFrame:
+    """Two-table distance-band join: every (query, point) pair with
+    Euclidean distance <= d (closed), each exactly once, with the
+    exact integer squared distance — the asymmetric sibling of
+    distance_join and the candidate generator for IDW interpolation
+    (operators/interpolate.py) and density queries. Same grid policy
+    as distance_join (_ring_grid: depth=None auto-sizes cell_edge to
+    [d, 2d) so the ring is r=1 and fan-out 9).
+
+    points must carry integral coordinate columns (x, y) — every other
+    point column (values, weights, ids) is preserved in the output.
+    queries must carry (qx, qy); its other columns are preserved too,
+    so callers group directly on their query key with no re-join.
+
+    method='broadcast' (default): the QUERY side explodes to its
+    (2r+1)^2 ring cells and broadcasts — the big point table never
+    shuffles; candidates are generated by a hash probe per point (the
+    hex-ring-join shape). method='cells': both sides shuffle once on
+    (cell_x, cell_y) for the both-sides-large case. Each point lives
+    in exactly one cell and each query emits each ring cell once, so
+    a pair meets at most once — no dedup pass in either mode."""
+    if method not in ("broadcast", "cells"):
+        raise ValueError(f"unknown radius_join method {method!r}")
+    depth, n, sx, sy, r = _ring_grid(world, d, depth, max_fanout,
+                                     who="radius_join")
+    p = (
+        points
+        .withColumn("x", F.col("x").cast("long"))
+        .withColumn("y", F.col("y").cast("long"))
+        .withColumn("cell_x", _gcoord(F.col("x"), world.min_x, sx, n))
+        .withColumn("cell_y", _gcoord(F.col("y"), world.min_y, sy, n))
+    )
+    q = (
+        queries
+        .withColumn("qx", F.col("qx").cast("long"))
+        .withColumn("qy", F.col("qy").cast("long"))
+        .withColumn("_qcx", _gcoord(F.col("qx"), world.min_x, sx, n))
+        .withColumn("_qcy", _gcoord(F.col("qy"), world.min_y, sy, n))
+        .withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("cell_x", F.col("_qcx") + F.col("_dx"))
+        .withColumn("cell_y", F.col("_qcy") + F.col("_dy"))
+        .drop("_qcx", "_qcy", "_dx", "_dy")
+    )
+    rhs = F.broadcast(q) if method == "broadcast" else q
+    dist2 = (
+        (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))
+        + (F.col("qy") - F.col("y")) * (F.col("qy") - F.col("y"))
+    )
+    return (
+        p.join(rhs, ["cell_x", "cell_y"])
+        .filter(dist2 <= F.lit(d * d))
+        .withColumn("dist2", dist2)
+        .drop("cell_x", "cell_y")
+    )
+
+
 def polygon_polygon_join(
     polys_a: DataFrame,
     polys_b: DataFrame,

@@ -358,6 +358,49 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# sample_sites: customer points carrying an integer measurement value
+# (IDW interpolation inputs) / supplier_queries: estimation sites
+# ---------------------------------------------------------------------------
+
+def sample_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    return c.select(
+        k.alias("point_id"),
+        ((k * _PC[0]) % E).alias("x"),
+        ((k * _PC[1]) % E).alias("y"),
+        ((k * 6151 + 13) % 1000).alias("val"),
+    )
+
+
+SQL_SAMPLE_SITES = f"""
+SELECT CAST(c_custkey AS BIGINT) AS point_id,
+       (CAST(c_custkey AS BIGINT) * {_PC[0]}) % {E} AS x,
+       (CAST(c_custkey AS BIGINT) * {_PC[1]}) % {E} AS y,
+       (CAST(c_custkey AS BIGINT) * 6151 + 13) % 1000 AS val
+FROM customer
+"""
+
+
+def supplier_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    return s.select(
+        k.alias("query_id"),
+        ((k * _QC[0] + 999) % E).alias("qx"),
+        ((k * _QC[1] + 111) % E).alias("qy"),
+    )
+
+
+SQL_SUPPLIER_QUERIES = f"""
+SELECT CAST(s_suppkey AS BIGINT) AS query_id,
+       (CAST(s_suppkey AS BIGINT) * {_QC[0]} + 999) % {E} AS qx,
+       (CAST(s_suppkey AS BIGINT) * {_QC[1]} + 111) % {E} AS qy
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
 # knn_queries: one query point per nation (25 rows)
 # ---------------------------------------------------------------------------
 
