@@ -39,6 +39,9 @@ Operator coverage map (reference file:line cites in the module docs):
 - polygon-polygon overlap      -> q_poly_poly (all edge pairs +
                                   containment, closed semantics)
 - distance-band self-join      -> q_dist_join (kring + exact d^2)
+- IDW interpolation            -> q_idw (quantized Shepard weights)
+- convex hull / farthest pair  -> q_hull, q_diameter (partial-hull
+                                  merge; O(h^2) diameter vs brute max)
 plus the text/dedup/similarity/event suite (q_token_count ..
 q_top_customers) — every queries() key has an oracle_sql() twin.
 """
@@ -58,6 +61,7 @@ from optimizing_spark.config import POW2_WORLD_2D, POW2_WORLD_EDGE
 from optimizing_spark.functions import cells as C
 from optimizing_spark.functions import text as TX
 from optimizing_spark.operators import dedup as DD
+from optimizing_spark.operators import hull as H
 from optimizing_spark.operators import interpolate as ITP
 from optimizing_spark.operators import joins as J
 from optimizing_spark.operators import similarity as SIM
@@ -264,6 +268,39 @@ def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     sites = D.sample_sites(spark, sf_dir)
     qs = D.supplier_queries(spark, sf_dir)
     return ITP.idw(sites, qs, d=3000, world=POW2_WORLD_2D)
+
+
+def _hull_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer points bucketed into 64 hull groups (grp, x, y)."""
+    return D.points(spark, sf_dir).select(
+        (F.col("point_id") % 64).alias("grp"),
+        F.col("px").alias("x"), F.col("py").alias("y"))
+
+
+def q_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group strict convex hull vertex SETS (hull.convex_hull,
+    round 5): Akl-Toussaint prefilter + monotone chain inside ONE
+    applyInPandas per group key — integer cross products, exact at
+    any coordinate < 2^31. The oracle re-derives the same vertex set
+    declaratively: (a, b) is a strict CCW hull edge iff no third
+    point is strictly right of it and no collinear point falls
+    outside the closed segment; vertices = distinct edge sources
+    (plus single-point groups). seq ordering is pytest-verified
+    (tests/test_hull.py) — the driver hash is row-order-free, so the
+    gated contract is the exact vertex set per group."""
+    return H.convex_hull(_hull_groups(spark, sf_dir), "grp") \
+        .select("grp", "x", "y")
+
+
+def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group farthest-pair squared distance (hull.diameter,
+    round 5): hull first, then the exact pair max over hull vertices
+    only — both endpoints of a diameter are extreme points, so the
+    O(N^2) search collapses to O(h^2). The oracle brute-forces the
+    full pair max per group AND recomputes hull_size via the strict
+    hull-edge characterization, so a hull that dropped a true vertex
+    (or kept a fake one) hash-mismatches twice over."""
+    return H.diameter(_hull_groups(spark, sf_dir), "grp")
 
 
 def q_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2701,7 +2738,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_json_extract, q_monthly_orders, q_sample — each driver-green in
     rounds 1-4) rotate to the tail.  The round-5 addition q_idw (IDW
     interpolation) also enters the window on arrival, rotating
-    q_top_customers (driver-green rounds 1-4) to the tail.  Round-4 history: the 17
+    q_top_customers (driver-green rounds 1-4) to the tail.  The
+    round-5 additions q_hull and q_diameter (convex hull family)
+    likewise enter on arrival, rotating q_cell_quantiles and
+    q_repetition (both driver-green rounds 3-4) to the tail.
+    Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
     (q_extract ... q_ngram_jaccard) rotated to the tail.
@@ -2709,7 +2750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- gate window (first 50) ---
         "q_cell_counts": q_cell_counts,
-        "q_cell_quantiles": q_cell_quantiles,
         "q_qt_assign": q_qt_assign,
         "q_pip_join": q_pip_join,
         "q_pip_poly": q_pip_poly,
@@ -2727,7 +2767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mirror_depth5": q_mirror_depth5,
         "q_diffuse_bounce": q_diffuse_bounce,
         "q_refract_chain": q_refract_chain,
-        "q_repetition": q_repetition,
         "q_curate": q_curate,
         "q_minhash": q_minhash,
         "q_lsh_pairs": q_lsh_pairs,
@@ -2761,8 +2800,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (enter the window on arrival; one more
         #     long-stable basic each rotates to the tail) ---
         "q_idw": q_idw,
+        "q_hull": q_hull,
+        "q_diameter": q_diameter,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_cell_quantiles": q_cell_quantiles,
+        "q_repetition": q_repetition,
         "q_top_customers": q_top_customers,
         "q_agg_wide": q_agg_wide,
         "q_spans": q_spans,
@@ -3286,6 +3329,86 @@ def _text_oracles() -> dict[str, str]:
                         AS BIGINT) AS idw_val
             FROM qs LEFT JOIN pairs pr ON pr.query_id = qs.query_id
             GROUP BY qs.query_id, qs.qx, qs.qy
+        """,
+        # Strict-hull twin: (a, b) is a CCW hull edge iff no third
+        # point of the group is strictly right of the directed line
+        # a->b, and no collinear third point falls outside the closed
+        # segment [a, b]; the strict vertex set = DISTINCT edge
+        # sources, plus groups with a single distinct point.  All
+        # cross products are < 2^34 (coords < 2^17) — exact BIGINT.
+        "q_hull": f"""
+            WITH pts0 AS ({D.SQL_POINTS}),
+            p AS (
+                SELECT DISTINCT point_id % 64 AS grp, px AS x, py AS y
+                FROM pts0
+            ),
+            verts AS (
+                SELECT DISTINCT a.grp, a.x, a.y
+                FROM p a JOIN p b
+                  ON a.grp = b.grp AND (a.x <> b.x OR a.y <> b.y)
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM p q
+                    WHERE q.grp = a.grp
+                      AND (q.x <> a.x OR q.y <> a.y)
+                      AND (q.x <> b.x OR q.y <> b.y)
+                      AND ((b.x - a.x) * (q.y - a.y)
+                           - (b.y - a.y) * (q.x - a.x) < 0
+                        OR ((b.x - a.x) * (q.y - a.y)
+                            - (b.y - a.y) * (q.x - a.x) = 0
+                            AND NOT (q.x BETWEEN LEAST(a.x, b.x)
+                                           AND GREATEST(a.x, b.x)
+                                 AND q.y BETWEEN LEAST(a.y, b.y)
+                                           AND GREATEST(a.y, b.y))))
+                )
+            )
+            SELECT grp, x, y FROM verts
+            UNION ALL
+            SELECT grp, MIN(x) AS x, MIN(y) AS y
+            FROM p GROUP BY grp HAVING COUNT(*) = 1
+        """,
+        "q_diameter": f"""
+            WITH pts0 AS ({D.SQL_POINTS}),
+            g AS (SELECT point_id % 64 AS grp, px AS x, py AS y FROM pts0),
+            p AS (SELECT DISTINCT grp, x, y FROM g),
+            verts AS (
+                SELECT DISTINCT a.grp, a.x, a.y
+                FROM p a JOIN p b
+                  ON a.grp = b.grp AND (a.x <> b.x OR a.y <> b.y)
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM p q
+                    WHERE q.grp = a.grp
+                      AND (q.x <> a.x OR q.y <> a.y)
+                      AND (q.x <> b.x OR q.y <> b.y)
+                      AND ((b.x - a.x) * (q.y - a.y)
+                           - (b.y - a.y) * (q.x - a.x) < 0
+                        OR ((b.x - a.x) * (q.y - a.y)
+                            - (b.y - a.y) * (q.x - a.x) = 0
+                            AND NOT (q.x BETWEEN LEAST(a.x, b.x)
+                                           AND GREATEST(a.x, b.x)
+                                 AND q.y BETWEEN LEAST(a.y, b.y)
+                                           AND GREATEST(a.y, b.y))))
+                )
+            ),
+            hull_pts AS (
+                SELECT grp, x, y FROM verts
+                UNION ALL
+                SELECT grp, MIN(x) AS x, MIN(y) AS y
+                FROM p GROUP BY grp HAVING COUNT(*) = 1
+            ),
+            hs AS (SELECT grp, COUNT(*) AS hull_size FROM hull_pts GROUP BY grp),
+            dm AS (
+                -- brute-force pair max over ALL points (a = b rows
+                -- contribute 0), independent of the hull shortcut
+                SELECT a.grp,
+                       MAX((a.x - b.x) * (a.x - b.x)
+                           + (a.y - b.y) * (a.y - b.y)) AS max_d2
+                FROM p a JOIN p b ON a.grp = b.grp
+                GROUP BY a.grp
+            ),
+            n AS (SELECT grp, COUNT(*) AS n_pts FROM g GROUP BY grp)
+            SELECT n.grp, n.n_pts,
+                   CAST(hs.hull_size AS INTEGER) AS hull_size, dm.max_d2
+            FROM n JOIN hs ON hs.grp = n.grp JOIN dm ON dm.grp = n.grp
         """,
         "q_poly_poly": f"""
             WITH star AS ({D.SQL_STAR_POLYGONS}), dia AS ({D.SQL_CUST_DIAMONDS}),

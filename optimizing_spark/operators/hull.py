@@ -1,0 +1,183 @@
+"""Convex hulls and farthest-pair (diameter) queries over point sets.
+
+The aggregation-shaped member of the spatial family: instead of
+joining two sets, it reduces one set to its extreme shell — the
+convex-hull analog of the reference's recursive count / full extract
+(WorldPartition.hpp:113-150), generalized to geometry. Integer-exact
+throughout: cross products of coordinates < 2^31 fit int64/Python int
+with no rounding, so Spark, NumPy and the DuckDB twin agree
+bit-for-bit.
+
+Scale design (the 100 TB shape):
+- GLOBAL hull: hull(union) == hull(union of partial hulls), so a
+  mapInPandas pass emits each Arrow batch's partial hull (dozens of
+  rows per batch, Akl-Toussaint-prefiltered in vectorized NumPy
+  before the sequential chain touches anything), and only those
+  survivors move to the single final reduce. The point table is
+  scanned once and never shuffled.
+- GROUPED hull / diameter: applyInPandas per group key — one hash
+  shuffle on the key, Python work bounded by the group's survivor
+  set.
+- Farthest pair: both endpoints of a diameter are hull vertices, so
+  the O(N^2) search collapses to the hull's O(h^2) (h ~ log N for
+  uniform data; the brute pair scan over h survivors replaces
+  rotating calipers — same exactness, no antipodal edge cases).
+
+The strict-hull convention drops collinear interior-of-edge points;
+degenerate inputs (single point, duplicates, all-collinear) reduce to
+the obvious shells (point / segment endpoints).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _akl_toussaint(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Akl-Toussaint throw-away: drop points strictly
+    inside the octagon spanned by the extremes of x, y, x+y, x-y.
+    Returns a boolean keep-mask; never drops a hull vertex."""
+    if len(x) <= 8:
+        return np.ones(len(x), dtype=bool)
+    s, d = x + y, x - y
+    corners = set()
+    for arr in (x, y, s, d):
+        corners.add((int(x[arr.argmin()]), int(y[arr.argmin()])))
+        corners.add((int(x[arr.argmax()]), int(y[arr.argmax()])))
+    oct_pts = _chain(sorted(corners))
+    if len(oct_pts) < 3:
+        return np.ones(len(x), dtype=bool)
+    inside = np.ones(len(x), dtype=bool)
+    for i in range(len(oct_pts)):
+        ax, ay = oct_pts[i]
+        bx, by = oct_pts[(i + 1) % len(oct_pts)]
+        # CCW octagon: strictly left of every edge = strictly inside
+        inside &= ((bx - ax) * (y - ay) - (by - ay) * (x - ax)) > 0
+    return ~inside
+
+
+def _chain(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Andrew monotone chain over SORTED unique (x, y) tuples; returns
+    the strict hull in CCW order (collinear edge-interior points
+    dropped). Pure-Python ints — exact for any 64-bit coordinates."""
+    if len(pts) <= 2:
+        return list(pts)
+
+    def half(seq):
+        out: list[tuple[int, int]] = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return lower[:-1] + upper[:-1]
+
+
+def _hull_of_arrays(x: np.ndarray, y: np.ndarray) -> list[tuple[int, int]]:
+    keep = _akl_toussaint(x, y)
+    pts = sorted({(int(a), int(b)) for a, b in zip(x[keep], y[keep])})
+    return _chain(pts)
+
+
+HULL_SCHEMA = T.StructType([
+    T.StructField("grp", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+])
+
+
+def convex_hull(points: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Convex hull vertices (grp, seq, x, y) in CCW order from the
+    lexicographically smallest vertex. group_col=None computes ONE
+    global hull (grp = 0) with the two-phase partial-hull reduce;
+    otherwise one hull per group via applyInPandas."""
+    if group_col is not None:
+        g = points.select(F.col(group_col).cast("long").alias("grp"),
+                          F.col("x").cast("long"), F.col("y").cast("long"))
+
+        def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            h = _hull_of_arrays(pdf.x.to_numpy(np.int64),
+                                pdf.y.to_numpy(np.int64))
+            return pd.DataFrame({
+                "grp": np.repeat(np.int64(pdf.grp.iloc[0]), len(h)),
+                "seq": np.arange(len(h), dtype=np.int32),
+                "x": np.array([p[0] for p in h], dtype=np.int64),
+                "y": np.array([p[1] for p in h], dtype=np.int64),
+            })
+
+        return g.groupBy("grp").applyInPandas(per_group, HULL_SCHEMA)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            h = _hull_of_arrays(b.x.to_numpy(np.int64), b.y.to_numpy(np.int64))
+            yield pd.DataFrame({
+                "x": np.array([p[0] for p in h], dtype=np.int64),
+                "y": np.array([p[1] for p in h], dtype=np.int64),
+            })
+
+    def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        got = [b for b in batches if len(b)]
+        if not got:
+            return
+        all_b = pd.concat(got, ignore_index=True)
+        h = _hull_of_arrays(all_b.x.to_numpy(np.int64),
+                            all_b.y.to_numpy(np.int64))
+        yield pd.DataFrame({
+            "grp": np.zeros(len(h), dtype=np.int64),
+            "seq": np.arange(len(h), dtype=np.int32),
+            "x": np.array([p[0] for p in h], dtype=np.int64),
+            "y": np.array([p[1] for p in h], dtype=np.int64),
+        })
+
+    small = T.StructType([T.StructField("x", T.LongType()),
+                          T.StructField("y", T.LongType())])
+    partials = points.select(F.col("x").cast("long"), F.col("y").cast("long")) \
+        .mapInPandas(partial, small)
+    return partials.coalesce(1).mapInPandas(final, HULL_SCHEMA)
+
+
+DIAMETER_SCHEMA = T.StructType([
+    T.StructField("grp", T.LongType()),
+    T.StructField("n_pts", T.LongType()),
+    T.StructField("hull_size", T.IntegerType()),
+    T.StructField("max_d2", T.LongType()),
+])
+
+
+def diameter(points: DataFrame, group_col: str) -> DataFrame:
+    """Farthest-pair squared distance per group: hull first, then the
+    exact pair max over the hull's few vertices (both endpoints of a
+    diameter are extreme points). One hash shuffle on the group key;
+    the O(h^2) scan replaces what would be an O(N^2) self-join."""
+    g = points.select(F.col(group_col).cast("long").alias("grp"),
+                      F.col("x").cast("long"), F.col("y").cast("long"))
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = _hull_of_arrays(pdf.x.to_numpy(np.int64), pdf.y.to_numpy(np.int64))
+        hx = np.array([p[0] for p in h], dtype=np.int64)
+        hy = np.array([p[1] for p in h], dtype=np.int64)
+        if len(h) >= 2:
+            dx = hx[:, None] - hx[None, :]
+            dy = hy[:, None] - hy[None, :]
+            best = int((dx * dx + dy * dy).max())
+        else:
+            best = 0
+        return pd.DataFrame({"grp": [int(pdf.grp.iloc[0])],
+                             "n_pts": [len(pdf)],
+                             "hull_size": [np.int32(len(h))],
+                             "max_d2": [best]})
+
+    return g.groupBy("grp").applyInPandas(per_group, DIAMETER_SCHEMA)
