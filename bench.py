@@ -1187,6 +1187,80 @@ def _hex_job(spark, path: str) -> int:
     return total
 
 
+def run_hull(n: int = 20_000_000) -> dict:
+    """Global convex hull at scale (round 5): n deterministic integer
+    points through hull.convex_hull's two-phase partial-hull reduce —
+    each Arrow batch emits only its Akl-Toussaint-prefiltered partial
+    hull (~30 survivors per 256k-row batch), so the final single-task
+    reduce sees a few thousand rows no matter how large n grows.
+    Reports survivor counts per phase (the evidence the reduce tree
+    stays bounded) and points/sec. Also times the grouped diameter
+    (512 populated groups — the parity-locked key mix is deliberate)
+    — one hash shuffle + O(h^2) per-group pair max."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators import hull
+    from optimizing_spark.session import get_spark
+
+    E = 65536
+    # bigger Arrow batches = fewer Python roundtrips AND a stronger
+    # per-batch prefilter (more points per Akl-Toussaint octagon):
+    # A/B'd 10k (default) -> 256k below
+    spark = get_spark("hull_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true",
+                             "spark.sql.execution.arrow.maxRecordsPerBatch":
+                                 "262144"})
+    pts = spark.range(n, numPartitions=CPUS * 2).select(
+        ((F.col("id") * 7919 + 17) % E).alias("x"),
+        ((F.col("id") * 9973 + 31) % E).alias("y"),
+    )
+    pts.count()  # warm input lineage
+    calib = _quick_calibration(CPUS)
+
+    t0 = time.time()
+    h = hull.convex_hull(pts).toPandas()
+    wall_hull = time.time() - t0
+
+    # phase-survivor dashboard: rows entering the final reduce
+    partial_rows = pts.mapInPandas(
+        _hull_partial_probe, "x long, y long").count()
+
+    g = pts.withColumn("grp", (F.col("x") * 31 + F.col("y")) % 1024)
+    t0 = time.time()
+    diam = hull.diameter(g, "grp")
+    n_groups = diam.count()
+    wall_diam = time.time() - t0
+    skew = _stage_skew()
+    return {
+        "metric": "global_hull_points_per_sec",
+        "value": round(n / wall_hull),
+        "unit": "points/sec",
+        "points": n,
+        "wall_sec_hull": round(wall_hull, 2),
+        "hull_vertices": len(h),
+        "final_reduce_input_rows": partial_rows,
+        "grouped_diameter": {"groups": n_groups,
+                             "wall_sec": round(wall_diam, 2)},
+        "heaviest_stages": skew,
+        "calibration": calib,
+    }
+
+
+def _hull_partial_probe(batches):
+    """Same partial-hull pass as hull.convex_hull's phase 1, exposed
+    for the survivor-count dashboard."""
+    import numpy as np
+    import pandas as pd
+
+    from optimizing_spark.operators.hull import _hull_of_arrays
+    for b in batches:
+        hh = _hull_of_arrays(b.x.to_numpy(np.int64), b.y.to_numpy(np.int64))
+        yield pd.DataFrame({
+            "x": np.array([p[0] for p in hh], dtype=np.int64),
+            "y": np.array([p[1] for p in hh], dtype=np.int64)})
+
+
 def run_hexscale() -> dict:
     """North-rule scaling criterion tied to the metric's OWN pipeline:
     the hex tile-x3 + ring join at local[N] vs local[4N] over the same
@@ -1254,6 +1328,8 @@ if __name__ == "__main__":
         print(json.dumps(run_seg()))
     elif "--poly" in sys.argv:
         print(json.dumps(run_poly()))
+    elif "--hull" in sys.argv:
+        print(json.dumps(run_hull()))
     elif "--hexscale" in sys.argv:
         print(json.dumps(run_hexscale()))
     elif "--hex" in sys.argv:

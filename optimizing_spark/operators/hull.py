@@ -14,7 +14,10 @@ Scale design (the 100 TB shape):
   rows per batch, Akl-Toussaint-prefiltered in vectorized NumPy
   before the sequential chain touches anything), and only those
   survivors move to the single final reduce. The point table is
-  scanned once and never shuffled.
+  scanned once and never shuffled. Throughput scales with Arrow
+  batch size (fewer Python roundtrips, stronger per-batch octagon):
+  raising spark.sql.execution.arrow.maxRecordsPerBatch 10k -> 256k
+  measured 1.57x on 20M points (bench.py --hull).
 - GROUPED hull / diameter: applyInPandas per group key — one hash
   shuffle on the key, Python work bounded by the group's survivor
   set.
