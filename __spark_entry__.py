@@ -42,6 +42,8 @@ Operator coverage map (reference file:line cites in the module docs):
 - IDW interpolation            -> q_idw (quantized Shepard weights)
 - convex hull / farthest pair  -> q_hull, q_diameter (partial-hull
                                   merge; O(h^2) diameter vs brute max)
+- skyline / Pareto frontier    -> q_skyline (sort-sweep vs
+                                  NOT-EXISTS-dominator twin)
 plus the text/dedup/similarity/event suite (q_token_count ..
 q_top_customers) — every queries() key has an oracle_sql() twin.
 """
@@ -65,6 +67,7 @@ from optimizing_spark.operators import hull as H
 from optimizing_spark.operators import interpolate as ITP
 from optimizing_spark.operators import joins as J
 from optimizing_spark.operators import similarity as SIM
+from optimizing_spark.operators import skyline as SKY
 from optimizing_spark.sources import derived as D
 from optimizing_spark.sources import oracle_text as OT
 
@@ -301,6 +304,17 @@ def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hull-edge characterization, so a hull that dropped a true vertex
     (or kept a fake one) hash-mismatches twice over."""
     return H.diameter(_hull_groups(spark, sf_dir), "grp")
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pareto frontier (skyline.skyline, round 5): the
+    minimize-both dominance frontier of the customer points, same
+    64-group split as q_hull. Spark reduces each group to its
+    frontier with an O(n log n) sort-sweep inside applyInPandas; the
+    oracle is the textbook NOT-EXISTS-dominator quadratic — a point
+    survives iff no other point of its group is <= in both
+    coordinates and < in at least one."""
+    return SKY.skyline(_hull_groups(spark, sf_dir), "grp")
 
 
 def q_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2741,7 +2755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_top_customers (driver-green rounds 1-4) to the tail.  The
     round-5 additions q_hull and q_diameter (convex hull family)
     likewise enter on arrival, rotating q_cell_quantiles and
-    q_repetition (both driver-green rounds 3-4) to the tail.
+    q_repetition (both driver-green rounds 3-4) to the tail; so does
+    q_skyline (Pareto frontier), rotating q_focal (driver-green
+    rounds 3-4; the raster family keeps q_raster in the window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2754,7 +2770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_join": q_pip_join,
         "q_pip_poly": q_pip_poly,
         "q_zonal": q_zonal,
-        "q_focal": q_focal,
         "q_dbscan": q_dbscan,
         "q_range_join": q_range_join,
         "q_knn": q_knn,
@@ -2802,8 +2817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idw": q_idw,
         "q_hull": q_hull,
         "q_diameter": q_diameter,
+        "q_skyline": q_skyline,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_focal": q_focal,
         "q_cell_quantiles": q_cell_quantiles,
         "q_repetition": q_repetition,
         "q_top_customers": q_top_customers,
@@ -3409,6 +3426,20 @@ def _text_oracles() -> dict[str, str]:
             SELECT n.grp, n.n_pts,
                    CAST(hs.hull_size AS INTEGER) AS hull_size, dm.max_d2
             FROM n JOIN hs ON hs.grp = n.grp JOIN dm ON dm.grp = n.grp
+        """,
+        # textbook NOT-EXISTS-dominator skyline (minimize both axes)
+        "q_skyline": f"""
+            WITH pts0 AS ({D.SQL_POINTS}),
+            p AS (
+                SELECT DISTINCT point_id % 64 AS grp, px AS x, py AS y
+                FROM pts0
+            )
+            SELECT grp, x, y FROM p a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.grp = a.grp AND b.x <= a.x AND b.y <= a.y
+                  AND (b.x < a.x OR b.y < a.y)
+            )
         """,
         "q_poly_poly": f"""
             WITH star AS ({D.SQL_STAR_POLYGONS}), dia AS ({D.SQL_CUST_DIAMONDS}),
