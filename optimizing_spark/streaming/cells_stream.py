@@ -351,6 +351,78 @@ def ring_state_counts(
     return fn, out_schema, state_schema
 
 
+def frontier_state_fn(kind: str = "hull"):
+    """Running convex hull / skyline per group as a custom stateful
+    operator (round 5: the streaming twin of operators/hull.py and
+    operators/skyline.py). Both reductions are MERGEABLE —
+    hull(state ∪ batch) == hull(hull(state) ∪ batch), and a dominated
+    point stays dominated — so the state is only the CURRENT frontier
+    (dozens of rows), never the history. Each micro-batch folds its
+    new points through the same exact integer NumPy kernel the batch
+    operators use and emits the full updated frontier with a
+    monotonically increasing ``upd`` counter (update-mode semantics:
+    the frontier with the max ``upd`` per group is current).
+
+    Returns (fn, out_schema, state_schema) for
+    ``groupBy(grp).applyInPandasWithState(...)`` — builder form so
+    batch tests can drive the transition function directly, like
+    ring_state_counts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    from ..operators.hull import _hull_of_arrays
+    from ..operators.skyline import _skyline_arrays
+
+    if kind not in ("hull", "skyline"):
+        raise ValueError(f"unknown frontier kind: {kind!r}")
+
+    out_schema = "grp long, seq int, x long, y long, upd long"
+    state_schema = "xs array<bigint>, ys array<bigint>, upd bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        new_x, new_y = [], []
+        for pdf in pdfs:
+            new_x.append(pdf.x.to_numpy(np.int64))
+            new_y.append(pdf.y.to_numpy(np.int64))
+        if state.exists:
+            xs, ys, upd = state.get
+            new_x.append(np.asarray(xs, dtype=np.int64))
+            new_y.append(np.asarray(ys, dtype=np.int64))
+        else:
+            upd = 0
+        x = np.concatenate(new_x) if new_x else np.empty(0, np.int64)
+        y = np.concatenate(new_y) if new_y else np.empty(0, np.int64)
+        if kind == "hull":
+            ring = _hull_of_arrays(x, y)
+            fx = np.array([p[0] for p in ring], dtype=np.int64)
+            fy = np.array([p[1] for p in ring], dtype=np.int64)
+        else:
+            pts = _skyline_arrays(x, y)
+            fx, fy = pts[:, 0], pts[:, 1]
+        upd += 1
+        state.update(([int(v) for v in fx], [int(v) for v in fy], upd))
+        yield pd.DataFrame({
+            "grp": np.full(len(fx), np.int64(key[0])),
+            "seq": np.arange(len(fx), dtype=np.int32),
+            "x": fx, "y": fy,
+            "upd": np.full(len(fx), np.int64(upd)),
+        })
+
+    return fn, out_schema, state_schema
+
+
+def streaming_frontier(pts_stream: DataFrame, kind: str = "hull") -> DataFrame:
+    """Wire frontier_state_fn onto a (grp, x, y) stream: one running
+    hull/skyline per group, state bounded by the frontier size."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fn, out_schema, state_schema = frontier_state_fn(kind)
+    return pts_stream.groupBy("grp").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 def snapshot_sink(spark, root: str, table: str,
                   partition_by: list[str] | None = None):
     """foreachBatch sink committing each micro-batch as an APPEND

@@ -492,3 +492,45 @@ def test_streaming_hex_ring_join_equals_batch(spark, tmp_path):
         & (F.col("rts") <= F.col("ts") + F.expr("INTERVAL 60 SECONDS"))
     ).select("a_id", "b_id").collect()}
     assert got == want and len(want) > 5
+
+
+def test_streaming_frontier_equals_batch(spark, tmp_path):
+    """Running hull AND skyline per group (frontier_state_fn): after
+    the stream drains — forced through MULTIPLE micro-batches with
+    maxFilesPerTrigger=1 — the frontier with the max upd counter per
+    group equals the batch operator on the same rows, for both kinds.
+    State is only the current frontier, never the point history."""
+    from optimizing_spark.operators import hull as HL
+    from optimizing_spark.operators import skyline as SKY
+
+    src = str(tmp_path / "frontier_pts")
+    pts = spark.range(4000).select(
+        (F.col("id") % 4).alias("grp"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(5)), F.lit(65536)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(6)), F.lit(65536)).alias("y"))
+    pts.repartition(4).write.parquet(src)
+    batch_pts = spark.read.parquet(src)
+
+    for kind, batch_op in (("hull", HL.convex_hull),
+                           ("skyline", SKY.skyline)):
+        stream = spark.readStream.schema("grp long, x bigint, y bigint") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        out = CS.streaming_frontier(stream, kind=kind)
+        name = f"frontier_{kind}_mem"
+        q = out.writeStream.format("memory").queryName(name) \
+            .outputMode("update").trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        got = spark.table(name).toPandas()
+        # multiple micro-batches actually happened
+        assert got.upd.max() >= 2, kind
+        last = got[got.upd == got.groupby("grp").upd.transform("max")]
+        want = batch_op(batch_pts, "grp").toPandas()
+        for g in range(4):
+            gw = want[want.grp == g]
+            gl = last[last.grp == g]
+            assert set(zip(gl.x, gl.y)) == set(zip(gw.x, gw.y)), (kind, g)
+            if kind == "hull":  # ring order matches the batch hull too
+                assert list(zip(gl.sort_values("seq").x,
+                                gl.sort_values("seq").y)) == \
+                    list(zip(gw.sort_values("seq").x,
+                             gw.sort_values("seq").y)), g
