@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 from optimizing_spark.config import POW2_WORLD_2D, POW2_WORLD_EDGE
 from optimizing_spark.functions import cells as C
 from optimizing_spark.functions import text as TX
+from optimizing_spark.operators import closest as CL
 from optimizing_spark.operators import dedup as DD
 from optimizing_spark.operators import hull as H
 from optimizing_spark.operators import interpolate as ITP
@@ -315,6 +316,17 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives iff no other point of its group is <= in both
     coordinates and < in at least one."""
     return SKY.skyline(_hull_groups(spark, sf_dir), "grp")
+
+
+def q_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closest pair (closest.closest_pair_grouped, round 5):
+    exact minimum squared distance over raw row pairs (duplicates
+    count as 0) per 64-group customer split, via the x-sweep inside
+    applyInPandas. Oracle is the brute pair min (a.point_id <>
+    b.point_id). The GLOBAL operator (closest.closest_pair_global,
+    iterative band doubling over distance_join — each round one
+    9-cell-fan-out equi-shuffle) is pytest-gated vs brute NumPy."""
+    return CL.closest_pair_grouped(_hull_groups(spark, sf_dir), "grp")
 
 
 def q_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2757,7 +2769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     likewise enter on arrival, rotating q_cell_quantiles and
     q_repetition (both driver-green rounds 3-4) to the tail; so does
     q_skyline (Pareto frontier), rotating q_focal (driver-green
-    rounds 3-4; the raster family keeps q_raster in the window).
+    rounds 3-4; the raster family keeps q_raster in the window), and
+    q_closest (closest pair), rotating q_dbscan (driver-green rounds
+    3-4; its grid-density + CC machinery stays pytest- and
+    harness-gated).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2770,7 +2785,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_join": q_pip_join,
         "q_pip_poly": q_pip_poly,
         "q_zonal": q_zonal,
-        "q_dbscan": q_dbscan,
         "q_range_join": q_range_join,
         "q_knn": q_knn,
         "q_nearest": q_nearest,
@@ -2818,8 +2832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hull": q_hull,
         "q_diameter": q_diameter,
         "q_skyline": q_skyline,
+        "q_closest": q_closest,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_dbscan": q_dbscan,
         "q_focal": q_focal,
         "q_cell_quantiles": q_cell_quantiles,
         "q_repetition": q_repetition,
@@ -3426,6 +3442,24 @@ def _text_oracles() -> dict[str, str]:
             SELECT n.grp, n.n_pts,
                    CAST(hs.hull_size AS INTEGER) AS hull_size, dm.max_d2
             FROM n JOIN hs ON hs.grp = n.grp JOIN dm ON dm.grp = n.grp
+        """,
+        "q_closest": f"""
+            WITH pts0 AS ({D.SQL_POINTS}),
+            g AS (
+                SELECT point_id, point_id % 64 AS grp, px AS x, py AS y
+                FROM pts0
+            ),
+            mins AS (
+                SELECT a.grp,
+                       MIN((a.x - b.x) * (a.x - b.x)
+                           + (a.y - b.y) * (a.y - b.y)) AS min_d2
+                FROM g a JOIN g b
+                  ON a.grp = b.grp AND a.point_id <> b.point_id
+                GROUP BY a.grp
+            ),
+            n AS (SELECT grp, COUNT(*) AS n_pts FROM g GROUP BY grp)
+            SELECT n.grp, n.n_pts, mins.min_d2
+            FROM n LEFT JOIN mins ON mins.grp = n.grp
         """,
         # textbook NOT-EXISTS-dominator skyline (minimize both axes)
         "q_skyline": f"""
