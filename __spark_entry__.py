@@ -44,6 +44,10 @@ Operator coverage map (reference file:line cites in the module docs):
                                   merge; O(h^2) diameter vs brute max)
 - skyline / Pareto frontier    -> q_skyline (sort-sweep vs
                                   NOT-EXISTS-dominator twin)
+- closest pair                 -> q_closest (grouped x-sweep; global
+                                  band-doubling over distance_join)
+- polygon area/centroid        -> q_poly_stats (pure-JVM integer
+                                  shoelace, division-free)
 plus the text/dedup/similarity/event suite (q_token_count ..
 q_top_customers) — every queries() key has an oracle_sql() twin.
 """
@@ -61,6 +65,7 @@ from pyspark.sql import functions as F
 
 from optimizing_spark.config import POW2_WORLD_2D, POW2_WORLD_EDGE
 from optimizing_spark.functions import cells as C
+from optimizing_spark.functions import geometry as G
 from optimizing_spark.functions import text as TX
 from optimizing_spark.operators import closest as CL
 from optimizing_spark.operators import dedup as DD
@@ -327,6 +332,19 @@ def q_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative band doubling over distance_join — each round one
     9-cell-fan-out equi-shuffle) is pytest-gated vs brute NumPy."""
     return CL.closest_pair_grouped(_hull_groups(spark, sf_dir), "grp")
+
+
+def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer shoelace over the concave supplier stars
+    (geometry.shoelace_cols, round 5): area2 = 2*signed_area (CCW
+    positive), cx6/cy6 = the 6*area*centroid numerators — all BIGINT,
+    division deferred to the caller, so the DuckDB twin (the same sum
+    unrolled over the 8-vertex ring) matches bit-for-bit. Pure JVM:
+    transform + aggregate inside codegen, zero Python."""
+    stars = D.star_polygons(spark, sf_dir)
+    a2, cx6, cy6 = G.shoelace_cols(F.col("vertices"))
+    return stars.select("query_id", a2.alias("area2"),
+                        cx6.alias("cx6"), cy6.alias("cy6"))
 
 
 def q_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2772,7 +2790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds 3-4; the raster family keeps q_raster in the window), and
     q_closest (closest pair), rotating q_dbscan (driver-green rounds
     3-4; its grid-density + CC machinery stays pytest- and
-    harness-gated).
+    harness-gated), and q_poly_stats (shoelace), rotating q_hll
+    (driver-green rounds 3-4; the sketch family keeps q_cms_tokens
+    and q_bloom_prune in the window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2805,7 +2825,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk_pq": q_embed_topk_pq,
         "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
-        "q_hll": q_hll,
         "q_interval": q_interval,
         "q_asof": q_asof,
         "q_qt_rollup": q_qt_rollup,
@@ -2833,8 +2852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_diameter": q_diameter,
         "q_skyline": q_skyline,
         "q_closest": q_closest,
+        "q_poly_stats": q_poly_stats,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_hll": q_hll,
         "q_dbscan": q_dbscan,
         "q_focal": q_focal,
         "q_cell_quantiles": q_cell_quantiles,
@@ -3443,6 +3464,16 @@ def _text_oracles() -> dict[str, str]:
                    CAST(hs.hull_size AS INTEGER) AS hull_size, dm.max_d2
             FROM n JOIN hs ON hs.grp = n.grp JOIN dm ON dm.grp = n.grp
         """,
+        # integer shoelace unrolled over the 8-vertex star ring; the
+        # same sums geometry.shoelace_cols folds JVM-side
+        "q_poly_stats": (lambda _sl=D.shoelace_sql(D.STAR_RING_SQL): f"""
+            WITH star AS ({D.SQL_STAR_POLYGONS})
+            SELECT query_id,
+                   CAST({_sl[0]} AS BIGINT) AS area2,
+                   CAST({_sl[1]} AS BIGINT) AS cx6,
+                   CAST({_sl[2]} AS BIGINT) AS cy6
+            FROM star
+        """)(),
         "q_closest": f"""
             WITH pts0 AS ({D.SQL_POINTS}),
             g AS (

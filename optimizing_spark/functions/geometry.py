@@ -323,3 +323,34 @@ def box_size(box: BoxCols) -> list[Column]:
     if box.is3d:
         out.append(c[5] - c[4])
     return out
+
+
+def shoelace_cols(vertices) -> list[Column]:
+    """Exact integer shoelace over a simple-polygon vertex ring
+    (array<struct<x,y>>, CCW positive): returns [area2, cx6, cy6]
+    where area2 = 2*signed_area, cx6 = 6*area*Cx and cy6 = 6*area*Cy
+    (the centroid numerators) — all BIGINT, no division, so Spark and
+    any SQL twin agree bit-for-bit; callers divide only at the edge
+    of the system. Pure JVM (transform + aggregate inside codegen),
+    no Python. Coords < 2^17 keep every term < 2^53."""
+    vs = _c(vertices)
+    n = F.size(vs)
+    edges = F.transform(
+        vs,
+        lambda v, i: F.struct(
+            v["x"].alias("x1"), v["y"].alias("y1"),
+            F.element_at(vs, (i + 1) % n + 1)["x"].alias("x2"),
+            F.element_at(vs, (i + 1) % n + 1)["y"].alias("y2"),
+        ),
+    )
+    zero = F.lit(0).cast("long")
+
+    def fold(expr):
+        return F.aggregate(edges, zero, expr)
+
+    cross = lambda e: e["x1"] * e["y2"] - e["x2"] * e["y1"]  # noqa: E731
+    return [
+        fold(lambda acc, e: acc + cross(e)),
+        fold(lambda acc, e: acc + (e["x1"] + e["x2"]) * cross(e)),
+        fold(lambda acc, e: acc + (e["y1"] + e["y2"]) * cross(e)),
+    ]

@@ -576,3 +576,18 @@ def morton_spread_sql(v: str, shift_extra: int = 0) -> str:
 
 def morton2d_sql(x: str, y: str) -> str:
     return f"({morton_spread_sql(x)} | {morton_spread_sql(y, 1)})"
+
+
+def shoelace_sql(ring: list[tuple[str, str]]) -> tuple[str, str, str]:
+    """DuckDB twin of geometry.shoelace_cols over an unrolled vertex
+    ring of (x-expr, y-expr) pairs: (area2, cx6, cy6) SQL strings."""
+    n = len(ring)
+    a2, cx6, cy6 = [], [], []
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        cr = f"(({x1}) * ({y2}) - ({x2}) * ({y1}))"
+        a2.append(cr)
+        cx6.append(f"(({x1}) + ({x2})) * {cr}")
+        cy6.append(f"(({y1}) + ({y2})) * {cr}")
+    return (" + ".join(a2), " + ".join(cx6), " + ".join(cy6))

@@ -55,3 +55,58 @@ def test_box_center_size_roundtrip(spark):
     got2 = df.select(c2[0].alias("cx"), s2[1].alias("sy")).toPandas()
     assert np.allclose(got2.cx, (pdf.min_x + pdf.max_x) * 0.5)
     assert np.allclose(got2.sy, pdf.max_y - pdf.min_y)
+
+
+def test_shoelace_matches_numpy(spark):
+    """geometry.shoelace_cols vs the NumPy shoelace on random simple
+    (star-shaped, angle-sorted) integer polygons: area2 / centroid
+    numerators exact, CW negation symmetric, triangle closed form."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.functions import geometry as G
+
+    rng = np.random.default_rng(13)
+    rows = []
+    want = {}
+    for pid in range(12):
+        n = int(rng.integers(3, 12))
+        # star-shaped around an INTERIOR center: one angle per sector
+        # (stratified), so the ring is simple AND CCW for any radii
+        cx, cy = rng.integers(2000, 60000, 2)
+        ang = 2 * np.pi * (np.arange(n) + rng.uniform(0.05, 0.95, n)) / n
+        rad = rng.integers(100, 1900, n)
+        xs = (cx + rad * np.cos(ang)).astype(np.int64)
+        ys = (cy + rad * np.sin(ang)).astype(np.int64)
+        x2 = np.roll(xs, -1)
+        y2 = np.roll(ys, -1)
+        cross = xs * y2 - x2 * ys
+        want[pid] = (int(cross.sum()),
+                     int(((xs + x2) * cross).sum()),
+                     int(((ys + y2) * cross).sum()))
+        assert want[pid][0] > 0  # CCW by construction
+        rows.append((pid, [(int(a), int(b)) for a, b in zip(xs, ys)]))
+    df = spark.createDataFrame(
+        rows, "pid long, vertices array<struct<x: long, y: long>>")
+    a2, cx6, cy6 = G.shoelace_cols(F.col("vertices"))
+    got = df.select("pid", a2.alias("a2"), cx6.alias("cx6"),
+                    cy6.alias("cy6")).toPandas()
+    for _, r in got.iterrows():
+        assert (int(r.a2), int(r.cx6), int(r.cy6)) == want[int(r.pid)]
+    # reversing the ring negates all three sums
+    rev = df.select("pid", F.reverse("vertices").alias("vertices"))
+    a2r, cx6r, cy6r = G.shoelace_cols(F.col("vertices"))
+    gotr = rev.select("pid", a2r.alias("a2"), cx6r.alias("cx6"),
+                      cy6r.alias("cy6")).toPandas()
+    for _, r in gotr.iterrows():
+        w = want[int(r.pid)]
+        assert (int(r.a2), int(r.cx6), int(r.cy6)) == \
+            (-w[0], -w[1], -w[2])
+    # unit right triangle: area2 = 1, centroid numerators 1, 1
+    tri = spark.createDataFrame(
+        [(0, [(0, 0), (1, 0), (0, 1)])],
+        "pid long, vertices array<struct<x: long, y: long>>")
+    a2t, cxt, cyt = G.shoelace_cols(F.col("vertices"))
+    r = tri.select(a2t.alias("a"), cxt.alias("x"), cyt.alias("y")) \
+        .collect()[0]
+    assert (r.a, r.x, r.y) == (1, 1, 1)
