@@ -1261,6 +1261,58 @@ def _hull_partial_probe(batches):
             "y": np.array([p[1] for p in hh], dtype=np.int64)})
 
 
+def run_closest(n: int = 20_000_000) -> dict:
+    """Global closest pair at scale (round 5): n deterministic points
+    through closest.closest_pair_global — iterative band doubling over
+    distance_join, each round ONE 9-cell-fan-out equi-shuffle. At
+    uniform density the starting band sqrt(area/n) certifies in the
+    first round, so the 20M-point exact closest pair costs one band
+    join, not an all-pairs pass.
+
+    Domain is 2^24 x 2^24 (2.8e14 cells): at 20M points the expected
+    number of coincident pairs is 20M^2 / (2 * 2.8e14) ~ 0.7, so the
+    reported minimum is (deterministically, for this seed) a genuine
+    positive nearest distance — a 65536 domain birthday-collides
+    (~46k duplicate pairs) and the answer degenerates to 0."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.config import Box2
+    from optimizing_spark.operators import closest
+    from optimizing_spark.session import get_spark
+
+    E = 1 << 24
+    world = Box2(0.0, 0.0, float(E), float(E))
+    spark = get_spark("closest_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    # hashed (not linear-congruential) coords: a lattice pattern would
+    # stack copies per cell and explode the band join's candidate count
+    pts = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("point_id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(E)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(E)).alias("y"),
+    ).localCheckpoint()
+    calib = _quick_calibration(CPUS)
+    t0 = _t.time()
+    row = closest.closest_pair_global(pts, world).collect()[0]
+    wall = _t.time() - t0
+    skew = _stage_skew()
+    return {
+        "metric": "closest_pair_points_per_sec",
+        "value": round(n / wall),
+        "unit": "points/sec",
+        "points": n,
+        "wall_sec": round(wall, 2),
+        "pair": {"id_a": row.id_a, "id_b": row.id_b,
+                 "min_d2": row.min_d2},
+        "starting_band": max(1, int((E * E / n) ** 0.5)),
+        "heaviest_stages": skew,
+        "calibration": calib,
+    }
+
+
 def run_hexscale() -> dict:
     """North-rule scaling criterion tied to the metric's OWN pipeline:
     the hex tile-x3 + ring join at local[N] vs local[4N] over the same
@@ -1330,6 +1382,8 @@ if __name__ == "__main__":
         print(json.dumps(run_poly()))
     elif "--hull" in sys.argv:
         print(json.dumps(run_hull()))
+    elif "--closest" in sys.argv:
+        print(json.dumps(run_closest()))
     elif "--hexscale" in sys.argv:
         print(json.dumps(run_hexscale()))
     elif "--hex" in sys.argv:
