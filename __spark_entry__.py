@@ -347,6 +347,21 @@ def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cx6.alias("cx6"), cy6.alias("cy6"))
 
 
+def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve index per object (cells.with_hilbert2d, round 5):
+    the locality-optimal space-filling alternative to q_morton's
+    Z-order for write clustering — consecutive codes are ALWAYS
+    grid-adjacent, so viewport reads decompose into ~3x fewer
+    contiguous code runs (Moon et al. 2001; measured in
+    tests/test_hilbert.py and bench --hilbert). Branch-free per-bit
+    descend-and-rotate: 16 chained pure-BIGINT projections, one
+    whole-stage-codegen span, no CASE/UDF/shuffle; the DuckDB twin is
+    the same arithmetic as a generated 16-step CTE chain
+    (cells.hilbert2d_sql), bit-for-bit."""
+    o = D.objects2d(spark, sf_dir).select("obj_id", "ix", "iy")
+    return C.with_hilbert2d(o).select("obj_id", "h")
+
+
 def q_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon-polygon overlap join (joins.polygon_polygon_join):
     concave supplier stars vs broadcast customer diamonds, exact
@@ -2792,7 +2807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3-4; its grid-density + CC machinery stays pytest- and
     harness-gated), and q_poly_stats (shoelace), rotating q_hll
     (driver-green rounds 3-4; the sketch family keeps q_cms_tokens
-    and q_bloom_prune in the window).
+    and q_bloom_prune in the window), and q_hilbert (Hilbert curve),
+    rotating q_embed_neardup (the O(N^2) all-pairs exact control,
+    driver-green rounds 1-4; the ANN family keeps q_embed_neardup_lsh
+    and the three q_embed_topk variants in the window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2823,7 +2841,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk": q_embed_topk,
         "q_embed_topk_ivf": q_embed_topk_ivf,
         "q_embed_topk_pq": q_embed_topk_pq,
-        "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_interval": q_interval,
         "q_asof": q_asof,
@@ -2853,8 +2870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_closest": q_closest,
         "q_poly_stats": q_poly_stats,
+        "q_hilbert": q_hilbert,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_embed_neardup": q_embed_neardup,
         "q_hll": q_hll,
         "q_dbscan": q_dbscan,
         "q_focal": q_focal,
@@ -2888,6 +2907,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _hilbert_oracle_sql(objs: str) -> str:
+    """q_hilbert's DuckDB twin: the generated 16-step branch-free CTE
+    chain (cells.hilbert2d_sql) — same BIGINT arithmetic as the Spark
+    projection chain, so codes match bit-for-bit."""
+    chain, fin, col = C.hilbert2d_sql("ix", "iy", "objs")
+    return f"""
+        WITH objs AS ({objs}),
+        {chain}
+        SELECT obj_id, {col} AS h FROM {fin}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     objs = D.SQL_OBJECTS
     qb = D.SQL_QUERY_BOXES
@@ -2914,6 +2945,7 @@ def oracle_sql() -> dict[str, str]:
             WITH objs AS ({objs})
             SELECT obj_id, {D.morton2d_sql('ix', 'iy')} AS m FROM objs
         """,
+        "q_hilbert": _hilbert_oracle_sql(objs),
         "q_qt_assign": f"""
             {tiled}
             SELECT obj_id, qt_depth, qt_code FROM tiled

@@ -1313,6 +1313,86 @@ def run_closest(n: int = 20_000_000) -> dict:
     }
 
 
+def run_hilbert(n: int = 20_000_000) -> dict:
+    """Hilbert vs Morton (round 5): (a) encode throughput over n
+    deterministic 16-bit points — both pure-JVM codegen chains, so
+    this prices the 16-step Hilbert rotate against the 4-step Morton
+    spread; (b) the reason to pay it: contiguous code RUNS per random
+    256x256 viewport (1024 boxes enumerated cell-by-cell = 67M rows),
+    i.e. how many separate range reads a clustered layout needs per
+    query. Moon et al. 2001 predicts ~q^2/3 runs for Hilbert vs ~2q^2/3
+    for Morton on a q x q region."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from optimizing_spark.functions import cells as C
+    from optimizing_spark.session import get_spark
+
+    spark = get_spark("hilbert_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    E = 65536
+    pts = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("obj_id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(E)).alias("ix"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(E)).alias("iy"),
+    ).localCheckpoint()
+    out = {"metric": "hilbert_encode_points_per_sec", "unit": "points/sec",
+           "points": n}
+    t0 = _t.time()
+    h_chk = C.with_hilbert2d(pts).agg(
+        F.sum(F.col("h") % F.lit(1 << 20))).collect()[0][0]
+    hil = _t.time() - t0
+    t0 = _t.time()
+    m_chk = pts.select(
+        C.morton2d(F.col("ix"), F.col("iy")).alias("m")).agg(
+        F.sum(F.col("m") % F.lit(1 << 20))).collect()[0][0]
+    mor = _t.time() - t0
+    out["value"] = round(n / hil)
+    out["hilbert_encode_sec"] = round(hil, 2)
+    out["morton_encode_sec"] = round(mor, 2)
+    out["checksums"] = {"hilbert": h_chk, "morton": m_chk}
+
+    # clustering: contiguous runs per 256x256 box, 1024 random boxes
+    q, n_boxes = 256, 1024
+    boxes = spark.range(n_boxes).select(
+        F.col("id").alias("box"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(E - q)).alias("x0"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(E - q)).alias("y0"))
+    cells_df = (
+        boxes.withColumn("dx", F.explode(F.sequence(F.lit(0), F.lit(q - 1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(0), F.lit(q - 1))))
+        .select("box", (F.col("x0") + F.col("dx")).alias("ix"),
+                (F.col("y0") + F.col("dy")).alias("iy")))
+    enc = C.with_hilbert2d(cells_df, out="h").withColumn(
+        "m", C.morton2d(F.col("ix"), F.col("iy"))).localCheckpoint()
+
+    def _runs(col: str) -> tuple[float, float]:
+        w = Window.partitionBy("box").orderBy(col)
+        t0 = _t.time()
+        r = (enc.withColumn("prev", F.lag(col).over(w))
+             .where(F.col("prev").isNull()
+                    | (F.col(col) != F.col("prev") + 1))
+             .groupBy("box").agg(F.count("*").alias("runs"))
+             .agg(F.avg("runs")).collect()[0][0])
+        return r, _t.time() - t0
+    h_runs, h_sec = _runs("h")
+    m_runs, m_sec = _runs("m")
+    out["viewport"] = {
+        "box_edge": q, "boxes": n_boxes,
+        "cells_enumerated": n_boxes * q * q,
+        "hilbert_avg_runs": round(h_runs, 1),
+        "morton_avg_runs": round(m_runs, 1),
+        "runs_ratio_morton_over_hilbert": round(m_runs / h_runs, 2),
+        "moon_prediction_hilbert": round(q * q / 3),
+        "wall_sec": round(h_sec + m_sec, 2),
+    }
+    out["heaviest_stages"] = _stage_skew()
+    return out
+
+
 def run_hexscale() -> dict:
     """North-rule scaling criterion tied to the metric's OWN pipeline:
     the hex tile-x3 + ring join at local[N] vs local[4N] over the same
@@ -1384,6 +1464,8 @@ if __name__ == "__main__":
         print(json.dumps(run_hull()))
     elif "--closest" in sys.argv:
         print(json.dumps(run_closest()))
+    elif "--hilbert" in sys.argv:
+        print(json.dumps(run_hilbert()))
     elif "--hexscale" in sys.argv:
         print(json.dumps(run_hexscale()))
     elif "--hex" in sys.argv:

@@ -407,6 +407,96 @@ def assign_octree_capacity_pow2(
 
 
 # ---------------------------------------------------------------------------
+# Hilbert curve encoding (locality-optimal space-filling curve)
+# ---------------------------------------------------------------------------
+
+HILBERT_BITS = 16  # full resolution of the [0, 65536)^2 integer world
+
+
+def with_hilbert2d(df, x: str = "ix", y: str = "iy", out: str = "h",
+                   bits: int = HILBERT_BITS):
+    """Append the Hilbert-curve index of integer grid coords (x, y) in
+    [0, 2^bits)^2 — the locality-optimal alternative to ``morton2d``
+    for clustering writes (plans/layout): consecutive Hilbert codes
+    are ALWAYS 4-adjacent grid cells (Morton jumps a row/column
+    boundary every other step), so a spatial range read touches fewer
+    contiguous code runs (Moon et al., "Analysis of the Clustering
+    Properties of the Hilbert Space-Filling Curve", TKDE 2001).
+
+    Canonical per-bit descend-and-rotate (the Wikipedia xy2d form),
+    branch-FREE: with rx = bit k of x, ry = bit k of y,
+
+        d  += 4^k * (3*rx XOR ry)     [= 3*rx + ry - 2*rx*ry]
+        x' = ry*x + (1-ry)*(rx*(N-1) + (1-2*rx)*y)   [flip+swap]
+        y' = ry*y + (1-ry)*(rx*(N-1) + (1-2*rx)*x]
+
+    so every step is pure BIGINT arithmetic in whole-stage codegen —
+    no CASE, no UDF. Each step materializes named columns (a chain of
+    ``bits`` Projects): rx/ry/x/y are referenced 2-3x downstream and
+    are non-cheap, so Catalyst keeps the chain instead of inlining
+    (exponential blow-up) — same discipline as the unrolled octree
+    descent above. ANSI-safe: every intermediate < 2^32.
+
+    Driver-safe closed-form cell math: scan -> 3*bits chained
+    projections, no filter/join, so default-config constraint
+    propagation stays linear. The reference keeps spatial order with
+    an in-memory tree walk; at 100 TB the analog is SORTING BY this
+    column at write time — a one-time range shuffle that buys
+    row-group skipping on every later read."""
+    n = 1 << bits
+    hx, hy, hd = f"_{out}_x", f"_{out}_y", f"_{out}_d"
+    rx, ry = f"_{out}_rx", f"_{out}_ry"
+    df = df.withColumns({
+        hx: F.col(x).cast("long"),
+        hy: F.col(y).cast("long"),
+        hd: F.lit(0).cast("long"),
+    })
+    for k in range(bits - 1, -1, -1):
+        df = df.withColumns({
+            rx: F.shiftright(F.col(hx), k).bitwiseAND(F.lit(1)),
+            ry: F.shiftright(F.col(hy), k).bitwiseAND(F.lit(1)),
+        })
+        cx, cy, crx, cry = F.col(hx), F.col(hy), F.col(rx), F.col(ry)
+        flip = crx * F.lit(n - 1)
+        sign = F.lit(1) - F.lit(2) * crx
+        df = df.withColumns({
+            hd: F.col(hd) + F.lit(1 << (2 * k)) * (
+                F.lit(3) * crx + cry - F.lit(2) * crx * cry),
+            hx: cry * cx + (F.lit(1) - cry) * (flip + sign * cy),
+            hy: cry * cy + (F.lit(1) - cry) * (flip + sign * cx),
+        })
+    return df.withColumn(out, F.col(hd)).drop(hx, hy, hd, rx, ry)
+
+
+def hilbert2d_sql(x: str, y: str, base: str, bits: int = HILBERT_BITS,
+                  cols: str = "obj_id") -> tuple[str, str, str]:
+    """DuckDB twin of with_hilbert2d: returns (cte_chain, final_cte,
+    final_col) where cte_chain is a ``h0 AS (...), h1 AS (...), ...``
+    fragment to splice after ``WITH {base} AS (...)``. Step i's
+    columns are suffixed (x{i}, y{i}, d{i}) so DuckDB's lateral
+    column aliases can never capture the wrong generation; every
+    expression is the same branch-free BIGINT arithmetic as the Spark
+    chain, so codes agree bit-for-bit."""
+    n = 1 << bits
+    ctes = [f"h0 AS (SELECT {cols}, CAST({x} AS BIGINT) AS x0, "
+            f"CAST({y} AS BIGINT) AS y0, CAST(0 AS BIGINT) AS d0 FROM {base})"]
+    for i in range(1, bits + 1):
+        k = bits - i
+        p = i - 1
+        rx = f"((x{p} >> {k}) & 1)"
+        ry = f"((y{p} >> {k}) & 1)"
+        quad = f"(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        flip = f"{rx} * {n - 1}"
+        sign = f"(1 - 2 * {rx})"
+        ctes.append(
+            f"h{i} AS (SELECT {cols}, "
+            f"{ry} * x{p} + (1 - {ry}) * ({flip} + {sign} * y{p}) AS x{i}, "
+            f"{ry} * y{p} + (1 - {ry}) * ({flip} + {sign} * x{p}) AS y{i}, "
+            f"d{p} + {1 << (2 * k)} * {quad} AS d{i} FROM h{p})")
+    return ",\n".join(ctes), f"h{bits}", f"d{bits}"
+
+
+# ---------------------------------------------------------------------------
 # Hexagonal cell index (H3-analog binning)
 # ---------------------------------------------------------------------------
 
