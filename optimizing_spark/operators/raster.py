@@ -161,6 +161,101 @@ def focal_sum(
     return raster.join(agg, [x, y])
 
 
+def kde_grid(
+    points: DataFrame,
+    depth: int,
+    radius: int,
+    x: str = "x",
+    y: str = "y",
+    world_bits: int = 16,
+) -> DataFrame:
+    """Kernel-density surface on the power-of-two grid (round 5): for
+    every grid cell whose CENTER lies within ``radius`` of at least
+    one point, the sum of unnormalized integer Epanechnikov weights
+
+        w(p, c) = max(0, radius^2 - d2(p, center(c)))
+
+    over all such points — the heatmap/hotspot operator of GIS
+    (Silverman's KDE with the Epanechnikov kernel, public literature),
+    quantized so Spark and the SQL twin agree at any accumulation
+    order. Grid: cell edge 2^(world_bits - depth), center at
+    cell*edge + edge/2 (exact integers for depth < world_bits).
+
+    Plan shape: SCATTER like focal_sum — each point explodes to the
+    (2k+1)^2 cells its kernel support can reach (k = ceil((radius +
+    half_diag_reach)/edge), a CONSTANT fan-out), zero-weight
+    candidates die in a filter BEFORE the shuffle, then ONE hash
+    aggregation keyed on uniform cells — never a points x cells
+    product. Same plan at 100 TB: fan-out is constant, the shuffle
+    keys are the grid. Returns (cx, cy, density, n_pts).
+
+    Boundary semantics: cells are NOT clamped to the world — a point
+    near the edge contributes to out-of-world cells (negative /
+    >= 2^depth coords) whose centers are still within radius; the twin
+    mirrors this exactly. ANSI-safe: weights < 2^2*world_bits, sums
+    bounded by n * radius^2 < 2^63 at any realistic n."""
+    edge = 1 << (world_bits - depth)
+    half = edge // 2
+    r2 = radius * radius
+    # kernel support reaches centers within radius of the point; the
+    # point sits anywhere in its own cell, so cover ceil((radius+half)
+    # /edge) rings (center offset from own-cell center <= radius+half)
+    k = -(-(radius + half) // edge)
+    px_cell = F.shiftright(F.col(x).cast("long"), world_bits - depth)
+    py_cell = F.shiftright(F.col(y).cast("long"), world_bits - depth)
+    offs = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-k, k + 1) for dy in range(-k, k + 1)])).alias("_o")
+    cand = points.select(
+        F.col(x).cast("long").alias("_px"), F.col(y).cast("long").alias("_py"),
+        px_cell.alias("_cx0"), py_cell.alias("_cy0"), offs)
+    cand = cand.select(
+        "_px", "_py",
+        (F.col("_cx0") + F.col("_o.dx")).alias("cx"),
+        (F.col("_cy0") + F.col("_o.dy")).alias("cy"))
+    ccx = F.col("cx") * edge + half
+    ccy = F.col("cy") * edge + half
+    d2 = (F.col("_px") - ccx) * (F.col("_px") - ccx) \
+        + (F.col("_py") - ccy) * (F.col("_py") - ccy)
+    w = (F.lit(r2) - d2)
+    return (cand.withColumn("_w", w).where(F.col("_w") > 0)
+            .groupBy("cx", "cy")
+            .agg(F.sum("_w").alias("density"),
+                 F.count("*").alias("n_pts")))
+
+
+def kde_grid_sql(points_sql: str, depth: int, radius: int,
+                 x: str = "x", y: str = "y", world_bits: int = 16) -> str:
+    """DuckDB twin of kde_grid: the same scatter as a points x literal
+    offset-VALUES join — identical integer weights, identical
+    unclamped boundary semantics; floor division via >> on the
+    (non-negative, in-world) point coords matches Spark shiftright."""
+    edge = 1 << (world_bits - depth)
+    half = edge // 2
+    r2 = radius * radius
+    k = -(-(radius + half) // edge)
+    vals = ", ".join(f"({dx}, {dy})"
+                     for dx in range(-k, k + 1) for dy in range(-k, k + 1))
+    return f"""
+        WITH pts AS ({points_sql}),
+        offs(dx, dy) AS (VALUES {vals}),
+        cand AS (
+            SELECT (CAST({x} AS BIGINT) >> {world_bits - depth}) + dx AS cx,
+                   (CAST({y} AS BIGINT) >> {world_bits - depth}) + dy AS cy,
+                   CAST({x} AS BIGINT) AS px, CAST({y} AS BIGINT) AS py
+            FROM pts CROSS JOIN offs
+        )
+        SELECT cx, cy,
+               sum({r2} - ((px - (cx * {edge} + {half})) * (px - (cx * {edge} + {half}))
+                         + (py - (cy * {edge} + {half})) * (py - (cy * {edge} + {half})))) AS density,
+               count(*) AS n_pts
+        FROM cand
+        WHERE ((px - (cx * {edge} + {half})) * (px - (cx * {edge} + {half}))
+             + (py - (cy * {edge} + {half})) * (py - (cy * {edge} + {half}))) < {r2}
+        GROUP BY cx, cy
+    """
+
+
 GAMMA = 1.0 / 2.2  # Raytracing.hpp:697
 
 

@@ -121,3 +121,54 @@ def test_focal_sum_matches_numpy_stencil(spark):
     b = {(r["px"], r["py"]): (r["focal_sum"], r["focal_n"])
          for r in focal_sum(df.repartition(7, "px")).collect()}
     assert b == want
+
+
+def test_kde_grid_matches_brute_and_twin(spark):
+    """kde_grid vs the brute points x all-cells NumPy sum AND the
+    DuckDB twin, including out-of-world boundary cells and the
+    zero-weight filter; partition invariance of the scatter."""
+    import duckdb
+
+    rng = np.random.default_rng(99)
+    n, bits, depth, radius = 400, 10, 5, 120
+    edge = 1 << (bits - depth)  # 32
+    half = edge // 2
+    xs = rng.integers(0, 1 << bits, n)
+    ys = rng.integers(0, 1 << bits, n)
+    # force boundary coverage
+    xs[:4] = [0, (1 << bits) - 1, 0, (1 << bits) - 1]
+    ys[:4] = [0, 0, (1 << bits) - 1, (1 << bits) - 1]
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(xs, ys)], "x long, y long")
+    got = {(r.cx, r.cy): (r.density, r.n_pts)
+           for r in raster.kde_grid(df, depth=depth, radius=radius,
+                                    world_bits=bits).collect()}
+    # brute: every cell center within radius of any point, unclamped
+    want = {}
+    r2 = radius * radius
+    kmax = (radius + half) // edge + 2
+    for px, py in zip(xs.tolist(), ys.tolist()):
+        cx0, cy0 = px >> (bits - depth), py >> (bits - depth)
+        for cx in range(cx0 - kmax, cx0 + kmax + 1):
+            for cy in range(cy0 - kmax, cy0 + kmax + 1):
+                d2 = (px - (cx * edge + half)) ** 2 + (py - (cy * edge + half)) ** 2
+                if d2 < r2:
+                    s, c = want.get((cx, cy), (0, 0))
+                    want[(cx, cy)] = (s + r2 - d2, c + 1)
+    assert got == want
+    # out-of-world cells really occur (corner points reach past 0)
+    assert any(cx < 0 or cy < 0 for cx, cy in got)
+    # partition invariance
+    got2 = {(r.cx, r.cy): (r.density, r.n_pts)
+            for r in raster.kde_grid(df.repartition(7, "y"), depth=depth,
+                                     radius=radius, world_bits=bits).collect()}
+    assert got2 == want
+    # DuckDB twin
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?,?)",
+                    [(int(a), int(b)) for a, b in zip(xs, ys)])
+    sql = raster.kde_grid_sql("SELECT * FROM p", depth=depth,
+                              radius=radius, world_bits=bits)
+    duck = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert duck == want
