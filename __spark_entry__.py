@@ -72,6 +72,7 @@ from optimizing_spark.operators import dedup as DD
 from optimizing_spark.operators import hull as H
 from optimizing_spark.operators import interpolate as ITP
 from optimizing_spark.operators import joins as J
+from optimizing_spark.operators import raster as R
 from optimizing_spark.operators import similarity as SIM
 from optimizing_spark.operators import skyline as SKY
 from optimizing_spark.sources import derived as D
@@ -430,6 +431,21 @@ def q_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("py"), 11).alias("cy"),
     ).groupBy("cx", "cy").agg(F.count("*").alias("n"))
     return focal_sum(r, value="n", x="cx", y="cy")
+
+
+def q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-density heatmap (operators/raster.kde_grid, round 5):
+    unnormalized integer Epanechnikov density over every depth-5 grid
+    cell whose center lies within radius 3000 of a customer point —
+    the GIS hotspot surface. Constant (2k+1)^2 scatter per point
+    (k=2 here), zero-weight candidates filtered BEFORE the shuffle,
+    ONE hash agg on uniform cell keys — never points x cells. The
+    DuckDB twin is the same scatter as a literal offsets VALUES join,
+    identical integer weights and unclamped boundary semantics."""
+    from optimizing_spark.operators.raster import kde_grid
+
+    p = D.points(spark, sf_dir)
+    return kde_grid(p, depth=5, radius=3000, x="px", y="py")
 
 
 _FOCAL_SQL = f"""
@@ -2807,10 +2823,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3-4; its grid-density + CC machinery stays pytest- and
     harness-gated), and q_poly_stats (shoelace), rotating q_hll
     (driver-green rounds 3-4; the sketch family keeps q_cms_tokens
-    and q_bloom_prune in the window), and q_hilbert (Hilbert curve),
+    and q_bloom_prune in the window), q_hilbert (Hilbert curve),
     rotating q_embed_neardup (the O(N^2) all-pairs exact control,
     driver-green rounds 1-4; the ANN family keeps q_embed_neardup_lsh
-    and the three q_embed_topk variants in the window).
+    and the three q_embed_topk variants in the window), and q_kde
+    (Epanechnikov heatmap), rotating q_stratified (driver-green
+    rounds 3-4; q_sample keeps the sampling family harness-covered).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2848,7 +2866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_top_tokens": q_top_tokens,
         "q_cms_tokens": q_cms_tokens,
-        "q_stratified": q_stratified,
         "q_multi_assign": q_multi_assign,
         "q_snapshot_delete": q_snapshot_delete,
         "q_snapshot_changes": q_snapshot_changes,
@@ -2871,8 +2888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_closest": q_closest,
         "q_poly_stats": q_poly_stats,
         "q_hilbert": q_hilbert,
+        "q_kde": q_kde,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_stratified": q_stratified,
         "q_embed_neardup": q_embed_neardup,
         "q_hll": q_hll,
         "q_dbscan": q_dbscan,
@@ -2977,6 +2996,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN stats st ON st.query_id = CAST(s.s_suppkey AS BIGINT)
         """,
         "q_focal": _FOCAL_SQL.format(pts=D.SQL_POINTS),
+        "q_kde": R.kde_grid_sql(D.SQL_POINTS, depth=5, radius=3000,
+                                x="px", y="py"),
         "q_dbscan": _DBSCAN_SQL.format(
             pts=D.SQL_POINTS,
             shift=16 - _DBSCAN_DEPTH,

@@ -246,9 +246,9 @@ def kde_grid_sql(points_sql: str, depth: int, radius: int,
             FROM pts CROSS JOIN offs
         )
         SELECT cx, cy,
-               sum({r2} - ((px - (cx * {edge} + {half})) * (px - (cx * {edge} + {half}))
-                         + (py - (cy * {edge} + {half})) * (py - (cy * {edge} + {half})))) AS density,
-               count(*) AS n_pts
+               CAST(sum({r2} - ((px - (cx * {edge} + {half})) * (px - (cx * {edge} + {half}))
+                         + (py - (cy * {edge} + {half})) * (py - (cy * {edge} + {half})))) AS BIGINT) AS density,
+               CAST(count(*) AS BIGINT) AS n_pts
         FROM cand
         WHERE ((px - (cx * {edge} + {half})) * (px - (cx * {edge} + {half}))
              + (py - (cy * {edge} + {half})) * (py - (cy * {edge} + {half}))) < {r2}
