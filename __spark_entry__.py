@@ -2516,6 +2516,29 @@ def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(ev, stratum="event_type", key="event_id", k=20)
 
 
+def q_wsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional document sample WITHOUT
+    replacement (priority sampling, Duffield-Lund-Thorup JACM 2007):
+    the 100 largest priorities w/u with u = (h+1)/2^60, w = n_chars,
+    h the salted md5-prefix uniform — importance-weighted corpus
+    subsampling, reproducible across partitionings and engines. Unlike
+    ln/pow-based A-ES keys, the priority is one exact power-of-two
+    multiply + ONE correctly-rounded IEEE division of
+    exactly-converted integers, so Spark and DuckDB compute the
+    identical double — no rounding bridge. Plan:
+    TakeOrderedAndProject (map-side local top-k, one tiny reduce, the
+    docs table never shuffles). est_w = max(w, tau) is the
+    priority-sampling Horvitz-Thompson weight (tau = the 101st
+    priority), unbiased for subset sums — replayed exactly by the
+    twin."""
+    from optimizing_spark.operators.sampling import weighted_sample
+
+    d = D.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(
+        d, "n_chars", "doc_id", k=100, with_estimator=True
+    ).select("doc_id", "n_chars", "priority", "est_w")
+
+
 def q_multi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 multi-assign: one row per (object, overlapped depth-6 grid
     cell) — the duplicate-to-all-children mode."""
@@ -2828,7 +2851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-green rounds 1-4; the ANN family keeps q_embed_neardup_lsh
     and the three q_embed_topk variants in the window), and q_kde
     (Epanechnikov heatmap), rotating q_stratified (driver-green
-    rounds 3-4; q_sample keeps the sampling family harness-covered).
+    rounds 3-4; q_sample keeps the sampling family harness-covered),
+    and q_wsample (priority-sampling weighted sample), rotating
+    q_cell_counts (driver-green rounds 1-4; the cell-count family
+    keeps q_hex_counts and q_qt_rollup in the window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2836,7 +2862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- gate window (first 50) ---
-        "q_cell_counts": q_cell_counts,
         "q_qt_assign": q_qt_assign,
         "q_pip_join": q_pip_join,
         "q_pip_poly": q_pip_poly,
@@ -2889,8 +2914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_poly_stats": q_poly_stats,
         "q_hilbert": q_hilbert,
         "q_kde": q_kde,
+        "q_wsample": q_wsample,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_cell_counts": q_cell_counts,
         "q_stratified": q_stratified,
         "q_embed_neardup": q_embed_neardup,
         "q_hll": q_hll,
@@ -2998,6 +3025,29 @@ def oracle_sql() -> dict[str, str]:
         "q_focal": _FOCAL_SQL.format(pts=D.SQL_POINTS),
         "q_kde": R.kde_grid_sql(D.SQL_POINTS, depth=5, radius=3000,
                                 x="px", y="py"),
+        # priority sampling: the integer hash + ONE IEEE division makes
+        # the priority bit-identical in both engines (no libm bridge);
+        # tau = the 101st priority, est_w = max(w, tau)
+        "q_wsample": """
+            WITH pri AS (
+                SELECT doc_id, n_chars,
+                       (CAST(n_chars AS DOUBLE)
+                        * CAST(1152921504606846976 AS DOUBLE)) /
+                       CAST(CAST(('0x' || substr(md5('ws:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                            + 1 AS DOUBLE) AS priority
+                FROM documents
+            ), top AS (
+                SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT 101
+            ), tau AS (
+                SELECT CASE WHEN count(*) > 100 THEN min(priority)
+                            ELSE 0.0 END AS tau FROM top
+            )
+            SELECT doc_id, n_chars, priority,
+                   GREATEST(CAST(n_chars AS DOUBLE), tau.tau) AS est_w
+            FROM (SELECT * FROM top
+                  ORDER BY priority DESC, doc_id LIMIT 100) s, tau
+        """,
         "q_dbscan": _DBSCAN_SQL.format(
             pts=D.SQL_POINTS,
             shift=16 - _DBSCAN_DEPTH,

@@ -10,6 +10,7 @@ from optimizing_spark.operators.sampling import (
     bernoulli_sample,
     stratified_sample,
     uniform_hash,
+    weighted_sample,
 )
 
 
@@ -116,3 +117,84 @@ def test_stratified_plan_pushes_group_limit(spark, docs_df):
     # partial top-k runs map-side before the single stratum exchange
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (priority sampling)
+# ---------------------------------------------------------------------------
+
+def _pri(key, w, salt="ws"):
+    import hashlib
+    h = int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:15], 16)
+    import numpy as np
+    # w / u with u = (h+1)/2^60: the power-of-two multiply is exact
+    return float(np.float64(w) * np.float64(1 << 60) / np.float64(h + 1))
+
+
+def _replay(items, k, salt="ws"):
+    """NumPy/hashlib replay of the whole scheme: top-k by (priority
+    desc, key asc), tau = (k+1)th priority, est_w = max(w, tau)."""
+    pri = sorted(((-_pri(key, w, salt), key, w) for key, w in items))
+    tau = -pri[k][0] if len(pri) > k else 0.0
+    return [(key, w, -np, max(float(w), tau)) for np, key, w in pri[:k]]
+
+
+@pytest.fixture(scope="module")
+def weighted_df(spark):
+    # weights 1..97 cycling, incl. zero-weight rows that must sort last
+    rows = [(i, (i * 13) % 97 + (0 if i % 50 == 0 else 1))
+            for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, w long")
+
+
+def test_weighted_sample_matches_replay(spark, weighted_df):
+    got = weighted_sample(
+        weighted_df, "w", "doc_id", k=25, with_estimator=True).collect()
+    rows = [(r.doc_id, r.w) for r in weighted_df.collect()]
+    want = _replay(rows, 25)
+    assert [(r.doc_id, r.w, r.priority, r.est_w) for r in got] == want
+
+
+def test_weighted_sample_partition_invariant(spark, weighted_df):
+    a = weighted_sample(weighted_df, "w", "doc_id", k=25).collect()
+    b = weighted_sample(
+        weighted_df.repartition(11, "w"), "w", "doc_id", k=25).collect()
+    assert [(r.doc_id, r.priority) for r in a] == \
+        [(r.doc_id, r.priority) for r in b]
+
+
+def test_weighted_sample_plan_is_take_ordered(spark, weighted_df):
+    plan = (
+        weighted_sample(weighted_df, "w", "doc_id", k=25)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # map-side local top-k + one tiny reduce; the table never shuffles
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_weighted_sample_small_table_tau_zero(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_id long, w long")
+    got = weighted_sample(df, "w", "doc_id", k=10,
+                          with_estimator=True).collect()
+    assert len(got) == 5
+    # N <= k: everything included, tau = 0, est_w = w exactly
+    assert all(r.est_w == float(r.w) for r in got)
+
+
+def test_priority_estimator_unbiased_numpy():
+    """Priority sampling's subset-sum estimator E[sum max(w, tau)] =
+    sum w for any k (Duffield-Lund-Thorup). Replay the scheme over
+    many salts (independent hash draws) in pure NumPy and check the
+    mean estimate converges to the true total."""
+    items = [(i, (i * 7) % 31 + 1) for i in range(120)]
+    total = sum(w for _, w in items)
+    k = 20
+    ests = []
+    for s in range(300):
+        samp = _replay(items, k, salt=f"s{s}")
+        ests.append(sum(e for _, _, _, e in samp))
+    import numpy as np
+    mean = float(np.mean(ests))
+    assert abs(mean - total) / total < 0.05, (mean, total)
