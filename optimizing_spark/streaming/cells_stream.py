@@ -423,6 +423,86 @@ def streaming_frontier(pts_stream: DataFrame, kind: str = "hull") -> DataFrame:
         GroupStateTimeout.NoTimeout)
 
 
+def wsample_state_fn(k: int, salt: str = "ws"):
+    """Running weight-proportional sample per group — the streaming
+    twin of operators/sampling.weighted_sample (priority sampling).
+    The priority is a PURE function of (salt, key, w), so top-k by
+    priority is one more mergeable frontier reduction:
+    topk(state ∪ batch) == topk(topk(state) ∪ batch); the state is
+    only the current k (ids, ws) — never the stream history. Each
+    micro-batch recomputes priorities with the exact replay of the
+    batch operator's md5 uniform (hash60) and IEEE arithmetic, so the
+    drained stream equals the batch sample bit-for-bit, priorities
+    included. Duplicate ids within a fold collapse to their first
+    occurrence, making the fold idempotent under at-least-once
+    re-delivery of a row.
+
+    Returns (fn, out_schema, state_schema) for
+    ``groupBy(grp).applyInPandasWithState(...)`` — builder form so
+    batch tests can drive the transition function directly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "grp long, doc_id long, w long, priority double, upd long"
+    state_schema = "ids array<bigint>, ws array<bigint>, upd bigint"
+    scale = np.float64(1 << 60)
+
+    def _priorities(ids: np.ndarray, ws: np.ndarray) -> np.ndarray:
+        pr = np.empty(len(ids), dtype=np.float64)
+        for i in range(len(ids)):
+            h = int(hashlib.md5(
+                f"{salt}:{ids[i]}".encode()).hexdigest()[:15], 16)
+            pr[i] = np.float64(ws[i]) * scale / np.float64(h + 1)
+        return pr
+
+    def fn(key, pdfs, state: GroupState):
+        ids_parts, ws_parts = [], []
+        for pdf in pdfs:
+            ids_parts.append(pdf.doc_id.to_numpy(np.int64))
+            ws_parts.append(pdf.w.to_numpy(np.int64))
+        if state.exists:
+            sids, sws, upd = state.get
+            ids_parts.append(np.asarray(sids, dtype=np.int64))
+            ws_parts.append(np.asarray(sws, dtype=np.int64))
+        else:
+            upd = 0
+        ids = np.concatenate(ids_parts) if ids_parts \
+            else np.empty(0, np.int64)
+        ws = np.concatenate(ws_parts) if ws_parts \
+            else np.empty(0, np.int64)
+        _, first = np.unique(ids, return_index=True)
+        ids, ws = ids[first], ws[first]
+        pr = _priorities(ids, ws)
+        # priority desc, id asc — the batch operator's exact order
+        order = np.lexsort((ids, -pr))[:k]
+        ids, ws, pr = ids[order], ws[order], pr[order]
+        upd += 1
+        state.update(([int(v) for v in ids], [int(v) for v in ws], upd))
+        yield pd.DataFrame({
+            "grp": np.full(len(ids), np.int64(key[0])),
+            "doc_id": ids, "w": ws, "priority": pr,
+            "upd": np.full(len(ids), np.int64(upd)),
+        })
+
+    return fn, out_schema, state_schema
+
+
+def streaming_wsample(
+    stream: DataFrame, k: int, salt: str = "ws"
+) -> DataFrame:
+    """Wire wsample_state_fn onto a (grp, doc_id, w) stream: one
+    running weighted sample per group, O(k) state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fn, out_schema, state_schema = wsample_state_fn(k, salt)
+    return stream.groupBy("grp").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 def snapshot_sink(spark, root: str, table: str,
                   partition_by: list[str] | None = None):
     """foreachBatch sink committing each micro-batch as an APPEND

@@ -534,3 +534,37 @@ def test_streaming_frontier_equals_batch(spark, tmp_path):
                                 gl.sort_values("seq").y)) == \
                     list(zip(gw.sort_values("seq").x,
                              gw.sort_values("seq").y)), g
+
+
+def test_streaming_wsample_equals_batch(spark, tmp_path):
+    """Running weighted sample per group (wsample_state_fn): after the
+    stream drains across MULTIPLE micro-batches, the max-upd sample per
+    group equals operators/sampling.weighted_sample on the same rows —
+    ids, weights, order AND the IEEE priorities bit-for-bit. State is
+    only the current top-k, never the stream history."""
+    from optimizing_spark.operators.sampling import weighted_sample
+
+    src = str(tmp_path / "ws_rows")
+    rows = spark.range(3000).select(
+        (F.col("id") % 4).alias("grp"),
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(9)), F.lit(997)).alias("w"))
+    rows.repartition(4).write.parquet(src)
+    batch_rows = spark.read.parquet(src)
+
+    stream = spark.readStream.schema("grp long, doc_id long, w bigint") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = CS.streaming_wsample(stream, k=20)
+    q = out.writeStream.format("memory").queryName("wsample_mem") \
+        .outputMode("update").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.table("wsample_mem").toPandas()
+    assert got.upd.max() >= 2  # multiple micro-batches actually happened
+    last = got[got.upd == got.groupby("grp").upd.transform("max")]
+    for g in range(4):
+        want = weighted_sample(
+            batch_rows.filter(F.col("grp") == g), "w", "doc_id", k=20
+        ).select("doc_id", "w", "priority").toPandas()
+        gl = last[last.grp == g]
+        assert list(zip(gl.doc_id, gl.w, gl.priority)) == \
+            list(zip(want.doc_id, want.w, want.priority)), g
