@@ -71,6 +71,7 @@ from optimizing_spark.operators import closest as CL
 from optimizing_spark.operators import dedup as DD
 from optimizing_spark.operators import hull as H
 from optimizing_spark.operators import interpolate as ITP
+from optimizing_spark.operators import autocorr as AC
 from optimizing_spark.operators import joins as J
 from optimizing_spark.operators import raster as R
 from optimizing_spark.operators import similarity as SIM
@@ -446,6 +447,26 @@ def q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = D.points(spark, sf_dir)
     return kde_grid(p, depth=5, radius=3000, x="px", y="py")
+
+
+def q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial autocorrelation (operators/autocorr, round 5): Moran's I
+    and Geary's C of the depth-5 cell-count surface of the customer
+    points, binary 8-adjacency weights — the lattice statistics a GIS
+    runs right after the q_cell_counts histogram. All-integer
+    multiply-through algebra (num_moran = N²P1 − NSP2 + WS²,
+    den1 = NΣx² − S²) with ONE IEEE division per statistic, so the
+    DuckDB twin is bit-exact. Plan: one hash agg to cells, the
+    focal/kring 8-offset equi-join, a keyless pair reduce, and a 1-row
+    broadcast of the globals — no inequality join anywhere."""
+    from optimizing_spark.operators.autocorr import spatial_autocorr
+
+    p = D.points(spark, sf_dir)
+    cells = p.groupBy(
+        F.shiftright(F.col("px"), 11).alias("cx"),
+        F.shiftright(F.col("py"), 11).alias("cy"),
+    ).agg(F.count("*").alias("n"))
+    return spatial_autocorr(cells, val="n")
 
 
 _FOCAL_SQL = f"""
@@ -2854,7 +2875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds 3-4; q_sample keeps the sampling family harness-covered),
     and q_wsample (priority-sampling weighted sample), rotating
     q_cell_counts (driver-green rounds 1-4; the cell-count family
-    keeps q_hex_counts and q_qt_rollup in the window).
+    keeps q_hex_counts and q_qt_rollup in the window), and q_moran
+    (Moran/Geary spatial autocorrelation), rotating q_zonal
+    (driver-green rounds 3-4; the polygon-join+agg composition stays
+    pytest- and harness-gated).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2865,7 +2889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_qt_assign": q_qt_assign,
         "q_pip_join": q_pip_join,
         "q_pip_poly": q_pip_poly,
-        "q_zonal": q_zonal,
         "q_range_join": q_range_join,
         "q_knn": q_knn,
         "q_nearest": q_nearest,
@@ -2915,8 +2938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hilbert": q_hilbert,
         "q_kde": q_kde,
         "q_wsample": q_wsample,
+        "q_moran": q_moran,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_zonal": q_zonal,
         "q_cell_counts": q_cell_counts,
         "q_stratified": q_stratified,
         "q_embed_neardup": q_embed_neardup,
@@ -3025,6 +3050,10 @@ def oracle_sql() -> dict[str, str]:
         "q_focal": _FOCAL_SQL.format(pts=D.SQL_POINTS),
         "q_kde": R.kde_grid_sql(D.SQL_POINTS, depth=5, radius=3000,
                                 x="px", y="py"),
+        "q_moran": AC.spatial_autocorr_sql(
+            f"SELECT px >> 11 AS cx, py >> 11 AS cy, "
+            f"CAST(count(*) AS BIGINT) AS n FROM ({D.SQL_POINTS}) pts "
+            f"GROUP BY px >> 11, py >> 11"),
         # priority sampling: the integer hash + ONE IEEE division makes
         # the priority bit-identical in both engines (no libm bridge);
         # tau = the 101st priority, est_w = max(w, tau)
