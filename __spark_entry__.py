@@ -76,6 +76,7 @@ from optimizing_spark.operators import joins as J
 from optimizing_spark.operators import raster as R
 from optimizing_spark.operators import similarity as SIM
 from optimizing_spark.operators import skyline as SKY
+from optimizing_spark.operators import temporal as T
 from optimizing_spark.sources import derived as D
 from optimizing_spark.sources import oracle_text as OT
 
@@ -2390,6 +2391,30 @@ def q_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a_id", "user_id", "t0", "t1", "b_id", "r_t0", "r_t1")
 
 
+def q_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency (operators/temporal
+    .peak_concurrency, round 5): per user, the max number of
+    simultaneously open click-activity intervals [t0, t1] (the same
+    integer-microsecond intervals as q_interval) and the earliest
+    instant it is attained. Boundary deltas collapse per (user, t)
+    BEFORE the prefix sum, so the running count is order-unambiguous
+    and the DuckDB twin (identical sweep in window SQL) matches
+    bit-for-bit. 2 rows per interval, one (user, t) hash agg, one
+    user-partitioned window — never an interval self-join."""
+    from optimizing_spark.operators.temporal import peak_concurrency
+
+    ev = D.load(spark, sf_dir, "events").withColumn(
+        "_ep", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+    base = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, _ep, ts)").alias("t0"),
+        F.col("event_id").alias("_eid"),
+    ).withColumn(
+        "t1",
+        F.col("t0") + (F.col("_eid") % 541 + 60) * F.lit(1_000_000))
+    return peak_concurrency(base, on="user_id")
+
+
 _INTERVAL_SQL = """
     WITH e AS (
         SELECT event_id, user_id, event_type,
@@ -2878,7 +2903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keeps q_hex_counts and q_qt_rollup in the window), and q_moran
     (Moran/Geary spatial autocorrelation), rotating q_zonal
     (driver-green rounds 3-4; the polygon-join+agg composition stays
-    pytest- and harness-gated).
+    pytest- and harness-gated), and q_peak (sweep-line peak
+    concurrency), rotating q_ring_count (driver-green rounds 1-4; the
+    ring family keeps q_hex_ring in the window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2892,7 +2919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_knn": q_knn,
         "q_nearest": q_nearest,
-        "q_ring_count": q_ring_count,
         "q_raster": q_raster,
         "q_topk_per_cell": q_topk_per_cell,
         "q_oct_assign": q_oct_assign,
@@ -2939,8 +2965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kde": q_kde,
         "q_wsample": q_wsample,
         "q_moran": q_moran,
+        "q_peak": q_peak,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_ring_count": q_ring_count,
         "q_zonal": q_zonal,
         "q_cell_counts": q_cell_counts,
         "q_stratified": q_stratified,
@@ -3050,6 +3078,15 @@ def oracle_sql() -> dict[str, str]:
         "q_focal": _FOCAL_SQL.format(pts=D.SQL_POINTS),
         "q_kde": R.kde_grid_sql(D.SQL_POINTS, depth=5, radius=3000,
                                 x="px", y="py"),
+        "q_peak": T.peak_concurrency_sql(
+            """SELECT user_id,
+                      date_diff('microsecond', TIMESTAMP '1970-01-01',
+                                ts) AS t0,
+                      date_diff('microsecond', TIMESTAMP '1970-01-01',
+                                ts)
+                        + (event_id % 541 + 60) * 1000000 AS t1
+               FROM events WHERE event_type = 'click'""",
+            on="user_id"),
         "q_moran": AC.spatial_autocorr_sql(
             f"SELECT px >> 11 AS cx, py >> 11 AS cy, "
             f"CAST(count(*) AS BIGINT) AS n FROM ({D.SQL_POINTS}) pts "

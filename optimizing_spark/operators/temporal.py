@@ -129,3 +129,86 @@ def asof_join(
         *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
     return out
+
+
+def peak_concurrency(
+    df: DataFrame,
+    on: str,
+    t0: str = "t0",
+    t1: str = "t1",
+) -> DataFrame:
+    """Per-key PEAK concurrency of closed integer intervals [t0, t1]
+    and the earliest instant it is attained — the classic sweep-line
+    (max simultaneous sessions / viewers / open orders), the
+    aggregation companion to interval_join.
+
+    Sweep line as DataFrame ops, exactly once per boundary: each
+    interval contributes (+1 at t0) and (−1 at t1+1, the closed-
+    interval convention — touching intervals DO overlap at the shared
+    instant); deltas COLLAPSE per (key, t) with one hash aggregation
+    BEFORE the running sum, so the prefix sum is order-unambiguous at
+    equal timestamps and therefore engine-portable with no tiebreak
+    rules. Then one key-partitioned window computes the running count
+    and its per-key max in the same exchange, and the earliest arg-max
+    falls out of a final tiny aggregate. All integers end to end.
+
+    Scale shape: 2 rows per interval, ONE hash shuffle on (key, t),
+    one window exchange on key (the collapsed boundary rows — at most
+    2x intervals, usually far fewer), never an interval self-join.
+    Skewed keys cost what their boundary count costs; the per-t
+    collapse is the map-side combine.
+
+    Returns one row per key: (on, peak, at_t)."""
+    up = df.select(F.col(on), F.col(t0).cast("long").alias("t"),
+                   F.lit(1).cast("long").alias("d"))
+    down = df.select(F.col(on), (F.col(t1).cast("long") + 1).alias("t"),
+                     F.lit(-1).cast("long").alias("d"))
+    deltas = up.unionByName(down).groupBy(on, "t").agg(
+        F.sum("d").alias("d"))
+    w_run = (
+        Window.partitionBy(on).orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_key = Window.partitionBy(on)
+    r = deltas.withColumn("running", F.sum("d").over(w_run)) \
+        .withColumn("_peak", F.max("running").over(w_key))
+    return r.filter(F.col("running") == F.col("_peak")).groupBy(on).agg(
+        F.max("running").alias("peak"),
+        F.min("t").alias("at_t"),
+    )
+
+
+def peak_concurrency_sql(
+    intervals_sql: str, on: str, t0: str = "t0", t1: str = "t1"
+) -> str:
+    """DuckDB twin of peak_concurrency: identical boundary collapse,
+    prefix sum, and earliest-arg-max — all integer, bit-exact
+    (DuckDB's SUM widens to HUGEINT, so every output is cast back to
+    BIGINT)."""
+    return f"""
+        WITH ivals AS ({intervals_sql}),
+        b AS (
+            SELECT {on}, CAST({t0} AS BIGINT) AS t, 1 AS d FROM ivals
+            UNION ALL
+            SELECT {on}, CAST({t1} AS BIGINT) + 1 AS t, -1 AS d
+            FROM ivals
+        ),
+        c AS (
+            SELECT {on}, t, CAST(sum(d) AS BIGINT) AS d
+            FROM b GROUP BY {on}, t
+        ),
+        r AS (
+            SELECT {on}, t,
+                   CAST(sum(d) OVER (PARTITION BY {on} ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+            FROM c
+        ),
+        p AS (
+            SELECT {on}, t, running,
+                   MAX(running) OVER (PARTITION BY {on}) AS peak
+            FROM r
+        )
+        SELECT {on}, CAST(max(running) AS BIGINT) AS peak,
+               CAST(min(t) AS BIGINT) AS at_t
+        FROM p WHERE running = peak GROUP BY {on}
+    """

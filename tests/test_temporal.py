@@ -3,6 +3,7 @@ no-match NULLs, equal-timestamp ties, and partitioning determinism."""
 
 import datetime as dt
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -147,3 +148,59 @@ def test_interval_join_plan_has_no_nested_loop(spark, interval_frames):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# peak_concurrency (sweep line)
+# ---------------------------------------------------------------------------
+
+def _brute_peak(ivals):
+    """Brute closed-interval concurrency: evaluate the count at every
+    start point (the max of a step function that only rises at starts
+    is attained at a start), earliest argmax."""
+    best_n, best_t = 0, None
+    for s, _ in ivals:
+        n = sum(1 for a, b in ivals if a <= s <= b)
+        if n > best_n or (n == best_n and (best_t is None or s < best_t)):
+            best_n, best_t = n, s
+    return best_n, best_t
+
+
+def test_peak_concurrency_matches_brute(spark):
+    from optimizing_spark.operators.temporal import peak_concurrency
+
+    rng = np.random.default_rng(42)
+    rows = []
+    per_key = {}
+    for k in range(6):
+        ivs = []
+        for _ in range(40):
+            s = int(rng.integers(0, 300))
+            e = s + int(rng.integers(0, 60))
+            ivs.append((s, e))
+            rows.append((k, s, e))
+        per_key[k] = ivs
+    # forced degenerates: touching endpoints overlap (closed), and a
+    # key with one interval peaks at 1 at its own start
+    rows += [(7, 0, 5), (7, 5, 9), (8, 100, 100)]
+    per_key[7] = [(0, 5), (5, 9)]
+    per_key[8] = [(100, 100)]
+    df = spark.createDataFrame(rows, "user_id long, t0 long, t1 long")
+    got = {r.user_id: (r.peak, r.at_t)
+           for r in peak_concurrency(df, on="user_id").collect()}
+    assert set(got) == set(per_key)
+    for k, ivs in per_key.items():
+        assert got[k] == _brute_peak(ivs), k
+    assert got[7] == (2, 5)  # the closed-interval touch convention
+
+
+def test_peak_concurrency_partition_invariant(spark):
+    from optimizing_spark.operators.temporal import peak_concurrency
+
+    rows = [(i % 5, (i * 17) % 200, (i * 17) % 200 + i % 30)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "user_id long, t0 long, t1 long")
+    a = sorted(map(tuple, peak_concurrency(df, on="user_id").collect()))
+    b = sorted(map(tuple, peak_concurrency(
+        df.repartition(13, "t0"), on="user_id").collect()))
+    assert a == b
