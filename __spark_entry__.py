@@ -470,6 +470,25 @@ def q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_autocorr(cells, val="n")
 
 
+def q_gistar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores (operators/autocorr
+    .getis_ord_gstar, round 5): the LOCAL companion to q_moran — one
+    standardized score per occupied depth-5 cell saying WHERE the
+    point surface runs hot or cold. Integer multiply-through
+    components; the z survives cross-engine because IEEE requires
+    conversion, multiply, divide AND sqrt each correctly rounded, and
+    both sides compute them in the same order. Plan = the q_focal
+    scatter-gather + a 1-row broadcast of globals."""
+    from optimizing_spark.operators.autocorr import getis_ord_gstar
+
+    p = D.points(spark, sf_dir)
+    cells = p.groupBy(
+        F.shiftright(F.col("px"), 11).alias("cx"),
+        F.shiftright(F.col("py"), 11).alias("cy"),
+    ).agg(F.count("*").alias("n"))
+    return getis_ord_gstar(cells, val="n")
+
+
 _FOCAL_SQL = f"""
     WITH pts AS ({{pts}}),
     r AS (
@@ -2905,7 +2924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (driver-green rounds 3-4; the polygon-join+agg composition stays
     pytest- and harness-gated), and q_peak (sweep-line peak
     concurrency), rotating q_ring_count (driver-green rounds 1-4; the
-    ring family keeps q_hex_ring in the window).
+    ring family keeps q_hex_ring in the window), and q_gistar
+    (Getis-Ord Gi* hot spots), rotating q_topk_per_cell (driver-green
+    rounds 1-4; the window/top-k family keeps q_knn and q_wsample in
+    the window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2920,7 +2942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn": q_knn,
         "q_nearest": q_nearest,
         "q_raster": q_raster,
-        "q_topk_per_cell": q_topk_per_cell,
         "q_oct_assign": q_oct_assign,
         "q_oct_capacity": q_oct_capacity,
         "q_mirror_depth5": q_mirror_depth5,
@@ -2966,8 +2987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wsample": q_wsample,
         "q_moran": q_moran,
         "q_peak": q_peak,
+        "q_gistar": q_gistar,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_topk_per_cell": q_topk_per_cell,
         "q_ring_count": q_ring_count,
         "q_zonal": q_zonal,
         "q_cell_counts": q_cell_counts,
@@ -3078,6 +3101,10 @@ def oracle_sql() -> dict[str, str]:
         "q_focal": _FOCAL_SQL.format(pts=D.SQL_POINTS),
         "q_kde": R.kde_grid_sql(D.SQL_POINTS, depth=5, radius=3000,
                                 x="px", y="py"),
+        "q_gistar": AC.getis_ord_gstar_sql(
+            f"SELECT px >> 11 AS cx, py >> 11 AS cy, "
+            f"CAST(count(*) AS BIGINT) AS n FROM ({D.SQL_POINTS}) pts "
+            f"GROUP BY px >> 11, py >> 11"),
         "q_peak": T.peak_concurrency_sql(
             """SELECT user_id,
                       date_diff('microsecond', TIMESTAMP '1970-01-01',

@@ -168,3 +168,131 @@ def spatial_autocorr_sql(cells_sql: str, val: str = "n",
                END AS geary_c
         FROM comp
     """
+
+
+STAR_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def getis_ord_gstar(
+    cells: DataFrame,
+    val: str = "n",
+    cx: str = "cx",
+    cy: str = "cy",
+) -> DataFrame:
+    """Per-cell Getis-Ord Gi* hot/cold-spot z-scores (Ord & Getis
+    1995) with binary queen weights INCLUDING self (the * variant) —
+    the LOCAL companion to the global Moran/Geary row: q_moran says
+    "the surface is clustered", Gi* says WHERE. Same occupied-cell
+    convention as spatial_autocorr.
+
+    Multiply the mean through as usual; with N cells, Sx = Σx,
+    nbr_i = Σ_{j∈ring*(i)} x_j and W_i = |ring*(i)|,
+
+        num_i = N·nbr_i − Sx·W_i                 (BIGINT)
+        A     = N·Σx² − Sx²  (= N²·σ²·N)         (BIGINT)
+        B_i   = W_i·(N − W_i)                    (BIGINT)
+        z_i   = num_i / sqrt(A·B_i / (N−1))
+
+    The z is engine-portable because every float step — BIGINT→DOUBLE
+    conversion, one multiply, one divide, sqrt (IEEE-754 REQUIRES
+    sqrt correctly rounded; q_ray_circle already banks on it), one
+    final divide — is a single correctly-rounded op written in the
+    same order in both engines. Degenerate cells (N < 2, A = 0, or
+    W_i = N, i.e. a lattice so small everything neighbors everything)
+    get NULL z with exact integer components intact.
+
+    Plan: the focal scatter-gather (9-offset explode + equi-join on
+    the shifted cell key + ONE hash agg) + a 1-row broadcast of the
+    globals — the q_focal shuffle shape with statistics on top.
+
+    Returns one row per occupied cell:
+    (cx, cy, x, w_i, nbr_sum, num, z)."""
+    c = cells.select(
+        F.col(cx).cast("long").alias("cx"),
+        F.col(cy).cast("long").alias("cy"),
+        F.col(val).cast("long").alias("x"),
+    )
+    glob = c.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("x").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in STAR_OFFSETS
+    ])
+    contrib = c.select("x", "cx", "cy", F.explode(offs).alias("o")).select(
+        F.col("x").alias("x_j"),
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+    )
+    ring = contrib.join(
+        c.select(F.col("cx").alias("tx"), F.col("cy").alias("ty"),
+                 F.col("x")),
+        on=["tx", "ty"],
+    ).groupBy("tx", "ty", "x").agg(
+        F.count("*").alias("w_i"),
+        F.sum("x_j").alias("nbr_sum"),
+    )
+    n, s = F.col("n_cells"), F.col("sum_x")
+    num = n * F.col("nbr_sum") - s * F.col("w_i")
+    a = n * F.col("sum_x2") - s * s
+    b = F.col("w_i") * (n - F.col("w_i"))
+    ok = (n > 1) & (F.col("a") > 0) & (F.col("b") > 0)
+    return ring.crossJoin(F.broadcast(glob)).select(
+        F.col("tx").alias("cx"), F.col("ty").alias("cy"), "x", "w_i",
+        "nbr_sum",
+        num.alias("num"), a.alias("a"), b.alias("b"), "n_cells",
+    ).select(
+        "cx", "cy", "x", "w_i", "nbr_sum", "num",
+        F.when(
+            ok,
+            F.col("num").cast("double")
+            / F.sqrt(F.col("a").cast("double") * F.col("b").cast("double")
+                     / (F.col("n_cells") - F.lit(1)).cast("double")),
+        ).alias("z"),
+    )
+
+
+def getis_ord_gstar_sql(cells_sql: str, val: str = "n",
+                        cx: str = "cx", cy: str = "cy") -> str:
+    """DuckDB twin of getis_ord_gstar: identical integers, identical
+    float op order — z agrees bit-for-bit."""
+    offs = ",".join(f"({dx},{dy})" for dx, dy in STAR_OFFSETS)
+    return f"""
+        WITH cells AS (
+            SELECT CAST({cx} AS BIGINT) AS cx, CAST({cy} AS BIGINT) AS cy,
+                   CAST({val} AS BIGINT) AS x
+            FROM ({cells_sql}) base
+        ),
+        gstats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(x * x) AS BIGINT) AS sum_x2
+            FROM cells
+        ),
+        offs AS (SELECT * FROM (VALUES {offs}) o(dx, dy)),
+        ring AS (
+            SELECT b.cx, b.cy, b.x,
+                   CAST(count(*) AS BIGINT) AS w_i,
+                   CAST(sum(a.x) AS BIGINT) AS nbr_sum
+            FROM cells a CROSS JOIN offs o
+            JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+            GROUP BY b.cx, b.cy, b.x
+        ),
+        comp AS (
+            SELECT r.cx, r.cy, r.x, r.w_i, r.nbr_sum,
+                   g.n_cells * r.nbr_sum - g.sum_x * r.w_i AS num,
+                   g.n_cells * g.sum_x2 - g.sum_x * g.sum_x AS a,
+                   r.w_i * (g.n_cells - r.w_i) AS b,
+                   g.n_cells
+            FROM ring r CROSS JOIN gstats g
+        )
+        SELECT cx, cy, x, w_i, nbr_sum, num,
+               CASE WHEN n_cells > 1 AND a > 0 AND b > 0
+                    THEN CAST(num AS DOUBLE)
+                         / sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+                                / CAST(n_cells - 1 AS DOUBLE))
+               END AS z
+        FROM comp
+    """

@@ -88,3 +88,75 @@ def test_degenerate_null_no_neighbors(spark):
     r = _run(spark, cells)
     assert r.w_pairs == 0 and r.moran_i is None and r.geary_c is None
     assert r.n_cells == 5 and r.num_moran == 0 and r.num_geary == 0
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi*
+# ---------------------------------------------------------------------------
+
+def _textbook_gstar(cells):
+    """Float Gi* straight from Ord & Getis 1995 (binary queen weights
+    including self, occupied cells only)."""
+    from optimizing_spark.operators.autocorr import STAR_OFFSETS
+
+    vals = {(cx, cy): x for cx, cy, x in cells}
+    xs = np.array([x for _, _, x in cells], dtype=np.float64)
+    n = len(xs)
+    mean = xs.mean()
+    s = np.sqrt((xs ** 2).mean() - mean ** 2)
+    out = {}
+    for (cx, cy), _ in vals.items():
+        nbr = [vals[(cx + dx, cy + dy)] for dx, dy in STAR_OFFSETS
+               if (cx + dx, cy + dy) in vals]
+        w = len(nbr)
+        den = s * np.sqrt((n * w - w * w) / (n - 1))
+        out[(cx, cy)] = (sum(nbr) - mean * w) / den if den > 0 else None
+    return out
+
+
+def test_gstar_matches_textbook(spark):
+    from optimizing_spark.operators.autocorr import getis_ord_gstar
+
+    rng = np.random.default_rng(9)
+    pts = {(int(cx), int(cy)) for cx, cy in
+           zip(rng.integers(0, 10, 70), rng.integers(0, 10, 70))}
+    cells = [(cx, cy, int(rng.integers(1, 40))) for cx, cy in sorted(pts)]
+    df = spark.createDataFrame(cells, "cx long, cy long, n long")
+    got = {(r.cx, r.cy): r for r in getis_ord_gstar(df).collect()}
+    want = _textbook_gstar(cells)
+    assert set(got) == set(want)
+    for k, r in got.items():
+        assert r.z == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_gstar_hot_spot_detected(spark):
+    from optimizing_spark.operators.autocorr import getis_ord_gstar
+
+    # flat field of 5s with a planted 3x3 block of 50s: the block
+    # center is the hottest cell and clears the classic |z| > 2.58 bar
+    cells = [(cx, cy, 50 if 3 <= cx <= 5 and 3 <= cy <= 5 else 5)
+             for cx in range(9) for cy in range(9)]
+    df = spark.createDataFrame(cells, "cx long, cy long, n long")
+    rows = {(r.cx, r.cy): r.z for r in getis_ord_gstar(df).collect()}
+    hottest = max(rows, key=lambda k: rows[k])
+    assert hottest == (4, 4)
+    assert rows[(4, 4)] > 2.58
+    # far corner is below-mean surroundings -> negative z
+    assert rows[(0, 0)] < 0
+
+
+def test_gstar_degenerate_nulls(spark):
+    from optimizing_spark.operators.autocorr import getis_ord_gstar
+
+    # constant field: A = 0 -> every z NULL, components exact
+    cells = [(cx, cy, 7) for cx in range(4) for cy in range(4)]
+    df = spark.createDataFrame(cells, "cx long, cy long, n long")
+    rows = getis_ord_gstar(df).collect()
+    assert len(rows) == 16 and all(r.z is None for r in rows)
+    # 2x2 lattice: every cell neighbors every cell (W_i = N) -> B = 0
+    tiny = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 5), (1, 0, 9), (1, 1, 2)],
+        "cx long, cy long, n long")
+    trows = getis_ord_gstar(tiny).collect()
+    assert len(trows) == 4 and all(r.z is None for r in trows)
+    assert all(r.w_i == 4 for r in trows)
