@@ -1187,6 +1187,51 @@ def _hex_job(spark, path: str) -> int:
     return total
 
 
+def run_autocorr() -> dict:
+    """Spatial autocorrelation at scale (round 5): Moran/Geary +
+    per-cell Gi* over the 20M-point parquet at two lattice
+    resolutions. The point table is touched by ONE count aggregation
+    per resolution; everything after runs on the cell lattice (the
+    8/9-offset equi-join + keyless reduces), so cost scales with CELLS,
+    not points — the dashboards report both so the claim is measured."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators.autocorr import (
+        getis_ord_gstar,
+        spatial_autocorr,
+    )
+
+    path = _ensure_hex_parquet()
+    spark = _session(CPUS)
+    pts = spark.read.parquet(path)
+    out: dict = {"metric": "autocorr_20m", "unit": "sec",
+                 "points": HEXSCALE_DOCS, "levels": {}}
+    for depth in (8, 10):
+        sh = 16 - depth
+        cells = pts.groupBy(
+            F.shiftright(F.col("px"), sh).alias("cx"),
+            F.shiftright(F.col("py"), sh).alias("cy"),
+        ).agg(F.count("*").alias("n")).localCheckpoint()
+        t0 = time.time()
+        g = spatial_autocorr(cells, val="n").collect()[0]
+        t_glob = time.time() - t0
+        t0 = time.time()
+        zs = getis_ord_gstar(cells, val="n") \
+            .agg(F.count("*").alias("n"),
+                 F.max(F.abs(F.col("z"))).alias("max_abs_z")).collect()[0]
+        t_local = time.time() - t0
+        out["levels"][str(depth)] = {
+            "n_cells": g.n_cells, "w_pairs": g.w_pairs,
+            "moran_i": g.moran_i, "geary_c": g.geary_c,
+            "moran_sec": round(t_glob, 2),
+            "gistar_cells": zs.n, "gistar_max_abs_z": zs.max_abs_z,
+            "gistar_sec": round(t_local, 2),
+        }
+    return out
+
+
 def run_hull(n: int = 20_000_000) -> dict:
     """Global convex hull at scale (round 5): n deterministic integer
     points through hull.convex_hull's two-phase partial-hull reduce —
@@ -1464,6 +1509,8 @@ if __name__ == "__main__":
         print(json.dumps(run_hull()))
     elif "--closest" in sys.argv:
         print(json.dumps(run_closest()))
+    elif "--autocorr" in sys.argv:
+        print(json.dumps(run_autocorr()))
     elif "--hilbert" in sys.argv:
         print(json.dumps(run_hilbert()))
     elif "--hexscale" in sys.argv:

@@ -50,9 +50,12 @@ def test_matches_textbook_random(spark):
     assert row.moran_i == pytest.approx(want_i, rel=1e-12)
     assert row.geary_c == pytest.approx(want_c, rel=1e-12)
     assert row.n_cells == len(cells)
-    # components really are the multiplied-through integers
-    xs = np.array([x for _, _, x in cells], dtype=object)
-    assert row.den1 == len(cells) * int((xs * xs).sum()) - int(xs.sum()) ** 2
+    # components really are the exact re-centered integers
+    xs = [x for _, _, x in cells]
+    n, s = len(xs), sum(xs)
+    m = s // n
+    assert (row.m, row.r) == (m, s - n * m)
+    assert row.q1 == sum((x - m) ** 2 for x in xs)
 
 
 def test_checkerboard_dispersed_blocks_clustered(spark):
@@ -78,7 +81,8 @@ def test_checkerboard_dispersed_blocks_clustered(spark):
 def test_degenerate_null_constant_field(spark):
     cells = [(cx, cy, 7) for cx in range(4) for cy in range(4)]
     r = _run(spark, cells)
-    assert r.den1 == 0 and r.moran_i is None and r.geary_c is None
+    assert r.q1 == 0 and r.r == 0  # constant field: zero variance
+    assert r.moran_i is None and r.geary_c is None
     assert r.w_pairs > 0  # pairs exist, variance doesn't
 
 
@@ -87,7 +91,8 @@ def test_degenerate_null_no_neighbors(spark):
     cells = [(3 * i, 0, i + 1) for i in range(5)]
     r = _run(spark, cells)
     assert r.w_pairs == 0 and r.moran_i is None and r.geary_c is None
-    assert r.n_cells == 5 and r.num_moran == 0 and r.num_geary == 0
+    assert r.n_cells == 5
+    assert (r.p1, r.p2, r.num_geary) == (0, 0, 0)
 
 
 # ---------------------------------------------------------------------------
