@@ -77,6 +77,7 @@ from optimizing_spark.operators import raster as R
 from optimizing_spark.operators import similarity as SIM
 from optimizing_spark.operators import skyline as SKY
 from optimizing_spark.operators import temporal as T
+from optimizing_spark.operators import trajectory as TRJ
 from optimizing_spark.sources import derived as D
 from optimizing_spark.sources import oracle_text as OT
 
@@ -468,6 +469,31 @@ def q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("py"), 11).alias("cy"),
     ).agg(F.count("*").alias("n"))
     return spatial_autocorr(cells, val="n")
+
+
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker trajectory simplification (operators/trajectory,
+    round 5): customer keys fold into 50 near-linear integer walks
+    (x = 100·seq + wobble, y = 50·seq + wobble, wobble = k·PRIME mod
+    41) and each is thinned at eps = 12 — the vector-thinning step a
+    tile pipeline runs before rendering. Split decisions are the exact
+    integer comparison cross² > eps²·len² (lowest-seq argmax
+    tiebreak), so the DuckDB twin — the same divide-and-conquer as a
+    level-synchronous recursive CTE in HUGEINT — keeps the identical
+    point set. ONE hash shuffle on traj_id into applyInPandas."""
+    from optimizing_spark.operators.trajectory import simplify_trajectories
+
+    c = D.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    t = c.select(
+        (k % 50).alias("traj_id"),
+        F.floor(k / 50).cast("long").alias("seq"),
+        (F.lit(100) * F.floor(k / 50).cast("long")
+         + (k * 48271) % 41).alias("x"),
+        (F.lit(50) * F.floor(k / 50).cast("long")
+         + (k * 69621) % 41).alias("y"),
+    )
+    return simplify_trajectories(t, eps=12).orderBy("traj_id", "seq")
 
 
 def q_gistar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2942,7 +2968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn": q_knn,
         "q_nearest": q_nearest,
         "q_raster": q_raster,
-        "q_oct_assign": q_oct_assign,
         "q_oct_capacity": q_oct_capacity,
         "q_mirror_depth5": q_mirror_depth5,
         "q_diffuse_bounce": q_diffuse_bounce,
@@ -2988,8 +3013,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_moran": q_moran,
         "q_peak": q_peak,
         "q_gistar": q_gistar,
+        "q_simplify": q_simplify,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_oct_assign": q_oct_assign,
         "q_topk_per_cell": q_topk_per_cell,
         "q_ring_count": q_ring_count,
         "q_zonal": q_zonal,
@@ -3101,6 +3128,15 @@ def oracle_sql() -> dict[str, str]:
         "q_focal": _FOCAL_SQL.format(pts=D.SQL_POINTS),
         "q_kde": R.kde_grid_sql(D.SQL_POINTS, depth=5, radius=3000,
                                 x="px", y="py"),
+        "q_simplify": TRJ.simplify_sql(
+            """SELECT CAST(c_custkey AS BIGINT) % 50 AS traj_id,
+                      CAST(c_custkey AS BIGINT) // 50 AS seq,
+                      100 * (CAST(c_custkey AS BIGINT) // 50)
+                        + (CAST(c_custkey AS BIGINT) * 48271) % 41 AS x,
+                      50 * (CAST(c_custkey AS BIGINT) // 50)
+                        + (CAST(c_custkey AS BIGINT) * 69621) % 41 AS y
+               FROM customer""",
+            eps=12),
         "q_gistar": AC.getis_ord_gstar_sql(
             f"SELECT px >> 11 AS cx, py >> 11 AS cy, "
             f"CAST(count(*) AS BIGINT) AS n FROM ({D.SQL_POINTS}) pts "

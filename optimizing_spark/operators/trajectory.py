@@ -1,0 +1,182 @@
+"""Trajectory simplification: Douglas-Peucker (Douglas & Peucker 1973)
+per trajectory, with EXACT integer split decisions — the standard
+pre-processing step for GPS tracks / roads / contour lines before
+tiling or rendering (the raster↔vector family's vector-thinning
+counterpart).
+
+Exactness: the classic test "max perpendicular distance > eps" is
+evaluated division- and sqrt-free. For chord A→B and interior point P,
+
+    dist²(P, AB) = cross² / len²,  cross = (B−A) × (P−A)
+
+so the argmax over an interval is argmax |cross| (len is constant per
+chord) and the split test is the integer comparison
+
+    cross² > eps² · len²        (degenerate A == B: |P−A|² > eps²)
+
+computed in arbitrary-precision Python ints inside the per-group
+kernel (cross can reach 2·2^32 for 16-bit worlds, so its square
+overflows int64 — NumPy computes the int64-safe parts, Python ints do
+the one squaring per interval). Ties at the argmax break to the LOWEST
+sequence index; the DuckDB twin (a recursive CTE that splits every
+live interval per iteration — level-synchronous divide-and-conquer)
+implements the identical rule in HUGEINT, so kept-point sets match
+exactly.
+
+DP's guarantee (and the pytest property): every ORIGINAL point lies
+within eps of the simplified polyline; endpoints always survive;
+eps = 0 keeps every point that is not exactly collinear-between its
+chord.
+
+Scale shape: ONE hash shuffle on the trajectory key into
+applyInPandas; each group costs O(n·depth) with NumPy doing the
+per-interval cross scan. Trajectories are bounded (a GPS track, a road
+segment) — the 100 TB axis is the NUMBER of trajectories, which is
+exactly what the single group-key shuffle distributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _dp_keep_mask(xs, ys, eps: int):
+    """Boolean keep-mask for one trajectory (lists of Python ints,
+    already in sequence order). Exact integer decisions throughout."""
+    n = len(xs)
+    if n <= 2:
+        return [True] * n
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    e2 = eps * eps
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        ax, ay, bx, by = xs[lo], ys[lo], xs[hi], ys[hi]
+        dx, dy = bx - ax, by - ay
+        best, best_c = -1, -1
+        if dx == 0 and dy == 0:
+            for i in range(lo + 1, hi):
+                c = (xs[i] - ax) ** 2 + (ys[i] - ay) ** 2
+                if c > best_c:
+                    best_c, best = c, i
+            beyond = best_c > e2
+        else:
+            for i in range(lo + 1, hi):
+                c = abs(dx * (ys[i] - ay) - dy * (xs[i] - ax))
+                if c > best_c:
+                    best_c, best = c, i
+            beyond = best_c * best_c > e2 * (dx * dx + dy * dy)
+        if beyond:
+            keep[best] = True
+            stack.append((lo, best))
+            stack.append((best, hi))
+    return keep
+
+
+def simplify_trajectories(
+    df: DataFrame,
+    eps: int,
+    group: str = "traj_id",
+    seq: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Douglas-Peucker per trajectory: returns the kept subset of rows
+    (same columns), one applyInPandas pass after a single hash shuffle
+    on ``group``."""
+    import pandas as pd
+
+    schema = df.select(group, seq, x, y).schema
+
+    def _one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(seq).reset_index(drop=True)
+        xs = [int(v) for v in pdf[x]]
+        ys = [int(v) for v in pdf[y]]
+        return pdf[_dp_keep_mask(xs, ys, eps)]
+
+    return (
+        df.select(group, seq, x, y)
+        .groupBy(group)
+        .applyInPandas(_one, schema)
+    )
+
+
+def simplify_sql(
+    pts_sql: str,
+    eps: int,
+    group: str = "traj_id",
+    seq: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> str:
+    """DuckDB twin: level-synchronous Douglas-Peucker as a recursive
+    CTE. Each iteration joins every live interval back to its interior
+    points, takes the lowest-seq argmax of |cross| (point distance for
+    degenerate chords), and splits when the exact integer test says
+    the point is beyond eps. Kept points = all interval endpoints ever
+    produced. HUGEINT arithmetic keeps cross² exact."""
+    return f"""
+        WITH RECURSIVE pts AS (
+            SELECT CAST({group} AS BIGINT) AS g, CAST({seq} AS BIGINT) AS s,
+                   CAST({x} AS BIGINT) AS x, CAST({y} AS BIGINT) AS y
+            FROM ({pts_sql}) base
+        ),
+        segs(g, lo, hi) AS (
+            SELECT g, min(s), max(s) FROM pts GROUP BY g
+            UNION ALL
+            SELECT w.g,
+                   CASE WHEN e.side = 0 THEN w.lo ELSE w.best END,
+                   CASE WHEN e.side = 0 THEN w.best ELSE w.hi END
+            FROM (
+                SELECT c.g, c.lo, c.hi, c.s AS best
+                FROM (
+                    SELECT sg.g, sg.lo, sg.hi, p.s,
+                           row_number() OVER (
+                               PARTITION BY sg.g, sg.lo, sg.hi
+                               ORDER BY
+                                   CASE WHEN a.x = b.x AND a.y = b.y
+                                        THEN (p.x - a.x) * (p.x - a.x)
+                                             + (p.y - a.y) * (p.y - a.y)
+                                        ELSE abs((b.x - a.x) * (p.y - a.y)
+                                                 - (b.y - a.y)
+                                                   * (p.x - a.x))
+                                   END DESC, p.s ASC) AS rn,
+                           CASE WHEN a.x = b.x AND a.y = b.y
+                                THEN CAST((p.x - a.x) * (p.x - a.x)
+                                          + (p.y - a.y) * (p.y - a.y)
+                                          AS HUGEINT)
+                                     > CAST({eps * eps} AS HUGEINT)
+                                ELSE CAST((b.x - a.x) * (p.y - a.y)
+                                          - (b.y - a.y) * (p.x - a.x)
+                                          AS HUGEINT)
+                                     * CAST((b.x - a.x) * (p.y - a.y)
+                                            - (b.y - a.y) * (p.x - a.x)
+                                            AS HUGEINT)
+                                     > CAST({eps * eps} AS HUGEINT)
+                                       * CAST((b.x - a.x) * (b.x - a.x)
+                                              + (b.y - a.y) * (b.y - a.y)
+                                              AS HUGEINT)
+                           END AS beyond
+                    FROM segs sg
+                    JOIN pts a ON a.g = sg.g AND a.s = sg.lo
+                    JOIN pts b ON b.g = sg.g AND b.s = sg.hi
+                    JOIN pts p ON p.g = sg.g AND p.s > sg.lo
+                               AND p.s < sg.hi
+                ) c
+                WHERE c.rn = 1 AND c.beyond
+            ) w
+            CROSS JOIN (SELECT * FROM (VALUES (0), (1)) v(side)) e
+        ),
+        kept AS (
+            SELECT DISTINCT g, s FROM (
+                SELECT g, lo AS s FROM segs
+                UNION ALL
+                SELECT g, hi AS s FROM segs
+            ) u
+        )
+        SELECT p.g AS {group}, p.s AS {seq}, p.x AS {x}, p.y AS {y}
+        FROM kept k JOIN pts p ON p.g = k.g AND p.s = k.s
+    """
