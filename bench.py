@@ -1438,6 +1438,60 @@ def run_hilbert(n: int = 20_000_000) -> dict:
     return out
 
 
+def run_traj(n: int = 20_000_000) -> dict:
+    """Trajectory simplification at scale (round 5): n points as
+    n/128 deterministic wobbly near-linear GPS-style tracks (128 points
+    each: per-track base + heading, per-point hash noise of amplitude
+    32) through simplify_trajectories. ONE hash shuffle on traj_id into
+    applyInPandas; the NumPy interval-scan kernel prices the per-point
+    work. Reports kept-ratio per eps — eps below the noise amplitude
+    keeps most points, eps above collapses tracks toward their
+    endpoints — plus throughput and shuffle-stage skew."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators.trajectory import simplify_trajectories
+    from optimizing_spark.session import get_spark
+
+    L = 128
+    n_traj = n // L
+    spark = get_spark("traj_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    E = 65536
+    ids = spark.range(n_traj * L, numPartitions=CPUS * 2)
+    pts = ids.select(
+        F.shiftright("id", 7).alias("traj_id"),
+        (F.col("id") % L).alias("seq"),
+        F.col("id"),
+    ).select(
+        "traj_id", "seq",
+        ((F.col("traj_id") * 7919 + 17) % E
+         + F.col("seq") * ((F.col("traj_id") * 104729 + 7) % 9 - 4)
+         + (F.col("id") * 2654435761 + 11) % 65 - 32).alias("x"),
+        ((F.col("traj_id") * 9973 + 31) % E
+         + F.col("seq") * ((F.col("traj_id") * 48271 + 3) % 9 - 4)
+         + (F.col("id") * 40503 + 13) % 65 - 32).alias("y"),
+    ).localCheckpoint()
+    calib = _quick_calibration(CPUS)
+    out = {"metric": "traj_simplify_points_per_sec", "unit": "points/sec",
+           "points": n_traj * L, "trajectories": n_traj,
+           "points_per_traj": L, "noise_amplitude": 32, "eps": {}}
+    for eps in (8, 64):
+        t0 = time.time()
+        kept = simplify_trajectories(pts, eps=eps).count()
+        wall = time.time() - t0
+        out["eps"][str(eps)] = {
+            "kept_points": kept,
+            "kept_ratio": round(kept / (n_traj * L), 4),
+            "wall_sec": round(wall, 2),
+            "points_per_sec": round(n_traj * L / wall),
+        }
+    out["value"] = out["eps"]["64"]["points_per_sec"]
+    out["heaviest_stages"] = _stage_skew()
+    out["calibration"] = calib
+    return out
+
+
 def run_hexscale() -> dict:
     """North-rule scaling criterion tied to the metric's OWN pipeline:
     the hex tile-x3 + ring join at local[N] vs local[4N] over the same
@@ -1513,6 +1567,8 @@ if __name__ == "__main__":
         print(json.dumps(run_autocorr()))
     elif "--hilbert" in sys.argv:
         print(json.dumps(run_hilbert()))
+    elif "--traj" in sys.argv:
+        print(json.dumps(run_traj()))
     elif "--hexscale" in sys.argv:
         print(json.dumps(run_hexscale()))
     elif "--hex" in sys.argv:

@@ -37,15 +37,70 @@ exactly what the single group-key shuffle distributes.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
+
+# Coordinate span (max-min per axis) below which the per-interval cross
+# scan is int64-safe: |cross| <= 2*span² and the degenerate-chord point
+# distance <= 2*span², both < 2^63 for span <= 2^30.
+_NP_SAFE_SPAN = 1 << 30
 
 
 def _dp_keep_mask(xs, ys, eps: int):
-    """Boolean keep-mask for one trajectory (lists of Python ints,
-    already in sequence order). Exact integer decisions throughout."""
+    """Boolean keep-mask for one trajectory (sequence-ordered ints).
+    Exact integer decisions throughout: the per-interval |cross| /
+    point-distance² argmax runs vectorized in NumPy int64 (first-max =
+    lowest-index tie-break, same as the scalar loop), and the one
+    squaring per interval that can exceed int64 — cross² vs
+    eps²·len² — is done in Python ints. Trajectories whose coordinate
+    span exceeds 2^30 fall back to the all-Python-int scalar path."""
     n = len(xs)
     if n <= 2:
-        return [True] * n
+        return np.ones(n, dtype=bool)
+    xa = np.asarray(xs, dtype=np.int64)
+    ya = np.asarray(ys, dtype=np.int64)
+    if (
+        int(xa.max()) - int(xa.min()) > _NP_SAFE_SPAN
+        or int(ya.max()) - int(ya.min()) > _NP_SAFE_SPAN
+    ):
+        return np.asarray(
+            _dp_keep_mask_scalar([int(v) for v in xs],
+                                 [int(v) for v in ys], eps),
+            dtype=bool,
+        )
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    e2 = eps * eps
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        ax, ay = int(xa[lo]), int(ya[lo])
+        dx, dy = int(xa[hi]) - ax, int(ya[hi]) - ay
+        sx = xa[lo + 1:hi]
+        sy = ya[lo + 1:hi]
+        if dx == 0 and dy == 0:
+            c = (sx - ax) ** 2 + (sy - ay) ** 2
+            i = int(np.argmax(c))
+            beyond = int(c[i]) > e2
+        else:
+            c = np.abs(dx * (sy - ay) - dy * (sx - ax))
+            i = int(np.argmax(c))
+            best_c = int(c[i])
+            beyond = best_c * best_c > e2 * (dx * dx + dy * dy)
+        if beyond:
+            best = lo + 1 + i
+            keep[best] = True
+            stack.append((lo, best))
+            stack.append((best, hi))
+    return keep
+
+
+def _dp_keep_mask_scalar(xs, ys, eps: int):
+    """Arbitrary-precision fallback: the same algorithm with Python-int
+    scalars end to end (no magnitude limit)."""
+    n = len(xs)
     keep = [False] * n
     keep[0] = keep[-1] = True
     e2 = eps * eps
@@ -93,8 +148,8 @@ def simplify_trajectories(
 
     def _one(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(seq).reset_index(drop=True)
-        xs = [int(v) for v in pdf[x]]
-        ys = [int(v) for v in pdf[y]]
+        xs = pdf[x].to_numpy(dtype=np.int64)
+        ys = pdf[y].to_numpy(dtype=np.int64)
         return pdf[_dp_keep_mask(xs, ys, eps)]
 
     return (

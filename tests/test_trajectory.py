@@ -122,6 +122,22 @@ def test_eps_monotone_point_count():
     assert counts[-1] >= 2
 
 
+def test_kernel_big_coordinate_fallback():
+    """Coordinate spans beyond the int64-safe window (> 2^30) route to
+    the arbitrary-precision scalar path and still match the Fraction
+    oracle."""
+    base = _walk(5, 60)
+    pts = [(x * (1 << 26) + (1 << 40), y * (1 << 26) - (1 << 41))
+           for x, y in base]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    for eps in (0, 1 << 27, 1 << 33):
+        keep = _dp_keep_mask(xs, ys, eps)
+        assert {i for i, k in enumerate(keep) if k} == set(
+            _dp_recursive(pts, eps)
+        ), eps
+
+
 def test_spark_matches_kernel_and_partition_invariance(spark):
     rows = []
     expect = {}
