@@ -73,6 +73,7 @@ from optimizing_spark.operators import hull as H
 from optimizing_spark.operators import interpolate as ITP
 from optimizing_spark.operators import autocorr as AC
 from optimizing_spark.operators import joins as J
+from optimizing_spark.operators import pointpattern as PP
 from optimizing_spark.operators import raster as R
 from optimizing_spark.operators import similarity as SIM
 from optimizing_spark.operators import skyline as SKY
@@ -494,6 +495,23 @@ def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
          + (k * 69621) % 41).alias("y"),
     )
     return simplify_trajectories(t, eps=12).orderBy("traj_id", "seq")
+
+
+_RIPLEY_RADII = (250, 750, 1500, 3000)
+
+
+def q_ripley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-pattern statistics (operators/pointpattern, round 5):
+    naive Ripley's K and nearest-neighbour G at four radii over the
+    customer points — the raw-point companion to the q_moran /
+    q_gistar lattice statistics (clustered vs random vs regular).
+    Pair and NN counts are exact integers off ONE distance-band
+    self-join at r_max (the q_dist_join 9-cell ring shape, never
+    all-pairs); K_hat/G_hat are a fixed-order IEEE epilogue per row,
+    so the DuckDB twin is bit-equal."""
+    p = D.points(spark, sf_dir).select(
+        "point_id", F.col("px").alias("x"), F.col("py").alias("y"))
+    return PP.point_pattern(p, radii=_RIPLEY_RADII, world=POW2_WORLD_2D)
 
 
 def q_gistar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2953,7 +2971,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ring family keeps q_hex_ring in the window), and q_gistar
     (Getis-Ord Gi* hot spots), rotating q_topk_per_cell (driver-green
     rounds 1-4; the window/top-k family keeps q_knn and q_wsample in
-    the window).
+    the window), and q_simplify (Douglas-Peucker trajectory
+    thinning), rotating q_oct_assign (driver-green rounds 1-4; the
+    octree family keeps q_oct_capacity in the window), and q_ripley
+    (Ripley K / nearest-neighbour G point-pattern statistics),
+    rotating q_pip_poly (convex PIP, driver-green rounds 1-4; the PIP
+    family keeps q_pip_join and q_pip_concave in the window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2963,7 +2986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- gate window (first 50) ---
         "q_qt_assign": q_qt_assign,
         "q_pip_join": q_pip_join,
-        "q_pip_poly": q_pip_poly,
         "q_range_join": q_range_join,
         "q_knn": q_knn,
         "q_nearest": q_nearest,
@@ -3014,9 +3036,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_peak": q_peak,
         "q_gistar": q_gistar,
         "q_simplify": q_simplify,
+        "q_ripley": q_ripley,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
         "q_oct_assign": q_oct_assign,
+        "q_pip_poly": q_pip_poly,
         "q_topk_per_cell": q_topk_per_cell,
         "q_ring_count": q_ring_count,
         "q_zonal": q_zonal,
@@ -3154,6 +3178,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT px >> 11 AS cx, py >> 11 AS cy, "
             f"CAST(count(*) AS BIGINT) AS n FROM ({D.SQL_POINTS}) pts "
             f"GROUP BY px >> 11, py >> 11"),
+        "q_ripley": PP.point_pattern_sql(
+            f"SELECT point_id, px AS x, py AS y FROM ({D.SQL_POINTS}) p",
+            radii=_RIPLEY_RADII, world=POW2_WORLD_2D),
         # priority sampling: the integer hash + ONE IEEE division makes
         # the priority bit-identical in both engines (no libm bridge);
         # tau = the 101st priority, est_w = max(w, tau)
