@@ -1492,6 +1492,53 @@ def run_traj(n: int = 20_000_000) -> dict:
     return out
 
 
+def run_ripley(n: int = 20_000_000) -> dict:
+    """Point-pattern statistics at scale (round 5): Ripley K + NN-G at
+    radii (4, 8, 16) over n xxhash-uniform points in the 65536² world
+    (uniform, NOT the multiplicative-lattice generator — that one has
+    only 65536 distinct locations x ~305 copies, an intentional
+    worst-case for a distance join). r_max=16 auto-picks depth 12
+    (cell edge 16, ring r=1, 9-cell fan-out): candidate pairs are
+    density-bounded (~3.75 neighbours/point within 16), never n²."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.config import POW2_WORLD_2D
+    from optimizing_spark.operators.pointpattern import point_pattern
+    from optimizing_spark.session import get_spark
+
+    E = 65536
+    spark = get_spark("ripley_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    pts = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("point_id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(E)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(E)).alias("y"),
+    ).localCheckpoint()
+    calib = _quick_calibration(CPUS)
+    t0 = time.time()
+    rows = point_pattern(pts, radii=(4, 8, 16),
+                         world=POW2_WORLD_2D).collect()
+    wall = time.time() - t0
+    lam = n / float(E * E)
+    return {
+        "metric": "ripley_points_per_sec",
+        "value": round(n / wall),
+        "unit": "points/sec",
+        "points": n, "wall_sec": round(wall, 2),
+        "rows": [
+            {"r": r.r, "pairs_le_r": r.pairs_le_r,
+             "k_hat": r.k_hat,
+             "csr_expectation_pi_r2": round(3.141592653589793 * r.r * r.r, 1),
+             "nn_le_r": r.nn_le_r, "g_hat": round(r.g_hat, 4)}
+            for r in rows
+        ],
+        "density_per_unit2": lam,
+        "heaviest_stages": _stage_skew(),
+        "calibration": calib,
+    }
+
+
 def run_hexscale() -> dict:
     """North-rule scaling criterion tied to the metric's OWN pipeline:
     the hex tile-x3 + ring join at local[N] vs local[4N] over the same
@@ -1567,6 +1614,8 @@ if __name__ == "__main__":
         print(json.dumps(run_autocorr()))
     elif "--hilbert" in sys.argv:
         print(json.dumps(run_hilbert()))
+    elif "--ripley" in sys.argv:
+        print(json.dumps(run_ripley()))
     elif "--traj" in sys.argv:
         print(json.dumps(run_traj()))
     elif "--hexscale" in sys.argv:
