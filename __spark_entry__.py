@@ -497,6 +497,28 @@ def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_trajectories(t, eps=12).orderBy("traj_id", "seq")
 
 
+def q_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip segmentation (operators/trajectory.segment_trips, round 5):
+    the q_simplify walks with a planted teleport every 13 steps
+    (+40000 in x — GPS signal loss), split at gap=1000: normal steps
+    are < 200 so step² < 10⁶ = gap² never breaks, the teleport always
+    does → trips are exact 13-step runs. Pure BIGINT window algebra
+    (lag + running break-flag sum + per-trip integer min/max/min_by/
+    max_by), ONE hash shuffle on traj_id drives both window passes, so
+    the DuckDB twin is bit-for-bit."""
+    c = D.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    seq = F.floor(k / 50).cast("long")
+    t = c.select(
+        (k % 50).alias("traj_id"),
+        seq.alias("seq"),
+        (F.lit(100) * seq + (k * 48271) % 41
+         + F.lit(40000) * F.floor(seq / 13).cast("long")).alias("x"),
+        (F.lit(50) * seq + (k * 69621) % 41).alias("y"),
+    )
+    return TRJ.segment_trips(t, gap=1000)
+
+
 _RIPLEY_RADII = (250, 750, 1500, 3000)
 
 
@@ -2976,7 +2998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     octree family keeps q_oct_capacity in the window), and q_ripley
     (Ripley K / nearest-neighbour G point-pattern statistics),
     rotating q_pip_poly (convex PIP, driver-green rounds 1-4; the PIP
-    family keeps q_pip_join and q_pip_concave in the window).
+    family keeps q_pip_join and q_pip_concave in the window), and
+    q_trips (gap-based trip segmentation), rotating q_nearest
+    (driver-green rounds 1-4; the O22 nearest-hit argmin stays
+    driver-exercised inside all three path-tracer chain queries).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -2988,7 +3013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_join": q_pip_join,
         "q_range_join": q_range_join,
         "q_knn": q_knn,
-        "q_nearest": q_nearest,
         "q_raster": q_raster,
         "q_oct_capacity": q_oct_capacity,
         "q_mirror_depth5": q_mirror_depth5,
@@ -3037,8 +3061,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gistar": q_gistar,
         "q_simplify": q_simplify,
         "q_ripley": q_ripley,
+        "q_trips": q_trips,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
+        "q_nearest": q_nearest,
         "q_oct_assign": q_oct_assign,
         "q_pip_poly": q_pip_poly,
         "q_topk_per_cell": q_topk_per_cell,
@@ -3161,6 +3187,17 @@ def oracle_sql() -> dict[str, str]:
                         + (CAST(c_custkey AS BIGINT) * 69621) % 41 AS y
                FROM customer""",
             eps=12),
+        "q_trips": TRJ.segment_trips_sql(
+            """SELECT CAST(c_custkey AS BIGINT) % 50 AS traj_id,
+                      CAST(c_custkey AS BIGINT) // 50 AS seq,
+                      100 * (CAST(c_custkey AS BIGINT) // 50)
+                        + (CAST(c_custkey AS BIGINT) * 48271) % 41
+                        + 40000 * ((CAST(c_custkey AS BIGINT) // 50) // 13)
+                        AS x,
+                      50 * (CAST(c_custkey AS BIGINT) // 50)
+                        + (CAST(c_custkey AS BIGINT) * 69621) % 41 AS y
+               FROM customer""",
+            gap=1000),
         "q_gistar": AC.getis_ord_gstar_sql(
             f"SELECT px >> 11 AS cx, py >> 11 AS cy, "
             f"CAST(count(*) AS BIGINT) AS n FROM ({D.SQL_POINTS}) pts "

@@ -38,7 +38,8 @@ exactly what the single group-key shuffle distributes.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 # Coordinate span (max-min per axis) below which the per-interval cross
 # scan is int64-safe: |cross| <= 2*span² and the degenerate-chord point
@@ -234,4 +235,106 @@ def simplify_sql(
         )
         SELECT p.g AS {group}, p.s AS {seq}, p.x AS {x}, p.y AS {y}
         FROM kept k JOIN pts p ON p.g = k.g AND p.s = k.s
+    """
+
+
+def segment_trips(
+    df: DataFrame,
+    gap: int,
+    group: str = "traj_id",
+    seq: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Trip segmentation: split each trajectory into trips wherever the
+    squared step distance to the PREVIOUS point exceeds gap² (GPS
+    signal loss / teleport — the standard track-cleaning step before
+    simplification or map rendering; Zheng 2015 survey's gap-based
+    segmentation). A trajectory's first point always opens trip 0.
+
+    Exactness: the break test (x−x_prev)² + (y−y_prev)² > gap² is pure
+    BIGINT arithmetic; trip ids are a running sum of 0/1 break flags;
+    every per-trip summary column is an integer min/max/count or the
+    exact net-displacement² between the trip's first and last point
+    (min_by/max_by on the unique seq). No floating point anywhere, so
+    the DuckDB twin is bit-for-bit.
+
+    Scale shape: ONE hash shuffle on the trajectory key drives both
+    window passes (lag + running sum share the same WindowExec); the
+    per-trip groupBy partial-aggregates to a few rows per trip before
+    its exchange. The 100 TB axis is trajectory count, same as
+    simplify_trajectories. ``seq`` must be unique per trajectory.
+
+    Returns one row per (group, trip): n_points, seq_lo, seq_hi,
+    min_x, max_x, min_y, max_y, net_disp2.
+    """
+    w = Window.partitionBy(group).orderBy(seq)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dx = F.col(x) - F.lag(x).over(w)
+    dy = F.col(y) - F.lag(y).over(w)
+    brk = F.when(dx * dx + dy * dy > F.lit(gap) * F.lit(gap),
+                 F.lit(1)).otherwise(F.lit(0))  # NULL lag -> 0
+    pts = (
+        df.select(group, seq, x, y)
+        .withColumn("_brk", brk)
+        .withColumn("trip", F.sum("_brk").over(run).cast("long"))
+    )
+    ex, sx = F.max_by(x, seq), F.min_by(x, seq)
+    ey, sy = F.max_by(y, seq), F.min_by(y, seq)
+    return pts.groupBy(group, "trip").agg(
+        F.count("*").alias("n_points"),
+        F.min(seq).alias("seq_lo"),
+        F.max(seq).alias("seq_hi"),
+        F.min(x).alias("min_x"),
+        F.max(x).alias("max_x"),
+        F.min(y).alias("min_y"),
+        F.max(y).alias("max_y"),
+        ((ex - sx) * (ex - sx) + (ey - sy) * (ey - sy))
+        .alias("net_disp2"),
+    )
+
+
+def segment_trips_sql(
+    pts_sql: str,
+    gap: int,
+    group: str = "traj_id",
+    seq: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> str:
+    """DuckDB twin of segment_trips: identical lag + running-sum
+    windows and integer aggregates (max_by/min_by on the unique seq)."""
+    return f"""
+        WITH pts AS (
+            SELECT CAST({group} AS BIGINT) AS g, CAST({seq} AS BIGINT) AS s,
+                   CAST({x} AS BIGINT) AS x, CAST({y} AS BIGINT) AS y
+            FROM ({pts_sql}) base
+        ),
+        flagged AS (
+            SELECT g, s, x, y,
+                   CASE WHEN lag(x) OVER w IS NULL THEN 0
+                        WHEN (x - lag(x) OVER w) * (x - lag(x) OVER w)
+                             + (y - lag(y) OVER w) * (y - lag(y) OVER w)
+                             > {gap * gap} THEN 1
+                        ELSE 0 END AS brk
+            FROM pts
+            WINDOW w AS (PARTITION BY g ORDER BY s)
+        ),
+        tripped AS (
+            SELECT g, s, x, y,
+                   CAST(sum(brk) OVER (PARTITION BY g ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS trip
+            FROM flagged
+        )
+        SELECT g AS {group}, trip,
+               CAST(count(*) AS BIGINT) AS n_points,
+               min(s) AS seq_lo, max(s) AS seq_hi,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y,
+               (max_by(x, s) - min_by(x, s)) * (max_by(x, s) - min_by(x, s))
+               + (max_by(y, s) - min_by(y, s)) * (max_by(y, s) - min_by(y, s))
+               AS net_disp2
+        FROM tripped
+        GROUP BY g, trip
     """

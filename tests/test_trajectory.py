@@ -155,3 +155,72 @@ def test_spark_matches_kernel_and_partition_invariance(spark):
         for r in out:
             got.setdefault(r.traj_id, set()).add(r.seq)
         assert got == expect, parts
+
+
+# ---------------------------------------------------------------------------
+# segment_trips
+# ---------------------------------------------------------------------------
+
+from optimizing_spark.operators.trajectory import segment_trips  # noqa: E402
+
+
+def _trips_oracle(pts, gap):
+    """Sequential reference: split ordered (x, y) lists at step² > gap²,
+    emit per-trip summaries."""
+    out = []
+    trip, start = 0, 0
+    for i in range(len(pts)):
+        if i > 0:
+            dx = pts[i][0] - pts[i - 1][0]
+            dy = pts[i][1] - pts[i - 1][1]
+            if dx * dx + dy * dy > gap * gap:
+                out.append((trip, start, i - 1))
+                trip += 1
+                start = i
+    out.append((trip, start, len(pts) - 1))
+    rows = []
+    for trip, lo, hi in out:
+        seg = pts[lo:hi + 1]
+        xs = [p[0] for p in seg]
+        ys = [p[1] for p in seg]
+        rows.append((trip, hi - lo + 1, lo, hi, min(xs), max(xs),
+                     min(ys), max(ys),
+                     (xs[-1] - xs[0]) ** 2 + (ys[-1] - ys[0]) ** 2))
+    return rows
+
+
+def test_segment_trips_matches_sequential_oracle(spark):
+    rows, expect = [], {}
+    for tid in range(5):
+        n = 40 + tid * 11
+        pts = []
+        for s in range(n):
+            jump = 500 * ((s + tid) // 9)  # teleport every ~9 steps
+            pts.append((10 * s + (tid * 31 + s * 48271) % 7 + jump,
+                        5 * s + (tid * 17 + s * 69621) % 7))
+        expect[tid] = set(_trips_oracle(pts, gap=60))
+        rows += [(tid, s, x, y) for s, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "traj_id long, seq long, x long, y long")
+    for parts in (1, 6):
+        got = {}
+        for r in segment_trips(df.repartition(parts), gap=60).collect():
+            got.setdefault(r.traj_id, set()).add(
+                (r.trip, r.n_points, r.seq_lo, r.seq_hi, r.min_x,
+                 r.max_x, r.min_y, r.max_y, r.net_disp2))
+        assert got == expect, parts
+
+
+def test_segment_trips_edges(spark):
+    # single point; exactly-gap step does NOT break (strict >); all
+    # steps breaking -> one trip per point
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0),
+         (1, 0, 0, 0), (1, 1, 60, 0),       # step == gap -> same trip
+         (2, 0, 0, 0), (2, 1, 0, 1000), (2, 2, 0, 2000)],
+        "traj_id long, seq long, x long, y long")
+    got = {(r.traj_id, r.trip): r for r in
+           segment_trips(df, gap=60).collect()}
+    assert got[(0, 0)].n_points == 1 and got[(0, 0)].net_disp2 == 0
+    assert got[(1, 0)].n_points == 2 and got[(1, 0)].net_disp2 == 3600
+    assert [got[(2, t)].n_points for t in (0, 1, 2)] == [1, 1, 1]
