@@ -59,6 +59,10 @@ OFFSETS: dict[str, dict[str, int]] = {
 SKIP = {
     "q_embed_neardup": "all-pairs exact control (O29 analog), "
                        "O(N^2) by design — pinned to gate scale",
+    "q_ripley": "gate radii (250..3000) are density-pinned: at sf1 "
+                "r_max=3000 means ~9.9k neighbours/point = 7.4B "
+                "materialized pairs. The 100x evidence is bench "
+                "--ripley (20M points, scale-appropriate radii 4..16)",
 }
 
 # queries whose DuckDB twin stays tractable at sf1 (no recursive CTE,
@@ -68,7 +72,7 @@ ORACLE_WHITELIST = [
     "q_hourly_events", "q_monthly_orders", "q_top_customers",
     "q_token_count", "q_quality", "q_lang_guess", "q_exact_dedup",
     "q_hex_counts", "q_agg_wide", "q_sample", "q_top_tokens",
-    "q_sessionize", "q_json_extract", "q_spans",
+    "q_sessionize", "q_json_extract", "q_spans", "q_trips",
 ]
 
 
