@@ -1539,6 +1539,60 @@ def run_ripley(n: int = 20_000_000) -> dict:
     }
 
 
+def run_trips(n: int = 20_000_000) -> dict:
+    """Trip segmentation at scale (round 5): the --traj tracks with a
+    planted teleport every 13 steps (+40000 in x), split at gap=1000
+    through segment_trips — the PURE-JVM window path (lag + running
+    sum + per-trip agg, no Python kernel), so this prices the
+    declarative trajectory op against the applyInPandas DP kernel on
+    the identical 20M-point input shape."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators.trajectory import segment_trips
+    from optimizing_spark.session import get_spark
+
+    L = 128
+    n_traj = n // L
+    spark = get_spark("trips_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    E = 65536
+    pts = spark.range(n_traj * L, numPartitions=CPUS * 2).select(
+        F.shiftright("id", 7).alias("traj_id"),
+        (F.col("id") % L).alias("seq"),
+        F.col("id"),
+    ).select(
+        "traj_id", "seq",
+        ((F.col("traj_id") * 7919 + 17) % E
+         + F.col("seq") * ((F.col("traj_id") * 104729 + 7) % 9 - 4)
+         + (F.col("id") * 2654435761 + 11) % 65 - 32
+         + F.lit(40000) * F.floor(F.col("seq") / 13).cast("long"))
+        .alias("x"),
+        ((F.col("traj_id") * 9973 + 31) % E
+         + F.col("seq") * ((F.col("traj_id") * 48271 + 3) % 9 - 4)
+         + (F.col("id") * 40503 + 13) % 65 - 32).alias("y"),
+    ).localCheckpoint()
+    calib = _quick_calibration(CPUS)
+    t0 = time.time()
+    trips = segment_trips(pts, gap=1000)
+    agg = trips.agg(
+        F.count("*").alias("n_trips"),
+        F.sum("n_points").alias("pts"),
+        F.max("n_points").alias("max_trip_len")).collect()[0]
+    wall = time.time() - t0
+    return {
+        "metric": "trip_segmentation_points_per_sec",
+        "value": round(n_traj * L / wall),
+        "unit": "points/sec",
+        "points": n_traj * L, "trajectories": n_traj,
+        "wall_sec": round(wall, 2),
+        "n_trips": agg.n_trips, "points_check": agg.pts,
+        "max_trip_len": agg.max_trip_len,
+        "heaviest_stages": _stage_skew(),
+        "calibration": calib,
+    }
+
+
 def run_hexscale() -> dict:
     """North-rule scaling criterion tied to the metric's OWN pipeline:
     the hex tile-x3 + ring join at local[N] vs local[4N] over the same
@@ -1614,6 +1668,8 @@ if __name__ == "__main__":
         print(json.dumps(run_autocorr()))
     elif "--hilbert" in sys.argv:
         print(json.dumps(run_hilbert()))
+    elif "--trips" in sys.argv:
+        print(json.dumps(run_trips()))
     elif "--ripley" in sys.argv:
         print(json.dumps(run_ripley()))
     elif "--traj" in sys.argv:
