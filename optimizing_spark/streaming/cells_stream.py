@@ -503,6 +503,95 @@ def streaming_wsample(
         GroupStateTimeout.NoTimeout)
 
 
+def trips_state_fn(gap: int):
+    """Streaming trip segmentation per trajectory (round 5: the
+    streaming twin of operators/trajectory.segment_trips). State is
+    ONLY the currently-open trip — (trip index, running count,
+    seq bounds, start point, last point, bbox): 12 scalars per
+    trajectory, never the point history. Each micro-batch sorts its
+    new points by seq, folds them through the identical exact-integer
+    break test (step² > gap², strict), and emits the trips it CLOSED
+    (append-mode semantics: a trip row is final the moment the break
+    that closes it arrives). The still-open trip stays in state.
+
+    Contract (same as any per-key running segmentation): points
+    arrive seq-monotone per trajectory ACROSS micro-batches; within a
+    batch any order is fine (sorted here).
+
+    Returns (fn, out_schema, state_schema) for
+    ``groupBy(traj_id).applyInPandasWithState(...)`` — builder form so
+    batch tests can drive the transition function directly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    g2 = gap * gap
+    out_schema = ("traj_id long, trip long, n_points long, seq_lo long, "
+                  "seq_hi long, min_x long, max_x long, min_y long, "
+                  "max_y long, net_disp2 long")
+    state_schema = ("trip bigint, n bigint, seq_lo bigint, seq_hi bigint, "
+                    "sx bigint, sy bigint, lx bigint, ly bigint, "
+                    "mnx bigint, mxx bigint, mny bigint, mxy bigint")
+    cols = ["traj_id", "trip", "n_points", "seq_lo", "seq_hi",
+            "min_x", "max_x", "min_y", "max_y", "net_disp2"]
+
+    def fn(key, pdfs, state: GroupState):
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values("seq")
+        seqs = pdf["seq"].to_numpy(np.int64)
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        closed = []
+        if state.exists:
+            (trip, n, seq_lo, seq_hi, sx, sy, lx, ly,
+             mnx, mxx, mny, mxy) = (int(v) for v in state.get)
+            live = True
+        else:
+            trip = n = seq_lo = seq_hi = 0
+            sx = sy = lx = ly = mnx = mxx = mny = mxy = 0
+            live = False
+        for i in range(len(seqs)):
+            s, x, y = int(seqs[i]), int(xs[i]), int(ys[i])
+            if live:
+                dx, dy = x - lx, y - ly
+                if dx * dx + dy * dy > g2:
+                    closed.append(
+                        (int(key[0]), trip, n, seq_lo, seq_hi,
+                         mnx, mxx, mny, mxy,
+                         (lx - sx) ** 2 + (ly - sy) ** 2))
+                    trip += 1
+                    n, seq_lo = 1, s
+                    sx, sy, mnx, mxx, mny, mxy = x, y, x, x, y, y
+                else:
+                    n += 1
+                    mnx, mxx = min(mnx, x), max(mxx, x)
+                    mny, mxy = min(mny, y), max(mxy, y)
+            else:
+                live = True
+                n, seq_lo = 1, s
+                sx, sy, mnx, mxx, mny, mxy = x, y, x, x, y, y
+            seq_hi, lx, ly = s, x, y
+        state.update((trip, n, seq_lo, seq_hi, sx, sy, lx, ly,
+                      mnx, mxx, mny, mxy))
+        if closed:
+            yield pd.DataFrame(closed, columns=cols).astype("int64")
+
+    return fn, out_schema, state_schema
+
+
+def streaming_trips(pts_stream: DataFrame, gap: int) -> DataFrame:
+    """Wire trips_state_fn onto a (traj_id, seq, x, y) stream: closed
+    trips emit as final append rows, O(1) state per trajectory."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fn, out_schema, state_schema = trips_state_fn(gap)
+    return pts_stream.groupBy("traj_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+
+
 def snapshot_sink(spark, root: str, table: str,
                   partition_by: list[str] | None = None):
     """foreachBatch sink committing each micro-batch as an APPEND

@@ -568,3 +568,52 @@ def test_streaming_wsample_equals_batch(spark, tmp_path):
         gl = last[last.grp == g]
         assert list(zip(gl.doc_id, gl.w, gl.priority)) == \
             list(zip(want.doc_id, want.w, want.priority)), g
+
+
+def test_streaming_trips_equals_batch(spark, tmp_path):
+    """Streaming trip segmentation (trips_state_fn): feed seq-monotone
+    micro-batches (one file per batch, written in seq order so the
+    FileStreamSource's mtime ordering preserves the contract) and the
+    CLOSED trips emitted by the stream must equal
+    operators/trajectory.segment_trips on the same rows minus each
+    trajectory's final (still-open) trip. State is only the open trip,
+    never the point history."""
+    import time as _t
+
+    from optimizing_spark.operators.trajectory import segment_trips
+
+    src = str(tmp_path / "trip_pts")
+    n, n_traj = 50, 6
+
+    def pts_range(lo, hi):
+        return [
+            (tid, s,
+             10 * s + (tid * 31 + s * 48271) % 7 + 500 * ((s + tid) // 9),
+             5 * s + (tid * 17 + s * 69621) % 7)
+            for tid in range(n_traj) for s in range(lo, hi)
+        ]
+
+    schema = "traj_id long, seq long, x long, y long"
+    for lo, hi in ((0, 17), (17, 34), (34, n)):
+        spark.createDataFrame(pts_range(lo, hi), schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.2)  # distinct mtimes -> deterministic batch order
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = CS.streaming_trips(stream, gap=60).writeStream \
+        .format("memory").queryName("trips_mem") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {tuple(int(v) for v in row)
+           for row in spark.table("trips_mem").collect()}
+
+    batch = segment_trips(
+        spark.createDataFrame(pts_range(0, n), schema), gap=60).collect()
+    last_trip = {}
+    for r in batch:
+        last_trip[r.traj_id] = max(last_trip.get(r.traj_id, -1), r.trip)
+    want = {tuple(int(v) for v in r) for r in batch
+            if r.trip < last_trip[r.traj_id]}
+    assert len(got) > n_traj  # breaks really happened across batches
+    assert got == want
