@@ -497,6 +497,34 @@ def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_trajectories(t, eps=12).orderBy("traj_id", "seq")
 
 
+def q_seg_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-segment crossing join (joins.segment_segment_join,
+    round 5): map-overlay / road-intersection detection over the
+    lineitem segments — the +slope even-parity subfamily against the
+    -slope odd-parity subfamily (seg_id % 20 == 2 / == 11 — seg_id =
+    orderkey*10 + linenumber, so the residue fixes linenumber AND
+    orderkey parity, picking ~1/14th of each slope family to keep the
+    quadratic result gate-sized), in CELLS mode at depth 6:
+    both sides explode to their bbox's covering cells, ONE
+    (cell_x, cell_y) equi-shuffle, the exact integer mutual-straddle +
+    bbox predicate (geometry.segments_intersect — collinear overlaps
+    and endpoint touches count), pairs emitted only in the reporting
+    cell. Segments deliberately run out-of-world (negative /
+    > edge coords) exercising the clamped cell covers."""
+    segs = D.segments(spark, sf_dir)
+    a = segs.filter(F.col("seg_id") % 20 == 2).select(
+        F.col("seg_id").alias("a_id"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"))
+    b = segs.filter(F.col("seg_id") % 20 == 11).select(
+        F.col("seg_id").alias("b_id"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"), F.col("y2").alias("by2"))
+    out = J.segment_segment_join(a, b, method="cells",
+                                 world=POW2_WORLD_2D, depth=6)
+    return out.select("a_id", "b_id")
+
+
 def q_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trip segmentation (operators/trajectory.segment_trips, round 5):
     the q_simplify walks with a planted teleport every 13 steps
@@ -3001,7 +3029,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family keeps q_pip_join and q_pip_concave in the window), and
     q_trips (gap-based trip segmentation), rotating q_nearest
     (driver-green rounds 1-4; the O22 nearest-hit argmin stays
-    driver-exercised inside all three path-tracer chain queries).
+    driver-exercised inside all three path-tracer chain queries), and
+    q_seg_seg (segment-segment crossing join), rotating q_embed_topk
+    (plain LSH top-k, driver-green rounds 1-4; the ANN family keeps
+    q_embed_topk_ivf, q_embed_topk_pq and q_embed_neardup_lsh in the
+    window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -3022,7 +3054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash": q_minhash,
         "q_lsh_pairs": q_lsh_pairs,
         "q_dedup_cc": q_dedup_cc,
-        "q_embed_topk": q_embed_topk,
         "q_embed_topk_ivf": q_embed_topk_ivf,
         "q_embed_topk_pq": q_embed_topk_pq,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -3062,9 +3093,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simplify": q_simplify,
         "q_ripley": q_ripley,
         "q_trips": q_trips,
+        "q_seg_seg": q_seg_seg,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
         "q_nearest": q_nearest,
+        "q_embed_topk": q_embed_topk,
         "q_oct_assign": q_oct_assign,
         "q_pip_poly": q_pip_poly,
         "q_topk_per_cell": q_topk_per_cell,
@@ -3187,6 +3220,38 @@ def oracle_sql() -> dict[str, str]:
                         + (CAST(c_custkey AS BIGINT) * 69621) % 41 AS y
                FROM customer""",
             eps=12),
+        # DuckDB 1.0.0 IEJoin ON-clause limitation (see q_seg_join):
+        # bbox bounds materialize as plain columns; x2 >= x1 by
+        # construction (x2 = x1 + 37*sx, sx >= 1), y needs the CASE
+        "q_seg_seg": f"""
+            WITH segs AS ({D.SQL_SEGMENTS}),
+            a AS (
+                SELECT seg_id AS a_id, x1 AS ax1, y1 AS ay1,
+                       x2 AS ax2, y2 AS ay2,
+                       x1 AS aminx, x2 AS amaxx,
+                       CASE WHEN y1 <= y2 THEN y1 ELSE y2 END AS aminy,
+                       CASE WHEN y1 <= y2 THEN y2 ELSE y1 END AS amaxy
+                FROM segs WHERE seg_id % 20 = 2
+            ),
+            b AS (
+                SELECT seg_id AS b_id, x1 AS bx1, y1 AS by1,
+                       x2 AS bx2, y2 AS by2,
+                       x1 AS bminx, x2 AS bmaxx,
+                       CASE WHEN y1 <= y2 THEN y1 ELSE y2 END AS bminy,
+                       CASE WHEN y1 <= y2 THEN y2 ELSE y1 END AS bmaxy
+                FROM segs WHERE seg_id % 20 = 11
+            )
+            -- straddles written inline WITHOUT the seg_pair_sql
+            -- LEAST/GREATEST bbox term: DuckDB 1.0.0 also hits the
+            -- flat-vector internal error on LEAST/GREATEST fed by
+            -- IEJoin output, and the bbox is already enforced by the
+            -- materialized min/max columns above
+            SELECT a_id, b_id FROM a JOIN b
+              ON aminx <= bmaxx AND amaxx >= bminx
+            WHERE aminy <= bmaxy AND amaxy >= bminy
+              AND {D.seg_straddle_sql(("ax1", "ay1"), ("ax2", "ay2"),
+                                      ("bx1", "by1"), ("bx2", "by2"))}
+        """,
         "q_trips": TRJ.segment_trips_sql(
             """SELECT CAST(c_custkey AS BIGINT) % 50 AS traj_id,
                       CAST(c_custkey AS BIGINT) // 50 AS seq,

@@ -484,6 +484,68 @@ def segment_box_join(
         "cell_x", "cell_y", "_s_min_x", "_s_min_y", "_s_max_x", "_s_max_y")
 
 
+def segment_segment_join(
+    left: DataFrame,
+    right: DataFrame,
+    method: str = "broadcast",
+    world: Box2 | None = None,
+    depth: int = 6,
+) -> DataFrame:
+    """Segment-vs-segment CROSSING join — map overlay / road-network
+    intersection detection, the 1D×1D member completing the
+    point/box/segment/polygon join family (extends the reference's O10
+    range search, DynamicOctree.hpp:146-171, to pair-of-polyline-edge
+    workloads). left(a_id, ax1, ay1, ax2, ay2) × right(b_id, bx1, by1,
+    bx2, by2); the predicate is geometry.segments_intersect — exact
+    integer mutual non-strict straddle + bbox overlap, so collinear
+    overlaps and endpoint touches count (closed sets).
+
+    method='broadcast': broadcast the right side, stream the left.
+    method='cells': both sides explode to fixed-depth grid cells of
+    their bboxes and candidates meet in ONE (cell_x, cell_y)
+    equi-join; a pair is emitted only in its reporting cell (the cell
+    of the bbox-overlap region's min corner), so no distinct pass —
+    the 100 TB shape shared with range_join / segment_box_join."""
+    pred = G.segments_intersect(
+        F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
+        F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"))
+    if method == "broadcast":
+        return left.join(F.broadcast(right), pred)
+    if method != "cells":
+        raise ValueError(f"unknown method {method!r}")
+    if world is None:
+        raise ValueError("method='cells' needs a world box")
+    n, sx, sy = _grid(world, depth)
+    a = explode_covering_cells(
+        left
+        .withColumn("_a_min_x", F.least("ax1", "ax2"))
+        .withColumn("_a_min_y", F.least("ay1", "ay2"))
+        .withColumn("_a_max_x", F.greatest("ax1", "ax2"))
+        .withColumn("_a_max_y", F.greatest("ay1", "ay2")),
+        world, depth, "_a_min_x", "_a_min_y", "_a_max_x", "_a_max_y",
+    )
+    b = explode_covering_cells(
+        right
+        .withColumn("_b_min_x", F.least("bx1", "bx2"))
+        .withColumn("_b_min_y", F.least("by1", "by2"))
+        .withColumn("_b_max_x", F.greatest("bx1", "bx2"))
+        .withColumn("_b_max_y", F.greatest("by1", "by2")),
+        world, depth, "_b_min_x", "_b_min_y", "_b_max_x", "_b_max_y",
+    )
+    rx = F.greatest(F.col("_a_min_x"), F.col("_b_min_x"))
+    ry = F.greatest(F.col("_a_min_y"), F.col("_b_min_y"))
+    report = (
+        (_gcoord(rx, world.min_x, sx, n) == F.col("cell_x"))
+        & (_gcoord(ry, world.min_y, sy, n) == F.col("cell_y"))
+    )
+    # cheap integer reporting-cell gate BEFORE the 4-orientation fold
+    # (same conjunct ordering as segment_box_join / polygon joins)
+    joined = a.join(b, ["cell_x", "cell_y"]).filter(report).filter(pred)
+    return joined.drop(
+        "cell_x", "cell_y", "_a_min_x", "_a_min_y", "_a_max_x",
+        "_a_max_y", "_b_min_x", "_b_min_y", "_b_max_x", "_b_max_y")
+
+
 def ring_semi_join(
     objects: DataFrame, queries: DataFrame, world: Box2, depth: int, k: int = 1
 ) -> DataFrame:

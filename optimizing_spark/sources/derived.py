@@ -256,11 +256,14 @@ def star_crossing_sql(px: str = "px", py: str = "py") -> str:
     return ring_crossing_sql(STAR_RING_SQL, px, py)
 
 
-def seg_pair_sql(a0, a1, b0, b1) -> str:
-    """Exact closed segment-segment intersection over four (x-expr,
-    y-expr) endpoint pairs — the SQL twin of
-    geometry.segments_intersect (mutual non-strict straddle + edge
-    bbox overlap)."""
+def seg_straddle_sql(a0, a1, b0, b1) -> str:
+    """The mutual non-strict straddle HALF of the exact closed
+    segment-segment intersection test (geometry.segments_intersect)
+    over four (x-expr, y-expr) endpoint pairs — WITHOUT the bbox term.
+    Split out for callers that already enforce bbox overlap via
+    materialized min/max columns (DuckDB 1.0.0 hits an internal
+    flat-vector error on LEAST/GREATEST downstream of an IEJoin, so
+    the q_seg_seg twin cannot re-derive the bbox inline)."""
     (ax0, ay0), (ax1, ay1) = a0, a1
     (bx0, by0), (bx1, by1) = b0, b1
 
@@ -274,11 +277,21 @@ def seg_pair_sql(a0, a1, b0, b1) -> str:
     o4 = orient(bx0, by0, bx1, by1, ax1, ay1)
     sb = f"(({o1} <= 0 AND {o2} >= 0) OR ({o1} >= 0 AND {o2} <= 0))"
     sa = f"(({o3} <= 0 AND {o4} >= 0) OR ({o3} >= 0 AND {o4} <= 0))"
+    return f"({sa} AND {sb})"
+
+
+def seg_pair_sql(a0, a1, b0, b1) -> str:
+    """Exact closed segment-segment intersection over four (x-expr,
+    y-expr) endpoint pairs — the SQL twin of
+    geometry.segments_intersect (mutual non-strict straddle + edge
+    bbox overlap)."""
+    (ax0, ay0), (ax1, ay1) = a0, a1
+    (bx0, by0), (bx1, by1) = b0, b1
     bb = (f"LEAST({ax0}, {ax1}) <= GREATEST({bx0}, {bx1})"
           f" AND GREATEST({ax0}, {ax1}) >= LEAST({bx0}, {bx1})"
           f" AND LEAST({ay0}, {ay1}) <= GREATEST({by0}, {by1})"
           f" AND GREATEST({ay0}, {ay1}) >= LEAST({by0}, {by1})")
-    return f"({sa} AND {sb} AND {bb})"
+    return f"({seg_straddle_sql(a0, a1, b0, b1)} AND {bb})"
 
 
 def poly_overlap_sql(ring_a: list[tuple[str, str]],

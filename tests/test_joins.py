@@ -514,3 +514,106 @@ def test_distance_join_d_exceeds_world(spark):
     # streaming twin shares _ring_grid: same geometry, no raise
     depth, ncells, _, _, r = joins._ring_grid(world, 300_000, None)
     assert (depth, ncells, r) == (0, 1, 0)
+
+
+def _frac_segs_cross(a, b):
+    """Exact rational oracle: closed segments intersect iff some point
+    satisfies both parametrizations with s, t in [0, 1] — solved in
+    Fractions (parallel/collinear handled via 1D projection overlap)."""
+    from fractions import Fraction
+
+    (ax1, ay1, ax2, ay2), (bx1, by1, bx2, by2) = a, b
+    rx, ry = ax2 - ax1, ay2 - ay1
+    sx, sy = bx2 - bx1, by2 - by1
+
+    def _pt_on(px, py, x1, y1, x2, y2):
+        return ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) == 0
+                and min(x1, x2) <= px <= max(x1, x2)
+                and min(y1, y2) <= py <= max(y1, y2))
+
+    if rx == 0 and ry == 0:  # A degenerate to a point
+        return _pt_on(ax1, ay1, bx1, by1, bx2, by2)
+    if sx == 0 and sy == 0:  # B degenerate to a point
+        return _pt_on(bx1, by1, ax1, ay1, ax2, ay2)
+    den = rx * sy - ry * sx
+    qpx, qpy = bx1 - ax1, by1 - ay1
+    if den != 0:
+        t = Fraction(qpx * sy - qpy * sx, den)
+        u = Fraction(qpx * ry - qpy * rx, den)
+        return 0 <= t <= 1 and 0 <= u <= 1
+    # parallel: intersect only if collinear AND 1D spans overlap
+    if qpx * ry - qpy * rx != 0:
+        return False
+    # collinear (incl. degenerate points): overlap of bboxes is exact
+    return (min(ax1, ax2) <= max(bx1, bx2)
+            and max(ax1, ax2) >= min(bx1, bx2)
+            and min(ay1, ay2) <= max(by1, by2)
+            and max(ay1, ay2) >= min(by1, by2))
+
+
+def test_segment_segment_join_matches_rational_oracle(spark):
+    rng = np.random.default_rng(11)
+    aseg, bseg = [], []
+    for i in range(250):
+        x1, y1 = int(rng.integers(0, 1500)), int(rng.integers(0, 1500))
+        aseg.append((i, x1, y1, x1 + int(rng.integers(-300, 301)),
+                     y1 + int(rng.integers(-300, 301))))
+    for i in range(250):
+        x1, y1 = int(rng.integers(0, 1500)), int(rng.integers(0, 1500))
+        bseg.append((i, x1, y1, x1 + int(rng.integers(-300, 301)),
+                     y1 + int(rng.integers(-300, 301))))
+    # forced degenerates: endpoint touch, collinear overlap, collinear
+    # DISJOINT (must not match), crossing at an interior lattice point,
+    # and a zero-length segment ON another segment
+    aseg += [(250, 0, 0, 10, 10), (251, 100, 100, 200, 100),
+             (252, 300, 300, 310, 300), (253, 400, 400, 420, 420),
+             (254, 500, 500, 500, 500)]
+    bseg += [(250, 10, 10, 30, 5), (251, 150, 100, 260, 100),
+             (252, 320, 300, 340, 300), (253, 400, 420, 420, 400),
+             (254, 490, 490, 510, 510)]
+    adf = spark.createDataFrame(
+        aseg, "a_id long, ax1 long, ay1 long, ax2 long, ay2 long")
+    bdf = spark.createDataFrame(
+        bseg, "b_id long, bx1 long, by1 long, bx2 long, by2 long")
+    got = joins.segment_segment_join(adf, bdf, method="broadcast") \
+        .select("a_id", "b_id").toPandas()
+    want = {(ai, bi)
+            for ai, *a in aseg for bi, *b in bseg
+            if _frac_segs_cross(tuple(a), tuple(b))}
+    assert set(zip(got.a_id, got.b_id)) == want
+    for pair in [(250, 250), (251, 251), (253, 253), (254, 254)]:
+        assert pair in want, pair  # the planted positives really hit
+    assert (252, 252) not in want  # collinear-disjoint stays out
+
+
+def test_segment_segment_join_cells_equals_broadcast(spark):
+    """Out-of-world coordinates included (negative / > edge): the
+    clamped covering cells and the clamped reporting cell must stay
+    consistent, every pair exactly once."""
+    from optimizing_spark.config import Box2
+
+    rng = np.random.default_rng(31)
+
+    def mk(n, seed_off):
+        out = []
+        for i in range(n):
+            x1 = int(rng.integers(-2000, 67000))
+            y1 = int(rng.integers(-2000, 67000))
+            out.append((i, x1, y1, x1 + int(rng.integers(-4000, 4001)),
+                        y1 + int(rng.integers(-4000, 4001))))
+        return out
+
+    aseg, bseg = mk(1200, 0), mk(1200, 1)
+    adf = spark.createDataFrame(
+        aseg, "a_id long, ax1 long, ay1 long, ax2 long, ay2 long")
+    bdf = spark.createDataFrame(
+        bseg, "b_id long, bx1 long, by1 long, bx2 long, by2 long")
+    world = Box2(0.0, 0.0, 65536.0, 65536.0)
+    a = joins.segment_segment_join(adf, bdf, method="broadcast") \
+        .select("a_id", "b_id").toPandas()
+    b = joins.segment_segment_join(adf, bdf, method="cells",
+                                   world=world, depth=5) \
+        .select("a_id", "b_id").toPandas()
+    assert len(b) == len(set(zip(b.a_id, b.b_id)))  # exactly-once
+    assert set(zip(a.a_id, a.b_id)) == set(zip(b.a_id, b.b_id))
+    assert len(a) > 0
