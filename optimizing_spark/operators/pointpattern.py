@@ -8,32 +8,41 @@ same progression the reference's demo pipeline makes from per-cell
 counts to per-object queries (DynamicOctree.hpp:146-171 range search
 feeding aggregate summaries).
 
-Estimators (naive / uncorrected — no edge correction; documented so
-the DuckDB twin is a pure re-statement, not a approximation):
+Two estimator flavours per radius, both reported:
 
-    K_hat(r) = area * pairs_le_r / (n * (n - 1))
-    G_hat(r) = nn_le_r / n
+    naive (uncorrected):
+        K_hat(r) = area * pairs_le_r / (n * (n - 1))
+        G_hat(r) = nn_le_r / n
+    border-corrected (minus sampling, Ripley 1988 §3.2): only points
+    at least r from every window edge act as CENTERS, removing the
+    downward bias the clipped window inflicts on the naive form:
+        K_border(r) = area * pairs_border / (centers_border * (n - 1))
+        G_border(r) = nn_border / centers_border
+        (NULL when centers_border = 0 — the window is too small for r)
 
-where pairs_le_r counts ORDERED pairs i != j with dist(i,j) <= r and
-nn_le_r counts points whose nearest neighbour lies within r. Both
-counts are exact integers: candidate pairs come from ONE
-distance-band self-join at r_max = max(radii) (the 9-cell ring-join
-shape of operators/joins.distance_join — never all-pairs), dist² is
-exact BIGINT arithmetic, and each radius threshold is the integer
-comparison dist² <= r². For r <= r_max the band join is lossless for
-BOTH statistics: every pair counted by K(r) has dist <= r <= r_max,
-and if a point has any neighbour within r_max its true nearest
-neighbour is also within r_max. The only floating-point is the one
-fixed-order IEEE epilogue per row (integer→double conversion, one
-multiply, one divide — each correctly rounded, so cross-engine
-bit-equal, same argument as autocorr.getis_ord_gstar).
+where pairs_le_r counts ORDERED pairs i != j with dist(i,j) <= r
+(pairs_border: additionally center i interior at r) and nn_le_r
+counts points whose nearest neighbour lies within r. All counts are
+exact integers: candidate pairs come from ONE distance-band self-join
+at r_max = max(radii) (the 9-cell ring-join shape of
+operators/joins.distance_join — never all-pairs), dist² is exact
+BIGINT arithmetic, each radius threshold is the integer comparison
+dist² <= r², and interiority is an integer coordinate comparison. For
+r <= r_max the band join is lossless for BOTH statistics: every pair
+counted by K(r) has dist <= r <= r_max, and if a point has any
+neighbour within r_max its true nearest neighbour is also within
+r_max. The only floating-point is the one fixed-order IEEE epilogue
+per row (integer→double conversion, one multiply, one divide — each
+correctly rounded, so cross-engine bit-equal, same argument as
+autocorr.getis_ord_gstar).
 
 Scale shape: the self-join is the distance_join plan (single
 (cell_x, cell_y) equi-shuffle, fan-out-guarded ring explode); the
-per-radius fan-out is a broadcast nested-loop against a literal
-len(radii)-row table, so downstream rows are at most |pairs| × |radii|
-with |pairs| bounded by the density within r_max — cost never touches
-n² at any scale.
+symmetrized pair list re-acquires center coordinates via one pid
+equi-join against the slim point projection; the per-radius fan-out
+is a broadcast nested-loop against a literal len(radii)-row table, so
+downstream rows are at most 2·|pairs| × |radii| with |pairs| bounded
+by the density within r_max — cost never touches n² at any scale.
 """
 
 from __future__ import annotations
@@ -53,56 +62,89 @@ def point_pattern(
     depth: int | None = None,
     id_col: str = "point_id",
 ) -> DataFrame:
-    """K_hat and G_hat at each radius in ``radii`` (ints, ascending not
-    required). ``points`` needs columns (id_col, x, y). Returns one row
-    per radius: (r, pairs_le_r, k_hat, nn_le_r, g_hat, n_points)."""
+    """Naive + border-corrected K_hat and G_hat at each radius in
+    ``radii`` (ints). ``points`` needs columns (id_col, x, y). Returns
+    one row per radius: (r, pairs_le_r, k_hat, nn_le_r, g_hat,
+    n_points, centers_border, pairs_border, k_hat_border, nn_border,
+    g_hat_border)."""
     radii = [int(r) for r in radii]
     rmax = max(radii)
     spark = points.sparkSession
-    area = float(
-        (world.max_x - world.min_x) * (world.max_y - world.min_y))
+    wx0, wy0 = int(world.min_x), int(world.min_y)
+    wx1, wy1 = int(world.max_x), int(world.max_y)
+    area = float((wx1 - wx0) * (wy1 - wy0))
 
+    slim = points.select(F.col(id_col).alias("pid"),
+                         F.col("x").cast("long").alias("x"),
+                         F.col("y").cast("long").alias("y"))
     pairs = distance_join(points, rmax, world, depth=depth,
                           id_col=id_col).localCheckpoint()
-    nn = (
+    # symmetrize, then re-acquire the CENTER's coordinates (one pid
+    # equi-join against the slim projection) for border interiority
+    sym = (
         pairs.select(F.col("id_a").alias("pid"), "dist2")
         .unionAll(pairs.select(F.col("id_b").alias("pid"), "dist2"))
-        .groupBy("pid").agg(F.min("dist2").alias("nn_d2"))
+        .join(slim, "pid")
     )
+    nn = sym.groupBy("pid").agg(
+        F.min("dist2").alias("nn_d2"),
+        F.first("x").alias("x"), F.first("y").alias("y"))
     rdf = spark.createDataFrame([(r,) for r in radii], "r long")
+
+    def interior(r):
+        return ((F.col("x") >= F.lit(wx0) + r)
+                & (F.col("x") <= F.lit(wx1) - r)
+                & (F.col("y") >= F.lit(wy0) + r)
+                & (F.col("y") <= F.lit(wy1) - r))
+
     # inner BNLJ against the broadcast literal radii (the big side
     # streams, never broadcasts), then recover zero-count radii by a
     # left join on the <= len(radii)-row aggregate
-    pc = rdf.join(
-        pairs.join(F.broadcast(rdf),
-                   F.col("dist2") <= F.col("r") * F.col("r"))
-        .groupBy("r")
-        .agg((F.lit(2) * F.count(F.lit(1))).alias("_pc")),
-        "r", "left",
-    ).select("r", F.coalesce("_pc", F.lit(0)).cast("long")
-             .alias("pairs_le_r"))
-    gc = rdf.join(
-        nn.join(F.broadcast(rdf),
-                F.col("nn_d2") <= F.col("r") * F.col("r"))
-        .groupBy("r").agg(F.count(F.lit(1)).alias("_gc")),
-        "r", "left",
-    ).select("r", F.coalesce("_gc", F.lit(0)).cast("long")
-             .alias("nn_le_r"))
+    def _per_radius(df, cond, agg_col, name):
+        inner = (
+            df.join(F.broadcast(rdf), cond)
+            .groupBy("r").agg(agg_col.alias("_v"))
+        )
+        return rdf.join(inner, "r", "left").select(
+            "r", F.coalesce("_v", F.lit(0)).cast("long").alias(name))
+
+    rr = F.col("r") * F.col("r")
+    pc = _per_radius(sym, F.col("dist2") <= rr,
+                     F.count(F.lit(1)), "pairs_le_r")
+    pb = _per_radius(sym, (F.col("dist2") <= rr) & interior(F.col("r")),
+                     F.count(F.lit(1)), "pairs_border")
+    gc = _per_radius(nn, F.col("nn_d2") <= rr,
+                     F.count(F.lit(1)), "nn_le_r")
+    gb = _per_radius(nn, (F.col("nn_d2") <= rr) & interior(F.col("r")),
+                     F.count(F.lit(1)), "nn_border")
+    cb = _per_radius(slim, interior(F.col("r")),
+                     F.count(F.lit(1)), "centers_border")
     n1 = points.agg(F.count("*").alias("n_points"))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
     return (
-        pc.join(gc, "r")
+        pc.join(pb, "r").join(gc, "r").join(gb, "r").join(cb, "r")
         .crossJoin(F.broadcast(n1))
         .select(
             "r",
             "pairs_le_r",
-            ((F.col("pairs_le_r").cast("double") * F.lit(area))
+            ((dbl("pairs_le_r") * F.lit(area))
              / (F.col("n_points")
                 * (F.col("n_points") - F.lit(1))).cast("double"))
             .alias("k_hat"),
             "nn_le_r",
-            (F.col("nn_le_r").cast("double")
-             / F.col("n_points").cast("double")).alias("g_hat"),
+            (dbl("nn_le_r") / dbl("n_points")).alias("g_hat"),
             "n_points",
+            "centers_border",
+            "pairs_border",
+            F.when(F.col("centers_border") > 0,
+                   (dbl("pairs_border") * F.lit(area))
+                   / (F.col("centers_border")
+                      * (F.col("n_points") - F.lit(1))).cast("double"))
+            .alias("k_hat_border"),
+            "nn_border",
+            F.when(F.col("centers_border") > 0,
+                   dbl("nn_border") / dbl("centers_border"))
+            .alias("g_hat_border"),
         )
         .orderBy("r")
     )
@@ -117,12 +159,18 @@ def point_pattern_sql(
     """DuckDB twin: the same counts from an explicit band self-join
     (|dx|, |dy| <= r_max pre-filter + exact dist² predicate) and the
     identical fixed-order IEEE epilogue. LEFT JOIN + count(expr) keeps
-    zero-count radii present, mirroring Spark's left broadcast join."""
+    zero-count radii present, mirroring Spark's count-recovery join;
+    border terms use the identical integer interiority comparisons."""
     radii = [int(r) for r in radii]
     rmax = max(radii)
-    area = float(
-        (world.max_x - world.min_x) * (world.max_y - world.min_y))
+    wx0, wy0 = int(world.min_x), int(world.min_y)
+    wx1, wy1 = int(world.max_x), int(world.max_y)
+    area = float((wx1 - wx0) * (wy1 - wy0))
     values = ", ".join(f"({r})" for r in radii)
+    inter = (f"s.x >= {wx0} + r.r AND s.x <= {wx1} - r.r"
+             f" AND s.y >= {wy0} + r.r AND s.y <= {wy1} - r.r")
+    inter_n = inter.replace("s.x", "nn.x").replace("s.y", "nn.y")
+    inter_p = inter.replace("s.x", "p.x").replace("s.y", "p.y")
     return f"""
         WITH pts AS (
             SELECT CAST({id_col} AS BIGINT) AS pid,
@@ -130,7 +178,8 @@ def point_pattern_sql(
             FROM ({pts_sql}) base
         ),
         prs AS (
-            SELECT a.pid AS ia, b.pid AS ib,
+            SELECT a.pid AS ia, a.x AS ax, a.y AS ay,
+                   b.pid AS ib, b.x AS bx, b.y AS by,
                    (a.x - b.x) * (a.x - b.x)
                    + (a.y - b.y) * (a.y - b.y) AS dist2
             FROM pts a JOIN pts b
@@ -139,22 +188,42 @@ def point_pattern_sql(
              AND (a.x - b.x) * (a.x - b.x)
                  + (a.y - b.y) * (a.y - b.y) <= {rmax * rmax}
         ),
+        sym AS (
+            SELECT ia AS pid, ax AS x, ay AS y, dist2 FROM prs
+            UNION ALL
+            SELECT ib AS pid, bx AS x, by AS y, dist2 FROM prs
+        ),
         nn AS (
-            SELECT pid, min(dist2) AS nn_d2 FROM (
-                SELECT ia AS pid, dist2 FROM prs
-                UNION ALL
-                SELECT ib AS pid, dist2 FROM prs
-            ) sym GROUP BY pid
+            SELECT pid, min(dist2) AS nn_d2,
+                   min(x) AS x, min(y) AS y
+            FROM sym GROUP BY pid
         ),
         radii(r) AS (VALUES {values}),
         pc AS (
-            SELECT r.r, 2 * count(p.dist2) AS pairs_le_r
-            FROM radii r LEFT JOIN prs p ON p.dist2 <= r.r * r.r
+            SELECT r.r, count(s.dist2) AS pairs_le_r
+            FROM radii r LEFT JOIN sym s ON s.dist2 <= r.r * r.r
+            GROUP BY r.r
+        ),
+        pb AS (
+            SELECT r.r, count(s.dist2) AS pairs_border
+            FROM radii r LEFT JOIN sym s
+              ON s.dist2 <= r.r * r.r AND {inter}
             GROUP BY r.r
         ),
         gc AS (
             SELECT r.r, count(nn.nn_d2) AS nn_le_r
             FROM radii r LEFT JOIN nn ON nn.nn_d2 <= r.r * r.r
+            GROUP BY r.r
+        ),
+        gb AS (
+            SELECT r.r, count(nn.nn_d2) AS nn_border
+            FROM radii r LEFT JOIN nn
+              ON nn.nn_d2 <= r.r * r.r AND {inter_n}
+            GROUP BY r.r
+        ),
+        cb AS (
+            SELECT r.r, count(p.pid) AS centers_border
+            FROM radii r LEFT JOIN pts p ON {inter_p}
             GROUP BY r.r
         ),
         n1 AS (SELECT count(*) AS n_points FROM pts)
@@ -166,7 +235,21 @@ def point_pattern_sql(
                CAST(gc.nn_le_r AS BIGINT) AS nn_le_r,
                CAST(gc.nn_le_r AS DOUBLE)
                / CAST(n1.n_points AS DOUBLE) AS g_hat,
-               CAST(n1.n_points AS BIGINT) AS n_points
-        FROM pc JOIN gc ON pc.r = gc.r CROSS JOIN n1
+               CAST(n1.n_points AS BIGINT) AS n_points,
+               CAST(cb.centers_border AS BIGINT) AS centers_border,
+               CAST(pb.pairs_border AS BIGINT) AS pairs_border,
+               CASE WHEN cb.centers_border > 0 THEN
+                   (CAST(pb.pairs_border AS DOUBLE) * {area!r})
+                   / CAST(cb.centers_border * (n1.n_points - 1)
+                          AS DOUBLE)
+               END AS k_hat_border,
+               CAST(gb.nn_border AS BIGINT) AS nn_border,
+               CASE WHEN cb.centers_border > 0 THEN
+                   CAST(gb.nn_border AS DOUBLE)
+                   / CAST(cb.centers_border AS DOUBLE)
+               END AS g_hat_border
+        FROM pc JOIN pb ON pc.r = pb.r JOIN gc ON pc.r = gc.r
+             JOIN gb ON pc.r = gb.r JOIN cb ON pc.r = cb.r
+             CROSS JOIN n1
         ORDER BY r
     """
