@@ -497,6 +497,31 @@ def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_trajectories(t, eps=12).orderBy("traj_id", "seq")
 
 
+def q_od(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (trajectory.od_matrix, round 5):
+    the q_trips walks with planted teleports, gap-segmented into trips
+    (label_trips — the same exact integer break test), each trip
+    rolled up as one flow from its first point's depth-5 cell to its
+    last point's cell, weighted by trip count and distinct
+    trajectories — the classic GPS flow-analytics rollup. All-integer
+    (min_by/max_by endpoints, shiftright cells, count/count_distinct),
+    so the DuckDB twin is bit-for-bit. Plan: ONE window shuffle +
+    per-trip partial agg + one hash agg on the 4-part cell key."""
+    from optimizing_spark.operators.trajectory import od_matrix
+
+    c = D.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    seq = F.floor(k / 50).cast("long")
+    t = c.select(
+        (k % 50).alias("traj_id"),
+        seq.alias("seq"),
+        (F.lit(100) * seq + (k * 48271) % 41
+         + F.lit(40000) * F.floor(seq / 13).cast("long")).alias("x"),
+        (F.lit(50) * seq + (k * 69621) % 41).alias("y"),
+    )
+    return od_matrix(t, gap=1000, cell_shift=11)
+
+
 def q_seg_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-segment crossing join (joins.segment_segment_join,
     round 5): map-overlay / road-intersection detection over the
@@ -3033,7 +3058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_seg_seg (segment-segment crossing join), rotating q_embed_topk
     (plain LSH top-k, driver-green rounds 1-4; the ANN family keeps
     q_embed_topk_ivf, q_embed_topk_pq and q_embed_neardup_lsh in the
-    window).
+    window), and q_od (origin-destination flow matrix), rotating
+    q_minhash (driver-green rounds 1-4; the minhash-LSH family keeps
+    q_lsh_pairs, q_dedup_cc and q_curate in the window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -3051,7 +3078,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_diffuse_bounce": q_diffuse_bounce,
         "q_refract_chain": q_refract_chain,
         "q_curate": q_curate,
-        "q_minhash": q_minhash,
         "q_lsh_pairs": q_lsh_pairs,
         "q_dedup_cc": q_dedup_cc,
         "q_embed_topk_ivf": q_embed_topk_ivf,
@@ -3094,9 +3120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ripley": q_ripley,
         "q_trips": q_trips,
         "q_seg_seg": q_seg_seg,
+        "q_od": q_od,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
         "q_nearest": q_nearest,
+        "q_minhash": q_minhash,
         "q_embed_topk": q_embed_topk,
         "q_oct_assign": q_oct_assign,
         "q_pip_poly": q_pip_poly,
@@ -3263,6 +3291,17 @@ def oracle_sql() -> dict[str, str]:
                         + (CAST(c_custkey AS BIGINT) * 69621) % 41 AS y
                FROM customer""",
             gap=1000),
+        "q_od": TRJ.od_sql(
+            """SELECT CAST(c_custkey AS BIGINT) % 50 AS traj_id,
+                      CAST(c_custkey AS BIGINT) // 50 AS seq,
+                      100 * (CAST(c_custkey AS BIGINT) // 50)
+                        + (CAST(c_custkey AS BIGINT) * 48271) % 41
+                        + 40000 * ((CAST(c_custkey AS BIGINT) // 50) // 13)
+                        AS x,
+                      50 * (CAST(c_custkey AS BIGINT) // 50)
+                        + (CAST(c_custkey AS BIGINT) * 69621) % 41 AS y
+               FROM customer""",
+            gap=1000, cell_shift=11),
         "q_gistar": AC.getis_ord_gstar_sql(
             f"SELECT px >> 11 AS cx, py >> 11 AS cy, "
             f"CAST(count(*) AS BIGINT) AS n FROM ({D.SQL_POINTS}) pts "

@@ -238,6 +238,36 @@ def simplify_sql(
     """
 
 
+def label_trips(
+    df: DataFrame,
+    gap: int,
+    group: str = "traj_id",
+    seq: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Per-POINT trip labeling: (group, seq, x, y) plus a ``trip``
+    column — the running sum of exact-integer break flags
+    ((x−x_prev)² + (y−y_prev)² > gap², NULL lag → 0, so a trajectory's
+    first point opens trip 0). Both window passes (lag + running sum)
+    share ONE hash shuffle on ``group``. The labeled points are the
+    building block for segment_trips summaries and any custom per-trip
+    aggregate (OD matrices, per-trip joins); ``seq`` must be unique
+    per trajectory."""
+    w = Window.partitionBy(group).orderBy(seq)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dx = F.col(x) - F.lag(x).over(w)
+    dy = F.col(y) - F.lag(y).over(w)
+    brk = F.when(dx * dx + dy * dy > F.lit(gap) * F.lit(gap),
+                 F.lit(1)).otherwise(F.lit(0))  # NULL lag -> 0
+    return (
+        df.select(group, seq, x, y)
+        .withColumn("_brk", brk)
+        .withColumn("trip", F.sum("_brk").over(run).cast("long"))
+        .drop("_brk")
+    )
+
+
 def segment_trips(
     df: DataFrame,
     gap: int,
@@ -268,17 +298,7 @@ def segment_trips(
     Returns one row per (group, trip): n_points, seq_lo, seq_hi,
     min_x, max_x, min_y, max_y, net_disp2.
     """
-    w = Window.partitionBy(group).orderBy(seq)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dx = F.col(x) - F.lag(x).over(w)
-    dy = F.col(y) - F.lag(y).over(w)
-    brk = F.when(dx * dx + dy * dy > F.lit(gap) * F.lit(gap),
-                 F.lit(1)).otherwise(F.lit(0))  # NULL lag -> 0
-    pts = (
-        df.select(group, seq, x, y)
-        .withColumn("_brk", brk)
-        .withColumn("trip", F.sum("_brk").over(run).cast("long"))
-    )
+    pts = label_trips(df, gap, group, seq, x, y)
     ex, sx = F.max_by(x, seq), F.min_by(x, seq)
     ey, sy = F.max_by(y, seq), F.min_by(y, seq)
     return pts.groupBy(group, "trip").agg(
@@ -337,4 +357,95 @@ def segment_trips_sql(
                AS net_disp2
         FROM tripped
         GROUP BY g, trip
+    """
+
+
+def od_matrix(
+    df: DataFrame,
+    gap: int,
+    cell_shift: int = 11,
+    group: str = "traj_id",
+    seq: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Origin-destination flow matrix — the classic trip-analytics
+    rollup over gap-segmented trips: each trip contributes one flow
+    from the grid cell of its FIRST point to the cell of its LAST
+    point (cell = coordinate >> cell_shift, the engine's pow-2 grid).
+    Pure integer algebra end to end: label_trips' exact break test,
+    min_by/max_by on the unique seq for the endpoints, shiftright for
+    the cells, count + count_distinct for the flow weights.
+
+    Plan: the label_trips window shuffle, a per-(group, trip) partial
+    aggregate (a few rows per trip leave each partition), then one
+    hash agg on the 4-part cell key — flows, not points, cross the
+    final exchange. Returns (src_cx, src_cy, dst_cx, dst_cy, n_trips,
+    n_trajs)."""
+    pts = label_trips(df, gap, group, seq, x, y)
+    trips = pts.groupBy(group, "trip").agg(
+        F.min_by(x, seq).alias("_sx"),
+        F.min_by(y, seq).alias("_sy"),
+        F.max_by(x, seq).alias("_ex"),
+        F.max_by(y, seq).alias("_ey"),
+    )
+    return trips.groupBy(
+        F.shiftright("_sx", cell_shift).alias("src_cx"),
+        F.shiftright("_sy", cell_shift).alias("src_cy"),
+        F.shiftright("_ex", cell_shift).alias("dst_cx"),
+        F.shiftright("_ey", cell_shift).alias("dst_cy"),
+    ).agg(
+        F.count("*").alias("n_trips"),
+        F.count_distinct(group).alias("n_trajs"),
+    )
+
+
+def od_sql(
+    pts_sql: str,
+    gap: int,
+    cell_shift: int = 11,
+    group: str = "traj_id",
+    seq: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> str:
+    """DuckDB twin of od_matrix: identical lag + running-sum windows,
+    min_by/max_by endpoints, >> cells (coordinates must be
+    non-negative so >> matches Spark's shiftright as floor division)."""
+    return f"""
+        WITH pts AS (
+            SELECT CAST({group} AS BIGINT) AS g, CAST({seq} AS BIGINT) AS s,
+                   CAST({x} AS BIGINT) AS x, CAST({y} AS BIGINT) AS y
+            FROM ({pts_sql}) base
+        ),
+        flagged AS (
+            SELECT g, s, x, y,
+                   CASE WHEN lag(x) OVER w IS NULL THEN 0
+                        WHEN (x - lag(x) OVER w) * (x - lag(x) OVER w)
+                             + (y - lag(y) OVER w) * (y - lag(y) OVER w)
+                             > {gap * gap} THEN 1
+                        ELSE 0 END AS brk
+            FROM pts
+            WINDOW w AS (PARTITION BY g ORDER BY s)
+        ),
+        tripped AS (
+            SELECT g, s, x, y,
+                   CAST(sum(brk) OVER (PARTITION BY g ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS trip
+            FROM flagged
+        ),
+        trips AS (
+            SELECT g, trip,
+                   min_by(x, s) AS sx2, min_by(y, s) AS sy2,
+                   max_by(x, s) AS ex2, max_by(y, s) AS ey2
+            FROM tripped GROUP BY g, trip
+        )
+        SELECT sx2 >> {cell_shift} AS src_cx, sy2 >> {cell_shift} AS src_cy,
+               ex2 >> {cell_shift} AS dst_cx, ey2 >> {cell_shift} AS dst_cy,
+               CAST(count(*) AS BIGINT) AS n_trips,
+               CAST(count(DISTINCT g) AS BIGINT) AS n_trajs
+        FROM trips
+        GROUP BY sx2 >> {cell_shift}, sy2 >> {cell_shift},
+                 ex2 >> {cell_shift}, ey2 >> {cell_shift}
     """

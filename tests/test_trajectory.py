@@ -224,3 +224,33 @@ def test_segment_trips_edges(spark):
     assert got[(0, 0)].n_points == 1 and got[(0, 0)].net_disp2 == 0
     assert got[(1, 0)].n_points == 2 and got[(1, 0)].net_disp2 == 3600
     assert [got[(2, t)].n_points for t in (0, 1, 2)] == [1, 1, 1]
+
+
+def test_od_matrix_matches_sequential_oracle(spark):
+    from collections import Counter
+
+    from optimizing_spark.operators.trajectory import od_matrix
+
+    rows = []
+    flows = Counter()
+    trajs = {}
+    for tid in range(5):
+        n = 40 + tid * 11
+        pts = []
+        for s in range(n):
+            jump = 500 * ((s + tid) // 9)
+            pts.append((10 * s + (tid * 31 + s * 48271) % 7 + jump,
+                        5 * s + (tid * 17 + s * 69621) % 7))
+        for trip, lo, hi in [(t, lo, hi) for t, _n, lo, hi, *_ in
+                             _trips_oracle(pts, gap=60)]:
+            key = (pts[lo][0] >> 4, pts[lo][1] >> 4,
+                   pts[hi][0] >> 4, pts[hi][1] >> 4)
+            flows[key] += 1
+            trajs.setdefault(key, set()).add(tid)
+        rows += [(tid, s, x, y) for s, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "traj_id long, seq long, x long, y long")
+    got = od_matrix(df, gap=60, cell_shift=4).collect()
+    assert {(r.src_cx, r.src_cy, r.dst_cx, r.dst_cy):
+            (r.n_trips, r.n_trajs) for r in got} == \
+        {k: (v, len(trajs[k])) for k, v in flows.items()}
