@@ -72,7 +72,7 @@ ORACLE_WHITELIST = [
     "q_hourly_events", "q_monthly_orders", "q_top_customers",
     "q_token_count", "q_quality", "q_lang_guess", "q_exact_dedup",
     "q_hex_counts", "q_agg_wide", "q_sample", "q_top_tokens",
-    "q_sessionize", "q_json_extract", "q_spans", "q_trips",
+    "q_sessionize", "q_json_extract", "q_spans", "q_trips", "q_od",
 ]
 
 
