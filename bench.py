@@ -1539,6 +1539,76 @@ def run_ripley(n: int = 20_000_000) -> dict:
     }
 
 
+def run_segseg(n: int = 20_000_000, m: int = 200_000) -> dict:
+    """Segment-segment crossing join at scale (round 5): n short
+    integer segments (length <= ~90 per axis — think road-network
+    edges) against m longer query segments (length <= ~1024 — think
+    new routes to conflict-check) in CELLS mode at depth 6. Same
+    dashboards as --seg: per-cell candidate histogram (the work the
+    single equi-shuffle co-locates) + task-time skew."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.config import Box2
+    from optimizing_spark.operators import joins
+    from optimizing_spark.operators.tiling import explode_covering_cells
+    from optimizing_spark.session import get_spark
+
+    E, depth = 65536, 6
+    world = Box2(0.0, 0.0, float(E), float(E))
+    spark = get_spark("segseg_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    a = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("a_id"),
+        ((F.col("id") * 7919 + 17) % E).alias("ax1"),
+        ((F.col("id") * 9973 + 31) % E).alias("ay1"),
+    ).select(
+        "a_id", "ax1", "ay1",
+        (F.col("ax1") + (F.col("a_id") * 104729 + 7) % 181 - 90).alias("ax2"),
+        (F.col("ay1") + (F.col("a_id") * 48271 + 3) % 181 - 90).alias("ay2"),
+    )
+    b = spark.range(m).select(
+        F.col("id").alias("b_id"),
+        ((F.col("id") * 2654435761 + 11) % E).alias("bx1"),
+        ((F.col("id") * 40503 + 13) % E).alias("by1"),
+    ).select(
+        "b_id", "bx1", "by1",
+        (F.col("bx1") + (F.col("b_id") * 31 + 5) % 2049 - 1024).alias("bx2"),
+        (F.col("by1") + (F.col("b_id") * 37 + 9) % 2049 - 1024).alias("by2"),
+    )
+    a.count()  # warm input
+    calib = _quick_calibration(CPUS)
+    t0 = time.time()
+    hits = joins.segment_segment_join(a, b, method="cells",
+                                      world=world, depth=depth).count()
+    wall = time.time() - t0
+    skew = _stage_skew()
+    a_cells = explode_covering_cells(
+        a.withColumn("_min_x", F.least("ax1", "ax2"))
+        .withColumn("_min_y", F.least("ay1", "ay2"))
+        .withColumn("_max_x", F.greatest("ax1", "ax2"))
+        .withColumn("_max_y", F.greatest("ay1", "ay2")),
+        world, depth, "_min_x", "_min_y", "_max_x", "_max_y")
+    b_cells = explode_covering_cells(
+        b.withColumn("_min_x", F.least("bx1", "bx2"))
+        .withColumn("_min_y", F.least("by1", "by2"))
+        .withColumn("_max_x", F.greatest("bx1", "bx2"))
+        .withColumn("_max_y", F.greatest("by1", "by2")),
+        world, depth, "_min_x", "_min_y", "_max_x", "_max_y")
+    hist = _cell_candidate_hist(a_cells, b_cells)
+    return {
+        "metric": "segseg_join_segments_per_sec",
+        "value": round(n / wall),
+        "unit": "segments/sec",
+        "left_segments": n, "right_segments": m, "depth": depth,
+        "wall_sec": round(wall, 2),
+        "crossing_pairs": hits,
+        "cell_candidates": hist,
+        "heaviest_stages": skew,
+        "calibration": calib,
+    }
+
+
 def run_trips(n: int = 20_000_000) -> dict:
     """Trip segmentation at scale (round 5): the --traj tracks with a
     planted teleport every 13 steps (+40000 in x), split at gap=1000
@@ -1668,6 +1738,8 @@ if __name__ == "__main__":
         print(json.dumps(run_autocorr()))
     elif "--hilbert" in sys.argv:
         print(json.dumps(run_hilbert()))
+    elif "--segseg" in sys.argv:
+        print(json.dumps(run_segseg()))
     elif "--trips" in sys.argv:
         print(json.dumps(run_trips()))
     elif "--ripley" in sys.argv:
