@@ -497,6 +497,40 @@ def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_trajectories(t, eps=12).orderBy("traj_id", "seq")
 
 
+def q_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-of-sight visibility join (round 5): which point pairs can
+    SEE each other given obstacle walls — composed entirely from
+    existing primitives. Customer points fold into a dense 8192-edge
+    subworld (x = px % 8192); candidate sight lines are
+    joins.distance_join pairs within 400 (auto depth 4, one 9-cell
+    equi-shuffle); supplier walls (derived.walls — axis-aligned,
+    length 1024..2047) BLOCK a sight if the wall segment intersects
+    the closed sight segment (geometry.segments_intersect — grazing
+    and endpoint touches block, closed sets); the blocked set comes
+    from ONE broadcast segment_segment_join (the wall table is the
+    genuinely-small side) and is removed by an equi left-anti join.
+    Exact integer end to end; the DuckDB twin is the NOT EXISTS
+    crossing test."""
+    from optimizing_spark.config import Box2
+
+    w8 = Box2(0.0, 0.0, 8192.0, 8192.0)
+    p = D.points(spark, sf_dir).select(
+        "point_id",
+        (F.col("px") % 8192).alias("x"),
+        (F.col("py") % 8192).alias("y"))
+    pairs = J.distance_join(p, d=400, world=w8, depth=None)
+    pa = p.select(F.col("point_id").alias("id_a"),
+                  F.col("x").alias("ax1"), F.col("y").alias("ay1"))
+    pb = p.select(F.col("point_id").alias("id_b"),
+                  F.col("x").alias("ax2"), F.col("y").alias("ay2"))
+    sights = pairs.select("id_a", "id_b").join(pa, "id_a").join(pb, "id_b")
+    blocked = J.segment_segment_join(
+        sights, D.walls(spark, sf_dir), method="broadcast"
+    ).select("id_a", "id_b")
+    return sights.select("id_a", "id_b") \
+        .join(blocked, ["id_a", "id_b"], "left_anti")
+
+
 def q_od(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-destination flow matrix (trajectory.od_matrix, round 5):
     the q_trips walks with planted teleports, gap-segmented into trips
@@ -3060,7 +3094,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_embed_topk_ivf, q_embed_topk_pq and q_embed_neardup_lsh in the
     window), and q_od (origin-destination flow matrix), rotating
     q_minhash (driver-green rounds 1-4; the minhash-LSH family keeps
-    q_lsh_pairs, q_dedup_cc and q_curate in the window).
+    q_lsh_pairs, q_dedup_cc and q_curate in the window), and
+    q_visibility (line-of-sight join), rotating q_lsh_pairs
+    (driver-green rounds 1-4; LSH pair generation stays
+    driver-exercised inside q_dedup_cc and q_curate, which run the
+    same pipeline).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -3078,7 +3116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_diffuse_bounce": q_diffuse_bounce,
         "q_refract_chain": q_refract_chain,
         "q_curate": q_curate,
-        "q_lsh_pairs": q_lsh_pairs,
         "q_dedup_cc": q_dedup_cc,
         "q_embed_topk_ivf": q_embed_topk_ivf,
         "q_embed_topk_pq": q_embed_topk_pq,
@@ -3121,10 +3158,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trips": q_trips,
         "q_seg_seg": q_seg_seg,
         "q_od": q_od,
+        "q_visibility": q_visibility,
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
         "q_nearest": q_nearest,
         "q_minhash": q_minhash,
+        "q_lsh_pairs": q_lsh_pairs,
         "q_embed_topk": q_embed_topk,
         "q_oct_assign": q_oct_assign,
         "q_pip_poly": q_pip_poly,
@@ -3291,6 +3330,30 @@ def oracle_sql() -> dict[str, str]:
                         + (CAST(c_custkey AS BIGINT) * 69621) % 41 AS y
                FROM customer""",
             gap=1000),
+        "q_visibility": f"""
+            WITH pts AS (
+                SELECT point_id, px % 8192 AS x, py % 8192 AS y
+                FROM ({D.SQL_POINTS}) p0
+            ),
+            sights AS (
+                SELECT a.point_id AS id_a, b.point_id AS id_b,
+                       a.x AS ax1, a.y AS ay1, b.x AS ax2, b.y AS ay2
+                FROM pts a JOIN pts b
+                  ON a.point_id < b.point_id
+                 AND abs(a.x - b.x) <= 400 AND abs(a.y - b.y) <= 400
+                 AND (a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y) <= 160000
+            ),
+            w AS ({D.SQL_WALLS})
+            SELECT id_a, id_b FROM sights s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM w
+                WHERE {D.seg_pair_sql(("s.ax1", "s.ay1"),
+                                      ("s.ax2", "s.ay2"),
+                                      ("w.bx1", "w.by1"),
+                                      ("w.bx2", "w.by2"))}
+            )
+        """,
         "q_od": TRJ.od_sql(
             """SELECT CAST(c_custkey AS BIGINT) % 50 AS traj_id,
                       CAST(c_custkey AS BIGINT) // 50 AS seq,

@@ -604,3 +604,45 @@ def shoelace_sql(ring: list[tuple[str, str]]) -> tuple[str, str, str]:
         cx6.append(f"(({x1}) + ({x2})) * {cr}")
         cy6.append(f"(({y1}) + ({y2})) * {cr}")
     return (" + ".join(a2), " + ".join(cx6), " + ".join(cy6))
+
+
+# ---------------------------------------------------------------------------
+# walls: long axis-aligned obstacle segments in a dense 8192-edge
+# subworld (line-of-sight / visibility inputs) — one per supplier,
+# horizontal/vertical alternating on key parity, length 1024..2047
+# ---------------------------------------------------------------------------
+
+W8 = 8192
+
+
+def walls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    wx = (k * _QC[0]) % W8
+    wy = (k * _QC[1]) % W8
+    ln = 1024 + (k % 1024)
+    return s.select(
+        k.alias("wall_id"),
+        wx.alias("bx1"),
+        wy.alias("by1"),
+        F.when(k % 2 == 0, wx + ln).otherwise(wx).alias("bx2"),
+        F.when(k % 2 == 0, wy).otherwise(wy + ln).alias("by2"),
+    )
+
+
+SQL_WALLS = f"""
+SELECT CAST(s_suppkey AS BIGINT) AS wall_id,
+       (CAST(s_suppkey AS BIGINT) * {_QC[0]}) % {W8} AS bx1,
+       (CAST(s_suppkey AS BIGINT) * {_QC[1]}) % {W8} AS by1,
+       CASE WHEN s_suppkey % 2 = 0
+            THEN (CAST(s_suppkey AS BIGINT) * {_QC[0]}) % {W8}
+                 + 1024 + (CAST(s_suppkey AS BIGINT) % 1024)
+            ELSE (CAST(s_suppkey AS BIGINT) * {_QC[0]}) % {W8}
+       END AS bx2,
+       CASE WHEN s_suppkey % 2 = 0
+            THEN (CAST(s_suppkey AS BIGINT) * {_QC[1]}) % {W8}
+            ELSE (CAST(s_suppkey AS BIGINT) * {_QC[1]}) % {W8}
+                 + 1024 + (CAST(s_suppkey AS BIGINT) % 1024)
+       END AS by2
+FROM supplier
+"""
