@@ -63,6 +63,12 @@ SKIP = {
                 "r_max=3000 means ~9.9k neighbours/point = 7.4B "
                 "materialized pairs. The 100x evidence is bench "
                 "--ripley (20M points, scale-appropriate radii 4..16)",
+    "q_visibility": "the dense 8192-edge subworld fold makes sight "
+                    "density scale with n: at sf1 d=400 means ~11k "
+                    "sight candidates/point = ~8B pairs. The scale "
+                    "evidence for its building blocks is bench "
+                    "--ripley (distance_join) + bench --segseg "
+                    "(crossing join, 2.37B candidates)",
 }
 
 # queries whose DuckDB twin stays tractable at sf1 (no recursive CTE,
