@@ -98,31 +98,37 @@ def point_pattern(
                 & (F.col("y") <= F.lit(wy1) - r))
 
     # inner BNLJ against the broadcast literal radii (the big side
-    # streams, never broadcasts), then recover zero-count radii by a
-    # left join on the <= len(radii)-row aggregate
-    def _per_radius(df, cond, agg_col, name):
+    # streams, never broadcasts), naive + border counted in the SAME
+    # pass via conditional aggregates (sym/nn are each evaluated
+    # once, not once per estimator), then zero-count radii recovered
+    # by a left join on the <= len(radii)-row aggregate
+    rr = F.col("r") * F.col("r")
+
+    def _both(df, cond, naive_name, border_name):
         inner = (
             df.join(F.broadcast(rdf), cond)
-            .groupBy("r").agg(agg_col.alias("_v"))
+            .groupBy("r").agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.count(F.when(interior(F.col("r")), F.lit(1)))
+                .alias("_b"))
         )
         return rdf.join(inner, "r", "left").select(
-            "r", F.coalesce("_v", F.lit(0)).cast("long").alias(name))
+            "r",
+            F.coalesce("_n", F.lit(0)).cast("long").alias(naive_name),
+            F.coalesce("_b", F.lit(0)).cast("long").alias(border_name))
 
-    rr = F.col("r") * F.col("r")
-    pc = _per_radius(sym, F.col("dist2") <= rr,
-                     F.count(F.lit(1)), "pairs_le_r")
-    pb = _per_radius(sym, (F.col("dist2") <= rr) & interior(F.col("r")),
-                     F.count(F.lit(1)), "pairs_border")
-    gc = _per_radius(nn, F.col("nn_d2") <= rr,
-                     F.count(F.lit(1)), "nn_le_r")
-    gb = _per_radius(nn, (F.col("nn_d2") <= rr) & interior(F.col("r")),
-                     F.count(F.lit(1)), "nn_border")
-    cb = _per_radius(slim, interior(F.col("r")),
-                     F.count(F.lit(1)), "centers_border")
+    pc = _both(sym, F.col("dist2") <= rr, "pairs_le_r", "pairs_border")
+    gc = _both(nn, F.col("nn_d2") <= rr, "nn_le_r", "nn_border")
+    cb = rdf.join(
+        slim.join(F.broadcast(rdf), interior(F.col("r")))
+        .groupBy("r").agg(F.count(F.lit(1)).alias("_c")),
+        "r", "left",
+    ).select("r", F.coalesce("_c", F.lit(0)).cast("long")
+             .alias("centers_border"))
     n1 = points.agg(F.count("*").alias("n_points"))
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
     return (
-        pc.join(pb, "r").join(gc, "r").join(gb, "r").join(cb, "r")
+        pc.join(gc, "r").join(cb, "r")
         .crossJoin(F.broadcast(n1))
         .select(
             "r",
@@ -200,25 +206,15 @@ def point_pattern_sql(
         ),
         radii(r) AS (VALUES {values}),
         pc AS (
-            SELECT r.r, count(s.dist2) AS pairs_le_r
+            SELECT r.r, count(s.dist2) AS pairs_le_r,
+                   count(CASE WHEN {inter} THEN 1 END) AS pairs_border
             FROM radii r LEFT JOIN sym s ON s.dist2 <= r.r * r.r
             GROUP BY r.r
         ),
-        pb AS (
-            SELECT r.r, count(s.dist2) AS pairs_border
-            FROM radii r LEFT JOIN sym s
-              ON s.dist2 <= r.r * r.r AND {inter}
-            GROUP BY r.r
-        ),
         gc AS (
-            SELECT r.r, count(nn.nn_d2) AS nn_le_r
+            SELECT r.r, count(nn.nn_d2) AS nn_le_r,
+                   count(CASE WHEN {inter_n} THEN 1 END) AS nn_border
             FROM radii r LEFT JOIN nn ON nn.nn_d2 <= r.r * r.r
-            GROUP BY r.r
-        ),
-        gb AS (
-            SELECT r.r, count(nn.nn_d2) AS nn_border
-            FROM radii r LEFT JOIN nn
-              ON nn.nn_d2 <= r.r * r.r AND {inter_n}
             GROUP BY r.r
         ),
         cb AS (
@@ -237,19 +233,18 @@ def point_pattern_sql(
                / CAST(n1.n_points AS DOUBLE) AS g_hat,
                CAST(n1.n_points AS BIGINT) AS n_points,
                CAST(cb.centers_border AS BIGINT) AS centers_border,
-               CAST(pb.pairs_border AS BIGINT) AS pairs_border,
+               CAST(pc.pairs_border AS BIGINT) AS pairs_border,
                CASE WHEN cb.centers_border > 0 THEN
-                   (CAST(pb.pairs_border AS DOUBLE) * {area!r})
+                   (CAST(pc.pairs_border AS DOUBLE) * {area!r})
                    / CAST(cb.centers_border * (n1.n_points - 1)
                           AS DOUBLE)
                END AS k_hat_border,
-               CAST(gb.nn_border AS BIGINT) AS nn_border,
+               CAST(gc.nn_border AS BIGINT) AS nn_border,
                CASE WHEN cb.centers_border > 0 THEN
-                   CAST(gb.nn_border AS DOUBLE)
+                   CAST(gc.nn_border AS DOUBLE)
                    / CAST(cb.centers_border AS DOUBLE)
                END AS g_hat_border
-        FROM pc JOIN pb ON pc.r = pb.r JOIN gc ON pc.r = gc.r
-             JOIN gb ON pc.r = gb.r JOIN cb ON pc.r = cb.r
+        FROM pc JOIN gc ON pc.r = gc.r JOIN cb ON pc.r = cb.r
              CROSS JOIN n1
         ORDER BY r
     """
