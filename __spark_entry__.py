@@ -73,6 +73,7 @@ from optimizing_spark.operators import hull as H
 from optimizing_spark.operators import interpolate as ITP
 from optimizing_spark.operators import autocorr as AC
 from optimizing_spark.operators import joins as J
+from optimizing_spark.operators import measure as MEAS
 from optimizing_spark.operators import pointpattern as PP
 from optimizing_spark.operators import raster as R
 from optimizing_spark.operators import similarity as SIM
@@ -350,6 +351,23 @@ def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2, cx6, cy6 = G.shoelace_cols(F.col("vertices"))
     return stars.select("query_id", a2.alias("area2"),
                         cx6.alias("cx6"), cy6.alias("cy6"))
+
+
+def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Klee's measure (operators/measure.union_area, round 5): exact
+    area of the UNION of the lineitem object boxes [ix, ix+sx) x
+    [iy, iy+sy) at grid depth 6, reported per cell — cells tile the
+    world and clips are exact, so per-cell areas sum to the union with
+    no cross-cell dedup pass. Cells fully covered by a single clip
+    short-circuit to edge^2 and skip the sweep; the rest run the
+    event-slab x running-max y-interval merge as pure window + join
+    algebra partitioned by (cell, slab). BIGINT-exact; the DuckDB twin
+    (measure.union_area_sql) is the identical algebra."""
+    boxes = D.objects2d(spark, sf_dir).select(
+        F.col("ix").alias("x_min"), F.col("iy").alias("y_min"),
+        (F.col("ix") + F.col("sx")).alias("x_max"),
+        (F.col("iy") + F.col("sy")).alias("y_max"))
+    return MEAS.union_area(boxes, POW2_WORLD_2D, depth=6, per_cell=True)
 
 
 def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3147,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_closest": q_closest,
         "q_poly_stats": q_poly_stats,
+        "q_union_area": q_union_area,
         "q_hilbert": q_hilbert,
         "q_kde": q_kde,
         "q_wsample": q_wsample,
@@ -3937,6 +3956,12 @@ def _text_oracles() -> dict[str, str]:
                    CAST({_sl[2]} AS BIGINT) AS cy6
             FROM star
         """)(),
+        # Klee's measure twin — the identical clip / full-cover /
+        # slab-sweep / running-max-merge algebra (measure.union_area_sql)
+        "q_union_area": MEAS.union_area_sql(
+            f"SELECT ix AS x_min, iy AS y_min, ix + sx AS x_max, "
+            f"iy + sy AS y_max FROM ({D.SQL_OBJECTS})",
+            POW2_WORLD_2D, depth=6, per_cell=True),
         "q_closest": f"""
             WITH pts0 AS ({D.SQL_POINTS}),
             g AS (
