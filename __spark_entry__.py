@@ -353,6 +353,22 @@ def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cx6.alias("cx6"), cy6.alias("cy6"))
 
 
+def q_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching snap join (joins.snap_join, round 5): each customer
+    point snaps to its nearest lineitem road segment (the %20==2
+    family) within max_d=3000 — dilated-bbox covering cells at auto
+    depth (cell_edge ~ max_d, so each qualifying pair meets exactly
+    once in the point's home cell), ONE equi-shuffle, hash argmin by
+    lexicographic (d2, seg_id). The max_d gate is the EXACT integer
+    rational comparison; only the ordering value d2 is the IEEE double
+    num/den, bit-identical in DuckDB (num, den < 2^53). The twin is
+    the brute cross join + row_number over the same algebra — the O29
+    linear-scan control."""
+    pts = D.points(spark, sf_dir)
+    segs = D.segments(spark, sf_dir).filter(F.col("seg_id") % 20 == 2)
+    return J.snap_join(pts, segs, max_d=3000, world=POW2_WORLD_2D)
+
+
 def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Klee's measure (operators/measure.union_area, round 5): exact
     area of the UNION of the lineitem object boxes [ix, ix+sx) x
@@ -3165,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_closest": q_closest,
         "q_poly_stats": q_poly_stats,
+        "q_snap": q_snap,
         "q_union_area": q_union_area,
         "q_hilbert": q_hilbert,
         "q_kde": q_kde,
@@ -3956,6 +3973,36 @@ def _text_oracles() -> dict[str, str]:
                    CAST({_sl[2]} AS BIGINT) AS cy6
             FROM star
         """)(),
+        # snap twin — brute cross join over the identical rational /
+        # IEEE algebra (the O29 linear-scan control of snap_join)
+        "q_snap": (lambda: (lambda dot, len2, w2, u2, md2: f"""
+            WITH p AS ({D.SQL_POINTS}),
+            s AS (SELECT * FROM ({D.SQL_SEGMENTS}) WHERE seg_id % 20 = 2),
+            cand AS (
+                SELECT p.point_id, s.seg_id,
+                       CASE WHEN {dot} <= 0 THEN CAST({w2} AS DOUBLE)
+                            WHEN {dot} >= {len2} THEN CAST({u2} AS DOUBLE)
+                            ELSE CAST({w2} * {len2} - {dot} * {dot} AS DOUBLE)
+                                 / CAST({len2} AS DOUBLE)
+                       END AS d2
+                FROM p, s
+                WHERE CASE WHEN {dot} <= 0 THEN {w2} <= {md2}
+                           WHEN {dot} >= {len2} THEN {u2} <= {md2}
+                           ELSE {w2} * {len2} - {dot} * {dot}
+                                <= {md2} * {len2}
+                      END
+            )
+            SELECT point_id, seg_id, d2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY point_id ORDER BY d2, seg_id) AS rn
+                FROM cand)
+            WHERE rn = 1
+        """)(
+            "((px - x1) * (x2 - x1) + (py - y1) * (y2 - y1))",
+            "((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))",
+            "((px - x1) * (px - x1) + (py - y1) * (py - y1))",
+            "((px - x2) * (px - x2) + (py - y2) * (py - y2))",
+            3000 * 3000))(),
         # Klee's measure twin — the identical clip / full-cover /
         # slab-sweep / running-max-merge algebra (measure.union_area_sql)
         "q_union_area": MEAS.union_area_sql(

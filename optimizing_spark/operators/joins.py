@@ -546,6 +546,98 @@ def segment_segment_join(
         "_a_max_y", "_b_min_x", "_b_min_y", "_b_max_x", "_b_max_y")
 
 
+def snap_join(
+    points: DataFrame,
+    segments: DataFrame,
+    max_d: int,
+    world: Box2,
+    depth: int | None = None,
+    method: str = "cells",
+) -> DataFrame:
+    """Map-matching primitive: snap each point to its NEAREST segment
+    within ``max_d`` — the GPS-trace-to-road-network assignment, the
+    point-to-1D member of the nearest family (O22's argmin,
+    Raytracing.hpp nearest-hit, over O10's range candidates,
+    DynamicOctree.hpp:146-171).
+
+    points(point_id, px, py) x segments(seg_id, x1, y1, x2, y2) ->
+    (point_id, seg_id, d2): the winning segment per point and its
+    squared point-to-segment distance. Points with no segment within
+    max_d are absent (inner semantics). Ties and the argmin are
+    decided by lexicographic (d2, seg_id), so the result is a
+    deterministic function of the input SET.
+
+    Exactness and engine portability: the clamped-projection distance
+    is the rational num/den with num = |w|^2*len2 - dot^2, den = len2
+    (endpoint branches den = 1), all BIGINT-exact — the max_d gate is
+    the EXACT integer comparison num <= max_d^2 * den, and only the
+    ORDERING value d2 is the IEEE double num/den, which is
+    bit-identical in any IEEE-754 engine (num, den < 2^53 exact, one
+    correctly-rounded divide) — the same portability argument as the
+    Gi* z-scores. Caller contract: |w|^2 * len2 < 2^63 (coords and
+    segment lengths up to ~2^17 are safe).
+
+    method='cells' (the 100 TB shape): segment bboxes dilate by max_d
+    and explode to covering cells (auto depth sizes cell_edge to
+    ~max_d, so the dilation adds <= 1 ring); each point lands in its
+    ONE home cell, so every qualifying (point, segment) pair meets
+    exactly once — no dedup pass — in ONE (cell_x, cell_y)
+    equi-shuffle, then a hash argmin per point. method='broadcast':
+    crossJoin against the broadcast segment side — the linear-scan
+    control (O29) and the small-network fast path."""
+    max_d2 = int(max_d) * int(max_d)
+    vx = F.col("x2") - F.col("x1")
+    vy = F.col("y2") - F.col("y1")
+    wx = F.col("px") - F.col("x1")
+    wy = F.col("py") - F.col("y1")
+    ux = F.col("px") - F.col("x2")
+    uy = F.col("py") - F.col("y2")
+    dot = wx * vx + wy * vy
+    len2 = vx * vx + vy * vy
+    w2 = wx * wx + wy * wy
+    u2 = ux * ux + uy * uy
+    keep = (
+        F.when(dot <= 0, w2 <= F.lit(max_d2))
+        .when(dot >= len2, u2 <= F.lit(max_d2))
+        .otherwise(w2 * len2 - dot * dot <= F.lit(max_d2) * len2)
+    )
+    d2 = (
+        F.when(dot <= 0, w2.cast("double"))
+        .when(dot >= len2, u2.cast("double"))
+        .otherwise((w2 * len2 - dot * dot).cast("double")
+                   / len2.cast("double"))
+    )
+
+    def _argmin(cand: DataFrame) -> DataFrame:
+        return (
+            cand.select("point_id", d2.alias("_d2"), "seg_id")
+            .filter(keep)
+            .groupBy("point_id")
+            .agg(F.min(F.struct(F.col("_d2"), F.col("seg_id"))).alias("_m"))
+            .select("point_id", F.col("_m.seg_id").alias("seg_id"),
+                    F.col("_m._d2").alias("d2"))
+        )
+
+    if method == "broadcast":
+        return _argmin(points.crossJoin(F.broadcast(segments)))
+    if method != "cells":
+        raise ValueError(f"unknown method {method!r}")
+    depth, n, sx, sy, _ = _ring_grid(world, max_d, depth, who="snap_join")
+    s = explode_covering_cells(
+        segments
+        .withColumn("_s_min_x", F.least("x1", "x2") - max_d)
+        .withColumn("_s_min_y", F.least("y1", "y2") - max_d)
+        .withColumn("_s_max_x", F.greatest("x1", "x2") + max_d)
+        .withColumn("_s_max_y", F.greatest("y1", "y2") + max_d),
+        world, depth, "_s_min_x", "_s_min_y", "_s_max_x", "_s_max_y",
+    ).drop("_s_min_x", "_s_min_y", "_s_max_x", "_s_max_y")
+    p = (
+        points.withColumn("cell_x", _gcoord(F.col("px"), world.min_x, sx, n))
+        .withColumn("cell_y", _gcoord(F.col("py"), world.min_y, sy, n))
+    )
+    return _argmin(p.join(s, ["cell_x", "cell_y"]))
+
+
 def ring_semi_join(
     objects: DataFrame, queries: DataFrame, world: Box2, depth: int, k: int = 1
 ) -> DataFrame:
