@@ -353,6 +353,28 @@ def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cx6.alias("cx6"), cy6.alias("cy6"))
 
 
+def q_st_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal co-occurrence (joins.st_pair_join, round 5):
+    unordered event pairs within 1200 world units AND 24h — the
+    axes-A+B composition: geocoded events (integer coords hashed from
+    event_id, the derived-table convention) with the microsecond-exact
+    NTZ clock (timestampdiff MICROSECOND, the q_interval recipe).
+    ONE (cell_x, cell_y, tb) equi-shuffle at auto depth (spatial ring
+    r=1 x time-bucket ring {-1,0,1}, fan-out 27), exact integer d^2 +
+    gap residuals; the DuckDB twin is the brute inequality join."""
+    ev = D.load(spark, sf_dir, "events").withColumn(
+        "_ep", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+    k = F.col("event_id").cast("long")
+    ste = ev.select(
+        k.alias("event_id"),
+        ((k * 48271) % E).alias("x"),
+        ((k * 69621) % E).alias("y"),
+        F.expr("timestampdiff(MICROSECOND, _ep, ts)").alias("tsec"),
+    )
+    return J.st_pair_join(ste, d=1200, t=86400 * 1_000_000,
+                          world=POW2_WORLD_2D)
+
+
 def q_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-matching snap join (joins.snap_join, round 5): each customer
     point snaps to its nearest lineitem road segment (the %20==2
@@ -3181,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_closest": q_closest,
         "q_poly_stats": q_poly_stats,
+        "q_st_pairs": q_st_pairs,
         "q_snap": q_snap,
         "q_union_area": q_union_area,
         "q_hilbert": q_hilbert,
@@ -3973,6 +3996,25 @@ def _text_oracles() -> dict[str, str]:
                    CAST({_sl[2]} AS BIGINT) AS cy6
             FROM star
         """)(),
+        # st_pair twin — brute inequality self-join, integer-exact
+        "q_st_pairs": f"""
+            WITH e AS (
+                SELECT CAST(event_id AS BIGINT) AS event_id,
+                       (CAST(event_id AS BIGINT) * 48271) % {E} AS x,
+                       (CAST(event_id AS BIGINT) * 69621) % {E} AS y,
+                       date_diff('microsecond', TIMESTAMP '1970-01-01',
+                                 ts) AS tsec
+                FROM events
+            )
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   (a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y) AS dist2,
+                   abs(a.tsec - b.tsec) AS gap
+            FROM e a JOIN e b ON a.event_id < b.event_id
+            WHERE (a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y) <= 1200 * 1200
+              AND abs(a.tsec - b.tsec) <= 86400 * CAST(1000000 AS BIGINT)
+        """,
         # snap twin — brute cross join over the identical rational /
         # IEEE algebra (the O29 linear-scan control of snap_join)
         "q_snap": (lambda: (lambda dot, len2, w2, u2, md2: f"""

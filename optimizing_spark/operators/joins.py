@@ -303,6 +303,77 @@ def distance_join(
     )
 
 
+def st_pair_join(
+    events: DataFrame,
+    d: int,
+    t: int,
+    world: Box2,
+    depth: int | None = None,
+    id_col: str = "event_id",
+    max_fanout: int = DIST_JOIN_MAX_FANOUT,
+) -> DataFrame:
+    """Spatio-temporal distance-band self-join: all unordered pairs of
+    events within Euclidean distance d AND time gap t (both closed),
+    each exactly once (id_a < id_b), with the exact integer squared
+    distance and gap — contact tracing / co-occurrence / conflation,
+    the time-extended distance_join and the axes-A+B composition the
+    interleaved brief centers on.
+
+    events(id, x, y, tsec) with tsec a NON-NEGATIVE integer clock
+    (epoch seconds/micros — `div` truncation equals floor only there).
+    The 100 TB shape: one side keeps its single (cell_x, cell_y, tb)
+    key, the other explodes to the Chebyshev-<=r spatial ring x the
+    {-1,0,1} time-bucket ring (bucket width = t, so a qualifying pair
+    differs by <= 1 bucket), candidates meet in ONE 3-column
+    equi-shuffle, exact residuals run only on co-located candidates.
+    Fan-out is (2r+1)^2 * 3 — auto depth keeps r=1 (27 copies),
+    guarded by `max_fanout` like distance_join."""
+    if t < 1:
+        raise ValueError("st_pair_join needs t >= 1")
+    depth, n, sx, sy, r = _ring_grid(world, d, depth, max_fanout,
+                                     who="st_pair_join")
+    tb = F.expr(f"tsec div {int(t)}")
+    a = events.select(
+        F.col(id_col).alias("id_a"),
+        F.col("x").cast("long").alias("ax"),
+        F.col("y").cast("long").alias("ay"),
+        F.col("tsec").cast("long").alias("ta"),
+    ).withColumn("cell_x", _gcoord(F.col("ax"), world.min_x, sx, n)) \
+     .withColumn("cell_y", _gcoord(F.col("ay"), world.min_y, sy, n)) \
+     .withColumn("tb", F.expr(f"ta div {int(t)}"))
+    b = (
+        events.select(
+            F.col(id_col).alias("id_b"),
+            F.col("x").cast("long").alias("bx"),
+            F.col("y").cast("long").alias("by"),
+            F.col("tsec").cast("long").alias("tbt"),
+        )
+        .withColumn("_bcx", _gcoord(F.col("bx"), world.min_x, sx, n))
+        .withColumn("_bcy", _gcoord(F.col("by"), world.min_y, sy, n))
+        .withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("_dt", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "id_b", "bx", "by", "tbt",
+            (F.col("_bcx") + F.col("_dx")).alias("cell_x"),
+            (F.col("_bcy") + F.col("_dy")).alias("cell_y"),
+            (F.expr(f"tbt div {int(t)}") + F.col("_dt")).alias("tb"),
+        )
+    )
+    dist2 = (
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    )
+    gap = F.abs(F.col("ta") - F.col("tbt"))
+    return (
+        a.join(b, ["cell_x", "cell_y", "tb"])
+        .filter((F.col("id_a") < F.col("id_b"))
+                & (dist2 <= F.lit(int(d) * int(d)))
+                & (gap <= F.lit(int(t))))
+        .select("id_a", "id_b", dist2.alias("dist2"), gap.alias("gap"))
+    )
+
+
 def radius_join(
     points: DataFrame,
     queries: DataFrame,
