@@ -3154,7 +3154,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_visibility (line-of-sight join), rotating q_lsh_pairs
     (driver-green rounds 1-4; LSH pair generation stays
     driver-exercised inside q_dedup_cc and q_curate, which run the
-    same pipeline).
+    same pipeline).  The final round-5 additions q_st_pairs
+    (spatio-temporal pair join), q_snap (map-matching snap join) and
+    q_union_area (Klee's measure) enter the window on arrival,
+    rotating q_multi_assign (driver-green r4; O9 candidate generation
+    stays driver-exercised inside q_range_join and q_union_area's
+    covering-cell explode), q_snapshot_delete (driver-green r4; the
+    O32 snapshot family keeps q_snapshot_changes and q_hist_refresh
+    in the window) and q_top_tokens (driver-green r4; the heavy-hitter
+    family keeps q_tfidf and q_cms_tokens in the window) to the tail.
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -3180,10 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof": q_asof,
         "q_qt_rollup": q_qt_rollup,
         "q_tfidf": q_tfidf,
-        "q_top_tokens": q_top_tokens,
         "q_cms_tokens": q_cms_tokens,
-        "q_multi_assign": q_multi_assign,
-        "q_snapshot_delete": q_snapshot_delete,
         "q_snapshot_changes": q_snapshot_changes,
         "q_docs_pipeline": q_docs_pipeline,
         "q_hist_refresh": q_hist_refresh,
@@ -3245,6 +3250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_monthly_orders": q_monthly_orders,
         "q_sample": q_sample,
+        "q_multi_assign": q_multi_assign,
+        "q_snapshot_delete": q_snapshot_delete,
+        "q_top_tokens": q_top_tokens,
         "q_morton": q_morton,
         "q_linear_control": q_linear_control,
         "q_remove": q_remove,
