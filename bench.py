@@ -1663,6 +1663,213 @@ def run_trips(n: int = 20_000_000) -> dict:
     }
 
 
+def run_union(n: int = 20_000_000) -> dict:
+    """Klee's measure at scale (round 5): exact union area of n small
+    integer boxes (sides 1..16 — dedup footprints / GPS error boxes)
+    plus 200 planted LARGE boxes (sides ~2-4k) at depth 10 (1024x1024
+    grid, cell edge 64). The large boxes exercise the full-cover
+    short-circuit: every cell they fully cover skips the slab sweep,
+    so big geometry costs O(cells covered), never O(clips^2).
+    Dashboards: clips-per-cell histogram (the per-cell quadratic the
+    depth choice bounds) + n_full_cells + task skew."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.config import Box2
+    from optimizing_spark.operators import measure
+    from optimizing_spark.session import get_spark
+
+    E, depth = 65536, 10
+    world = Box2(0.0, 0.0, float(E), float(E))
+    spark = get_spark("union_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    small = spark.range(n, numPartitions=CPUS * 2).select(
+        ((F.col("id") * 7919 + 17) % E).alias("x_min"),
+        ((F.col("id") * 9973 + 31) % E).alias("y_min"),
+        ((F.col("id") * 104729) % 16 + 1).alias("_w"),
+        ((F.col("id") * 48271) % 16 + 1).alias("_h"),
+    ).select(
+        "x_min", "y_min",
+        (F.col("x_min") + F.col("_w")).alias("x_max"),
+        (F.col("y_min") + F.col("_h")).alias("y_max"))
+    big = spark.range(200).select(
+        ((F.col("id") * 2654435761 + 11) % (E - 4096)).alias("x_min"),
+        ((F.col("id") * 40503 + 13) % (E - 4096)).alias("y_min"),
+        ((F.col("id") * 31) % 2048 + 2048).alias("_w"),
+        ((F.col("id") * 37) % 2048 + 2048).alias("_h"),
+    ).select(
+        "x_min", "y_min",
+        (F.col("x_min") + F.col("_w")).alias("x_max"),
+        (F.col("y_min") + F.col("_h")).alias("y_max"))
+    boxes = small.unionByName(big)
+    boxes.count()  # warm input
+    calib = _quick_calibration(CPUS)
+    t0 = time.time()
+    area = measure.union_area(boxes, world, depth=depth) \
+        .collect()[0]["union_area"]
+    wall = time.time() - t0
+    skew = _stage_skew()
+    # clip + full-cover dashboards (recomputed outside the timed run)
+    per_cell = measure.union_area(boxes, world, depth=depth,
+                                  per_cell=True)
+    edge = E >> depth
+    n_cells = per_cell.count()
+    n_full = per_cell.filter(F.col("area") == edge * edge).count()
+    from optimizing_spark.operators.tiling import explode_covering_cells
+    clips = explode_covering_cells(
+        boxes.withColumn("_cx1", F.col("x_max") - 1)
+        .withColumn("_cy1", F.col("y_max") - 1),
+        world, depth, "x_min", "y_min", "_cx1", "_cy1")
+    hist = clips.groupBy("cell_x", "cell_y").count().agg(
+        F.count("*").alias("cells"), F.sum("count").alias("total"),
+        F.expr("percentile_approx(count, 0.5)").alias("p50"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.max("count").alias("mx")).collect()[0]
+    return {
+        "metric": "union_area_boxes_per_sec",
+        "value": round(n / wall),
+        "unit": "boxes/sec",
+        "boxes": n, "big_boxes": 200, "depth": depth,
+        "wall_sec": round(wall, 2),
+        "union_area": int(area),
+        "world_area": E * E,
+        "covered_frac": round(area / (E * E), 4),
+        "occupied_cells": n_cells,
+        "full_cover_cells": n_full,
+        "clips_per_cell": {
+            "total_clips": int(hist["total"]),
+            "p50": int(hist["p50"]), "p99": int(hist["p99"]),
+            "max": int(hist["mx"]),
+        },
+        "heaviest_stages": skew,
+        "calibration": calib,
+    }
+
+
+def run_snap(n: int = 20_000_000, m: int = 200_000) -> dict:
+    """Map-matching at scale (round 5): n GPS points snapped to their
+    nearest of m road segments (length <= ~1024) within max_d=256 —
+    the snap_join cells plan at auto depth (cell edge 256, r=1): the
+    segment side explodes to its dilated-bbox cells, the 20M-point
+    side keeps its ONE home cell and never fans out, candidates meet
+    in one equi-shuffle, hash argmin per point. Dashboards: per-cell
+    candidate histogram + snapped fraction + task skew."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.config import Box2
+    from optimizing_spark.operators import joins
+    from optimizing_spark.operators.tiling import explode_covering_cells
+    from optimizing_spark.session import get_spark
+
+    E, max_d = 65536, 256
+    world = Box2(0.0, 0.0, float(E), float(E))
+    spark = get_spark("snap_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    pts = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 7919 + 17) % E).alias("px"),
+        ((F.col("id") * 9973 + 31) % E).alias("py"),
+    )
+    segs = spark.range(m).select(
+        F.col("id").alias("seg_id"),
+        ((F.col("id") * 2654435761 + 11) % E).alias("x1"),
+        ((F.col("id") * 40503 + 13) % E).alias("y1"),
+    ).select(
+        "seg_id", "x1", "y1",
+        (F.col("x1") + (F.col("seg_id") * 31 + 5) % 2049 - 1024).alias("x2"),
+        (F.col("y1") + (F.col("seg_id") * 37 + 9) % 2049 - 1024).alias("y2"),
+    )
+    pts.count()  # warm input
+    calib = _quick_calibration(CPUS)
+    t0 = time.time()
+    snapped = joins.snap_join(pts, segs, max_d, world).count()
+    wall = time.time() - t0
+    skew = _stage_skew()
+    depth, ncell, sx, sy, _ = joins._ring_grid(world, max_d, None,
+                                               who="run_snap")
+    p_cells = pts.select(
+        joins._gcoord(F.col("px"), 0.0, sx, ncell).alias("cell_x"),
+        joins._gcoord(F.col("py"), 0.0, sy, ncell).alias("cell_y"))
+    s_cells = explode_covering_cells(
+        segs.withColumn("_s_min_x", F.least("x1", "x2") - max_d)
+        .withColumn("_s_min_y", F.least("y1", "y2") - max_d)
+        .withColumn("_s_max_x", F.greatest("x1", "x2") + max_d)
+        .withColumn("_s_max_y", F.greatest("y1", "y2") + max_d),
+        world, depth, "_s_min_x", "_s_min_y", "_s_max_x", "_s_max_y")
+    hist = _cell_candidate_hist(p_cells, s_cells)
+    return {
+        "metric": "snap_join_points_per_sec",
+        "value": round(n / wall),
+        "unit": "points/sec",
+        "points": n, "segments": m, "max_d": max_d, "depth": depth,
+        "wall_sec": round(wall, 2),
+        "snapped_points": snapped,
+        "snapped_frac": round(snapped / n, 4),
+        "cell_candidates": hist,
+        "heaviest_stages": skew,
+        "calibration": calib,
+    }
+
+
+def run_st(n: int = 20_000_000) -> dict:
+    """Spatio-temporal pair join at scale (round 5): n events over the
+    65536^2 world and a 30-day second clock, pairs within d=256 AND
+    t=3600s through st_pair_join — ONE (cell_x, cell_y, tb)
+    equi-shuffle, spatial ring r=1 x time ring {-1,0,1} (fan-out 27).
+    Dashboards: per-(cell,bucket) key histogram + task skew."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.config import Box2
+    from optimizing_spark.operators import joins
+    from optimizing_spark.session import get_spark
+
+    E, d, t, tspan = 65536, 256, 3600, 30 * 86400
+    world = Box2(0.0, 0.0, float(E), float(E))
+    spark = get_spark("st_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    ev = spark.range(n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 7919 + 17) % E).alias("x"),
+        ((F.col("id") * 9973 + 31) % E).alias("y"),
+        ((F.col("id") * 104729 + 7) % tspan).alias("tsec"),
+    )
+    ev.count()  # warm input
+    calib = _quick_calibration(CPUS)
+    t0 = time.time()
+    pairs = joins.st_pair_join(ev, d, t, world).count()
+    wall = time.time() - t0
+    skew = _stage_skew()
+    depth, ncell, sx, sy, _ = joins._ring_grid(world, d, None,
+                                               who="run_st")
+    keys = ev.select(
+        joins._gcoord(F.col("x"), 0.0, sx, ncell).alias("cell_x"),
+        joins._gcoord(F.col("y"), 0.0, sy, ncell).alias("cell_y"),
+        F.expr(f"tsec div {t}").alias("tb"))
+    hist = keys.groupBy("cell_x", "cell_y", "tb").count().agg(
+        F.count("*").alias("keys"),
+        F.expr("percentile_approx(count, 0.5)").alias("p50"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.max("count").alias("mx")).collect()[0]
+    return {
+        "metric": "st_pair_join_events_per_sec",
+        "value": round(n / wall),
+        "unit": "events/sec",
+        "events": n, "d": d, "t_sec": t, "depth": depth,
+        "wall_sec": round(wall, 2),
+        "pairs": pairs,
+        "key_histogram": {
+            "occupied_keys": int(hist["keys"]),
+            "rows_per_key_p50": int(hist["p50"]),
+            "rows_per_key_p99": int(hist["p99"]),
+            "rows_per_key_max": int(hist["mx"]),
+        },
+        "heaviest_stages": skew,
+        "calibration": calib,
+    }
+
+
 def run_hexscale() -> dict:
     """North-rule scaling criterion tied to the metric's OWN pipeline:
     the hex tile-x3 + ring join at local[N] vs local[4N] over the same
@@ -1746,6 +1953,12 @@ if __name__ == "__main__":
         print(json.dumps(run_ripley()))
     elif "--traj" in sys.argv:
         print(json.dumps(run_traj()))
+    elif "--union" in sys.argv:
+        print(json.dumps(run_union()))
+    elif "--snap" in sys.argv:
+        print(json.dumps(run_snap()))
+    elif "--st" in sys.argv:
+        print(json.dumps(run_st()))
     elif "--hexscale" in sys.argv:
         print(json.dumps(run_hexscale()))
     elif "--hex" in sys.argv:
