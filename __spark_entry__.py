@@ -353,6 +353,27 @@ def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cx6.alias("cx6"), cy6.alias("cy6"))
 
 
+def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage (temporal.interval_union, round 5):
+    the gaps-and-islands merge of the q_interval click intervals —
+    one row per maximal merged island (m_t0, m_t1, n_merged), closed
+    adjacency ([a,b]+[b+1,c] is one island). ONE user_id shuffle
+    drives the sort, running-max island flags and per-island
+    aggregates; never an interval self-join. Bit-exact BIGINT twin
+    (temporal.interval_union_sql)."""
+    from optimizing_spark.operators.temporal import interval_union
+
+    ev = D.load(spark, sf_dir, "events").withColumn(
+        "_ep", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+    base = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id",
+        F.expr("timestampdiff(MICROSECOND, _ep, ts)").alias("t0"),
+    ).withColumn(
+        "t1",
+        F.col("t0") + (F.col("event_id") % 541 + 60) * F.lit(1_000_000))
+    return interval_union(base, on="user_id")
+
+
 def q_st_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatio-temporal co-occurrence (joins.st_pair_join, round 5):
     unordered event pairs within 1200 world units AND 24h — the
@@ -3162,7 +3183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covering-cell explode), q_snapshot_delete (driver-green r4; the
     O32 snapshot family keeps q_snapshot_changes and q_hist_refresh
     in the window) and q_top_tokens (driver-green r4; the heavy-hitter
-    family keeps q_tfidf and q_cms_tokens in the window) to the tail.
+    family keeps q_tfidf and q_cms_tokens in the window) to the tail;
+    likewise q_coverage (interval union) enters for q_asof
+    (driver-green r4; the temporal family keeps q_interval, q_peak
+    and q_coverage itself in the window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -3185,7 +3209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk_pq": q_embed_topk_pq,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_interval": q_interval,
-        "q_asof": q_asof,
         "q_qt_rollup": q_qt_rollup,
         "q_tfidf": q_tfidf,
         "q_cms_tokens": q_cms_tokens,
@@ -3208,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_closest": q_closest,
         "q_poly_stats": q_poly_stats,
+        "q_coverage": q_coverage,
         "q_st_pairs": q_st_pairs,
         "q_snap": q_snap,
         "q_union_area": q_union_area,
@@ -3253,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multi_assign": q_multi_assign,
         "q_snapshot_delete": q_snapshot_delete,
         "q_top_tokens": q_top_tokens,
+        "q_asof": q_asof,
         "q_morton": q_morton,
         "q_linear_control": q_linear_control,
         "q_remove": q_remove,
@@ -4004,6 +4029,16 @@ def _text_oracles() -> dict[str, str]:
                    CAST({_sl[2]} AS BIGINT) AS cy6
             FROM star
         """)(),
+        # coverage twin — the identical island-merge window algebra
+        "q_coverage": T.interval_union_sql(
+            """SELECT user_id,
+                      date_diff('microsecond', TIMESTAMP '1970-01-01',
+                                ts) AS t0,
+                      date_diff('microsecond', TIMESTAMP '1970-01-01',
+                                ts) + (event_id % 541 + 60) * 1000000
+                        AS t1
+               FROM events WHERE event_type = 'click'""",
+            on="user_id"),
         # st_pair twin — brute inequality self-join, integer-exact
         "q_st_pairs": f"""
             WITH e AS (

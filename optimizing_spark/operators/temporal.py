@@ -131,6 +131,95 @@ def asof_join(
     return out
 
 
+def interval_union(
+    df: DataFrame,
+    on: str,
+    t0: str = "t0",
+    t1: str = "t1",
+) -> DataFrame:
+    """Per-key UNION of closed integer intervals [t0, t1] — the
+    gaps-and-islands merge (total activity coverage, uptime stitching,
+    contiguous-session islands): one output row per maximal merged
+    interval with the count of inputs it absorbed. The 1-D twin of
+    measure.union_area's y-interval merge, promoted to a first-class
+    operator.
+
+    Closed-integer convention: ADJACENT intervals merge ([1,5] and
+    [6,9] leave no uncovered instant, so they form one island [1,9]);
+    a gap exists iff next t0 >= prev max t1 + 2. Degenerate inputs
+    (t1 < t0) are treated as their normalization would be by the
+    caller — they still sort and merge by the stated algebra.
+
+    Plan: ONE hash shuffle on the key drives a single window pass
+    (sort by (t0, t1), running max of t1 over preceding rows, new
+    island when t0 > prevmax + 1, island id = prefix sum of flags)
+    plus the per-island aggregate in the same exchange. Never an
+    interval self-join; group structure depends only on the sorted
+    multiset, so the result is engine-portable with no tiebreak rules.
+
+    Returns (on, m_t0, m_t1, n_merged)."""
+    w = Window.partitionBy(on).orderBy("_t0", "_t1")
+    prevmax = F.max("_t1").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.select(
+        F.col(on),
+        F.col(t0).cast("long").alias("_t0"),
+        F.col(t1).cast("long").alias("_t1"),
+    ).withColumn(
+        "_new",
+        F.when(prevmax.isNull()
+               | (F.col("_t0") > prevmax + 1), 1).otherwise(0),
+    ).withColumn(
+        "_grp",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(on, "_grp")
+        .agg(F.min("_t0").alias("m_t0"), F.max("_t1").alias("m_t1"),
+             F.count("*").alias("n_merged"))
+        .select(on, "m_t0", "m_t1", "n_merged")
+    )
+
+
+def interval_union_sql(
+    intervals_sql: str, on: str, t0: str = "t0", t1: str = "t1"
+) -> str:
+    """DuckDB twin of interval_union — identical sort, running-max
+    island flags and per-island aggregates, bit-exact BIGINT."""
+    return f"""
+        WITH ivals AS (
+            SELECT {on}, CAST({t0} AS BIGINT) AS _t0,
+                   CAST({t1} AS BIGINT) AS _t1
+            FROM ({intervals_sql})
+        ),
+        flagged AS (
+            SELECT {on}, _t0, _t1,
+                   CASE WHEN max(_t1) OVER (
+                            PARTITION BY {on} ORDER BY _t0, _t1
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR _t0 > max(_t1) OVER (
+                            PARTITION BY {on} ORDER BY _t0, _t1
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) + 1
+                        THEN 1 ELSE 0 END AS _new
+            FROM ivals
+        ),
+        grp AS (
+            SELECT {on}, _t0, _t1,
+                   CAST(sum(_new) OVER (
+                       PARTITION BY {on} ORDER BY _t0, _t1
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS _grp
+            FROM flagged
+        )
+        SELECT {on}, CAST(min(_t0) AS BIGINT) AS m_t0,
+               CAST(max(_t1) AS BIGINT) AS m_t1,
+               count(*) AS n_merged
+        FROM grp GROUP BY {on}, _grp
+    """
+
+
 def peak_concurrency(
     df: DataFrame,
     on: str,
