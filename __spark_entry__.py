@@ -353,6 +353,26 @@ def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cx6.alias("cx6"), cy6.alias("cy6"))
 
 
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector contour (raster.contour_edges, round 5): the
+    exact boundary edges of the dense region of the depth-6 object
+    raster (cells with count >= ceil(mean) — a scale-free,
+    data-derived threshold: integer ceil division computed identically
+    on both engines; the 1-row collect is the knn-style bounded driver
+    step). One explode + left-anti equi-join; output = integer edge
+    segments in cell coordinates, row count = region perimeter. Twin:
+    NOT EXISTS neighbor over the same inside set
+    (raster.contour_edges_sql with the threshold as a scalar
+    subquery)."""
+    r = D.objects2d(spark, sf_dir).groupBy(
+        F.shiftright("ix", 10).alias("px"),
+        F.shiftright("iy", 10).alias("py"),
+    ).agg(F.count("*").alias("n"))
+    tot = r.agg(F.sum("n").alias("s"), F.count("*").alias("c")).collect()[0]
+    thr = (int(tot["s"]) + int(tot["c"]) - 1) // int(tot["c"])
+    return R.contour_edges(r, thr)
+
+
 def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity coverage (temporal.interval_union, round 5):
     the gaps-and-islands merge of the q_interval click intervals —
@@ -3186,7 +3206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family keeps q_tfidf and q_cms_tokens in the window) to the tail;
     likewise q_coverage (interval union) enters for q_asof
     (driver-green r4; the temporal family keeps q_interval, q_peak
-    and q_coverage itself in the window).
+    and q_coverage itself in the window), and q_contour (raster ->
+    vector boundary) enters for q_tfidf (driver-green r4; the token
+    family keeps q_cms_tokens and q_curate in the window).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -3210,7 +3232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_interval": q_interval,
         "q_qt_rollup": q_qt_rollup,
-        "q_tfidf": q_tfidf,
         "q_cms_tokens": q_cms_tokens,
         "q_snapshot_changes": q_snapshot_changes,
         "q_docs_pipeline": q_docs_pipeline,
@@ -3231,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_closest": q_closest,
         "q_poly_stats": q_poly_stats,
+        "q_contour": q_contour,
         "q_coverage": q_coverage,
         "q_st_pairs": q_st_pairs,
         "q_snap": q_snap,
@@ -3278,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_delete": q_snapshot_delete,
         "q_top_tokens": q_top_tokens,
         "q_asof": q_asof,
+        "q_tfidf": q_tfidf,
         "q_morton": q_morton,
         "q_linear_control": q_linear_control,
         "q_remove": q_remove,
@@ -4029,6 +4052,13 @@ def _text_oracles() -> dict[str, str]:
                    CAST({_sl[2]} AS BIGINT) AS cy6
             FROM star
         """)(),
+        # contour twin — NOT EXISTS neighbor over the identical inside
+        # set; threshold = the same integer ceil-of-mean subquery
+        "q_contour": R.contour_edges_sql(
+            f"""SELECT ix >> 10 AS px, iy >> 10 AS py, count(*) AS n
+                FROM ({D.SQL_OBJECTS}) GROUP BY px, py""",
+            threshold="SELECT CAST((sum(n) + count(*) - 1) // count(*) "
+                      "AS BIGINT) FROM r"),
         # coverage twin — the identical island-merge window algebra
         "q_coverage": T.interval_union_sql(
             """SELECT user_id,

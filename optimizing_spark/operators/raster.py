@@ -161,6 +161,101 @@ def focal_sum(
     return raster.join(agg, [x, y])
 
 
+def contour_edges(
+    raster: DataFrame,
+    threshold: int,
+    value: str = "n",
+    x: str = "px",
+    y: str = "py",
+) -> DataFrame:
+    """Raster -> VECTOR: the exact topological boundary of the
+    above-threshold region of a sparse integer raster — iso-region
+    contour extraction (the marching-squares axis-aligned case), the
+    inverse direction of the engine's vector->raster ops (O24 pixel
+    aggregation, kde_grid, zonal) and the raster-tile<->vector loop
+    the north rule names.
+
+    A cell is INSIDE iff value >= threshold; absent cells are 0
+    (sparse contract, like focal_sum). For every inside cell, each of
+    its 4 sides emits one unit edge iff the neighbor across that side
+    is outside — the emitted set is exactly the region boundary, and
+    its row count is the region's perimeter in cell units. Edges are
+    integer segments in CELL coordinates ((cx, cy) owns the unit
+    square [cx, cx+1] x [cy, cy+1]); callers scale by the cell edge.
+
+    Plan shape: ONE equi-join — inside cells explode to 4 direction
+    probes and LEFT-ANTI join the inside set on the probed neighbor
+    key. Never a raster self-join per direction, no window, no
+    driver-side geometry. Integer-exact; deterministic set output."""
+    inside = raster.filter(F.col(value) >= F.lit(int(threshold))).select(
+        F.col(x).cast("long").alias("cx"),
+        F.col(y).cast("long").alias("cy"))
+    dirs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(side).alias("side"))
+        for dx, dy, side in
+        ((1, 0, "E"), (-1, 0, "W"), (0, 1, "N"), (0, -1, "S"))
+    ])
+    probes = inside.select(
+        "cx", "cy", F.explode(dirs).alias("_d"),
+    ).select(
+        "cx", "cy", F.col("_d.side").alias("side"),
+        (F.col("cx") + F.col("_d.dx")).alias("nx"),
+        (F.col("cy") + F.col("_d.dy")).alias("ny"),
+    )
+    nbr = inside.select(F.col("cx").alias("nx"), F.col("cy").alias("ny"))
+    boundary = probes.join(nbr, ["nx", "ny"], "left_anti")
+    s = F.col("side")
+    return boundary.select(
+        "cx", "cy", "side",
+        F.when(s == "E", F.col("cx") + 1).otherwise(F.col("cx"))
+        .alias("x1"),
+        F.when(s == "N", F.col("cy") + 1).otherwise(F.col("cy"))
+        .alias("y1"),
+        F.when(s == "W", F.col("cx")).otherwise(F.col("cx") + 1)
+        .alias("x2"),
+        F.when(s == "S", F.col("cy")).otherwise(F.col("cy") + 1)
+        .alias("y2"),
+    )
+
+
+def contour_edges_sql(
+    raster_sql: str, threshold: int | str,
+    value: str = "n", x: str = "px", y: str = "py",
+) -> str:
+    """DuckDB twin of contour_edges — NOT EXISTS on the probed
+    neighbor over the identical inside set and edge coordinates.
+    ``threshold`` may be an int literal or a SQL scalar expression
+    (e.g. a subquery deriving a data-dependent threshold — callers
+    must make the Spark side compute the identical integer)."""
+    thr = int(threshold) if isinstance(threshold, int) else f"({threshold})"
+    return f"""
+        WITH r AS ({raster_sql}),
+        inside AS (
+            SELECT CAST({x} AS BIGINT) AS cx, CAST({y} AS BIGINT) AS cy
+            FROM r WHERE {value} >= {thr}
+        ),
+        probes AS (
+            SELECT cx, cy, d.side,
+                   cx + d.dx AS nx, cy + d.dy AS ny
+            FROM inside, (VALUES (1, 0, 'E'), (-1, 0, 'W'),
+                                 (0, 1, 'N'), (0, -1, 'S'))
+                 AS d(dx, dy, side)
+        ),
+        boundary AS (
+            SELECT * FROM probes p
+            WHERE NOT EXISTS (SELECT 1 FROM inside i
+                              WHERE i.cx = p.nx AND i.cy = p.ny)
+        )
+        SELECT cx, cy, side,
+               CASE WHEN side = 'E' THEN cx + 1 ELSE cx END AS x1,
+               CASE WHEN side = 'N' THEN cy + 1 ELSE cy END AS y1,
+               CASE WHEN side = 'W' THEN cx ELSE cx + 1 END AS x2,
+               CASE WHEN side = 'S' THEN cy ELSE cy + 1 END AS y2
+        FROM boundary
+    """
+
+
 def kde_grid(
     points: DataFrame,
     depth: int,
