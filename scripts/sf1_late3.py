@@ -50,7 +50,8 @@ def main() -> dict:
                       extra={"spark.ui.enabled": "true"})
     qs = entry.queries()
     out: dict = {}
-    for name in ("q_st_pairs", "q_snap", "q_union_area"):
+    for name in ("q_st_pairs", "q_snap", "q_union_area", "q_coverage",
+                 "q_contour"):
         m0, d0 = _spill()
         t0 = time.time()
         rows = qs[name](spark, DST).count()
