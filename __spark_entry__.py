@@ -353,6 +353,29 @@ def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cx6.alias("cx6"), cy6.alias("cy6"))
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time CUBE (round 5): per-(cell_x, cell_y, day) event
+    counts + integer value sums with ALL grouping-set margins (row/
+    column/day totals and the grand total) in ONE pass — the OLAP
+    rollup surface of the space-time cube (the q_qt_rollup pyramid's
+    grouping-sets sibling). Geocoded events at depth 3 (8x8 grid),
+    integer day index (date_diff days — whole-day NTZ arithmetic is
+    engine-portable), cent-scaled value sums. Spark df.cube == DuckDB
+    GROUP BY CUBE: NULL marks a rolled-up dimension on both engines."""
+    ev = D.load(spark, sf_dir, "events")
+    k = F.col("event_id").cast("long")
+    base = ev.select(
+        F.shiftright((k * 48271) % E, 13).alias("cell_x"),
+        F.shiftright((k * 69621) % E, 13).alias("cell_y"),
+        F.expr("datediff(ts, timestamp_ntz'2024-01-01 00:00:00')")
+        .cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    return base.cube("cell_x", "cell_y", "day").agg(
+        F.count("*").alias("n"),
+        F.sum("value_c").alias("sum_value_c"))
+
+
 def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster -> vector contour (raster.contour_edges, round 5): the
     exact boundary edges of the dense region of the depth-6 object
@@ -3206,9 +3229,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family keeps q_tfidf and q_cms_tokens in the window) to the tail;
     likewise q_coverage (interval union) enters for q_asof
     (driver-green r4; the temporal family keeps q_interval, q_peak
-    and q_coverage itself in the window), and q_contour (raster ->
+    and q_coverage itself in the window), q_contour (raster ->
     vector boundary) enters for q_tfidf (driver-green r4; the token
-    family keeps q_cms_tokens and q_curate in the window).
+    family keeps q_cms_tokens and q_curate in the window), and q_cube
+    (space-time grouping-sets cube) enters for q_cms_tokens
+    (driver-green r4; the sketch family keeps q_bloom_prune in the
+    window, and q_curate keeps the token pipeline driver-exercised).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -3232,7 +3258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_interval": q_interval,
         "q_qt_rollup": q_qt_rollup,
-        "q_cms_tokens": q_cms_tokens,
         "q_snapshot_changes": q_snapshot_changes,
         "q_docs_pipeline": q_docs_pipeline,
         "q_hist_refresh": q_hist_refresh,
@@ -3252,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_closest": q_closest,
         "q_poly_stats": q_poly_stats,
+        "q_cube": q_cube,
         "q_contour": q_contour,
         "q_coverage": q_coverage,
         "q_st_pairs": q_st_pairs,
@@ -3301,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_tokens": q_top_tokens,
         "q_asof": q_asof,
         "q_tfidf": q_tfidf,
+        "q_cms_tokens": q_cms_tokens,
         "q_morton": q_morton,
         "q_linear_control": q_linear_control,
         "q_remove": q_remove,
@@ -4052,6 +4079,20 @@ def _text_oracles() -> dict[str, str]:
                    CAST({_sl[2]} AS BIGINT) AS cy6
             FROM star
         """)(),
+        # cube twin — GROUP BY CUBE, identical NULL-margin semantics
+        "q_cube": f"""
+            SELECT (CAST(event_id AS BIGINT) * 48271) % {E} >> 13
+                     AS cell_x,
+                   (CAST(event_id AS BIGINT) * 69621) % {E} >> 13
+                     AS cell_y,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01', ts)
+                        AS BIGINT) AS day,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_value_c
+            FROM events
+            GROUP BY CUBE (cell_x, cell_y, day)
+        """,
         # contour twin — NOT EXISTS neighbor over the identical inside
         # set; threshold = the same integer ceil-of-mean subquery
         "q_contour": R.contour_edges_sql(
