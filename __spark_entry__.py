@@ -353,6 +353,24 @@ def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cx6.alias("cx6"), cy6.alias("cy6"))
 
 
+def q_distfield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic distance transform (raster.distance_transform,
+    round 5): 4-adjacency hop distance from hash-seeded source cells
+    through the occupied depth-6 lattice of the obj_id%7 object
+    subset — raster cost-distance, the engine's iterative-frontier
+    operator beyond dedup_cc's pointer jumping. Per round: frontier
+    explode + equi-join + left-anti + localCheckpoint; stops when the
+    frontier drains (eccentricity ~12 here) or at the max_rounds=24
+    cap, which is part of the contract so the depth-capped
+    recursive-CTE twin computes the identical set."""
+    o = D.objects2d(spark, sf_dir).filter(F.col("obj_id") % 7 == 0)
+    occ = o.select(
+        F.shiftright("ix", 10).alias("px"),
+        F.shiftright("iy", 10).alias("py")).distinct()
+    seeds = occ.filter((F.col("px") * 31 + F.col("py")) % 29 == 0)
+    return R.distance_transform(occ, seeds, max_rounds=24)
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-time CUBE (round 5): per-(cell_x, cell_y, day) event
     counts + integer value sums with ALL grouping-set margins (row/
@@ -3234,7 +3252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family keeps q_cms_tokens and q_curate in the window), and q_cube
     (space-time grouping-sets cube) enters for q_cms_tokens
     (driver-green r4; the sketch family keeps q_bloom_prune in the
-    window, and q_curate keeps the token pipeline driver-exercised).
+    window, and q_curate keeps the token pipeline driver-exercised),
+    and q_distfield (geodesic distance transform) enters for
+    q_qt_rollup (driver-green r4; the rollup surface keeps q_cube's
+    grouping sets in the window, the pyramid stays pytest- and
+    harness-gated).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -3257,7 +3279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk_pq": q_embed_topk_pq,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_interval": q_interval,
-        "q_qt_rollup": q_qt_rollup,
         "q_snapshot_changes": q_snapshot_changes,
         "q_docs_pipeline": q_docs_pipeline,
         "q_hist_refresh": q_hist_refresh,
@@ -3277,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_closest": q_closest,
         "q_poly_stats": q_poly_stats,
+        "q_distfield": q_distfield,
         "q_cube": q_cube,
         "q_contour": q_contour,
         "q_coverage": q_coverage,
@@ -3328,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof": q_asof,
         "q_tfidf": q_tfidf,
         "q_cms_tokens": q_cms_tokens,
+        "q_qt_rollup": q_qt_rollup,
         "q_morton": q_morton,
         "q_linear_control": q_linear_control,
         "q_remove": q_remove,
@@ -4079,6 +4102,15 @@ def _text_oracles() -> dict[str, str]:
                    CAST({_sl[2]} AS BIGINT) AS cy6
             FROM star
         """)(),
+        # distfield twin — depth-capped recursive-CTE BFS, min dist
+        "q_distfield": R.distance_transform_sql(
+            f"""SELECT DISTINCT ix >> 10 AS px, iy >> 10 AS py
+                FROM ({D.SQL_OBJECTS}) WHERE obj_id % 7 = 0""",
+            """SELECT px, py FROM (
+                   SELECT DISTINCT ix >> 10 AS px, iy >> 10 AS py
+                   FROM ({objs}) WHERE obj_id % 7 = 0)
+               WHERE (px * 31 + py) % 29 = 0""".format(objs=D.SQL_OBJECTS),
+            max_rounds=24),
         # cube twin — GROUP BY CUBE, identical NULL-margin semantics
         "q_cube": f"""
             SELECT (CAST(event_id AS BIGINT) * 48271) % {E} >> 13

@@ -256,6 +256,117 @@ def contour_edges_sql(
     """
 
 
+def distance_transform(
+    occupied: DataFrame,
+    sources: DataFrame,
+    x: str = "px",
+    y: str = "py",
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Geodesic distance transform (cost-distance analysis): the
+    4-adjacency hop distance from the nearest SOURCE cell, walking
+    only through OCCUPIED cells — the raster GIS "cost distance" with
+    unit costs, and the engine's iterative-frontier representative
+    beyond dedup.connected_components' pointer jumping.
+
+    occupied(x, y) is the passable lattice; sources(x, y) the zero-
+    distance seeds (rows not in `occupied` are ignored). Returns
+    (x, y, dist) for every occupied cell reachable within
+    ``max_rounds`` hops; unreachable (or farther) cells are absent —
+    the cap is part of the operator's contract so the DuckDB twin
+    (a depth-capped recursive CTE) computes the identical set.
+
+    Plan per round: the FRONTIER (cells settled last round — not the
+    lattice) explodes to its 4 neighbors, one equi-join against the
+    occupied set, one left-anti against settled, localCheckpoint to
+    keep the plan shallow; the loop stops early when the frontier
+    drains. Rounds = min(max_rounds, eccentricity of the source set):
+    inherent to BFS — each round is embarrassingly parallel over the
+    frontier, which is the 100 TB story (a continental lattice settles
+    millions of cells per round; the round count is governed by
+    geometry, not data volume)."""
+    occ = occupied.select(
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py")).distinct().localCheckpoint()
+    cur = (
+        sources.select(
+            F.col(x).cast("long").alias("px"),
+            F.col(y).cast("long").alias("py")).distinct()
+        .join(occ, ["px", "py"])  # seeds must be passable
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    dirs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+    ])
+    # BFS invariant: a neighbor of a dist-(r-1) cell has dist >= r-2,
+    # so the dedup anti-join needs only the LAST TWO frontiers — the
+    # growing settled set is never re-shuffled or re-checkpointed;
+    # the result is the lazy union of the per-round frontiers
+    frontiers = [cur]
+    prev = cur.select("px", "py").filter(F.lit(False))
+    for r in range(1, max_rounds + 1):
+        probes = cur.select(
+            "px", "py", F.explode(dirs).alias("_d"),
+        ).select(
+            (F.col("px") + F.col("_d.dx")).alias("px"),
+            (F.col("py") + F.col("_d.dy")).alias("py"),
+        ).distinct()
+        recent = cur.select("px", "py").unionByName(prev)
+        new = (
+            probes.join(occ, ["px", "py"])
+            .join(recent, ["px", "py"], "left_anti")
+            .withColumn("dist", F.lit(r).cast("long"))
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        frontiers.append(new)
+        prev, cur = cur.select("px", "py"), new
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def distance_transform_sql(
+    occupied_sql: str,
+    sources_sql: str,
+    x: str = "px",
+    y: str = "py",
+    max_rounds: int = 24,
+) -> str:
+    """DuckDB twin of distance_transform: a depth-capped recursive
+    CTE expanding (cell, dist) rows, min-dist per cell — identical
+    reachable set and distances under the same cap."""
+    return f"""
+        WITH RECURSIVE occ AS (
+            SELECT DISTINCT CAST({x} AS BIGINT) AS px,
+                   CAST({y} AS BIGINT) AS py
+            FROM ({occupied_sql})
+        ),
+        seeds AS (
+            SELECT DISTINCT CAST({x} AS BIGINT) AS px,
+                   CAST({y} AS BIGINT) AS py
+            FROM ({sources_sql})
+        ),
+        walk(px, py, dist) AS (
+            SELECT s.px, s.py, CAST(0 AS BIGINT)
+            FROM seeds s JOIN occ USING (px, py)
+            UNION
+            SELECT o.px, o.py, w.dist + 1
+            FROM walk w,
+                 (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS d(dx, dy),
+                 occ o
+            WHERE o.px = w.px + d.dx AND o.py = w.py + d.dy
+              AND w.dist < {int(max_rounds)}
+        )
+        SELECT px, py, CAST(min(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY px, py
+    """
+
+
 def kde_grid(
     points: DataFrame,
     depth: int,
