@@ -50,8 +50,10 @@ def main() -> dict:
                       extra={"spark.ui.enabled": "true"})
     qs = entry.queries()
     out: dict = {}
-    for name in ("q_st_pairs", "q_snap", "q_union_area", "q_coverage",
-                 "q_contour"):
+    names = sys.argv[1:] or ["q_st_pairs", "q_snap", "q_union_area",
+                             "q_coverage", "q_contour", "q_cube",
+                             "q_distfield"]
+    for name in names:
         m0, d0 = _spill()
         t0 = time.time()
         rows = qs[name](spark, DST).count()
@@ -65,7 +67,10 @@ def main() -> dict:
         }
         print(f"ok    {name}: rows={rows} ({wall:.1f}s)", flush=True)
 
-    # density-matched depth for union at sf1 (user-facing contract)
+    if "q_union_area" not in names:
+        return out
+    # depth-8 comparison run for union at sf1 (recorded: ~equal to
+    # depth 6 at full compute; areas bit-identical)
     boxes = D.objects2d(spark, DST).select(
         F.col("ix").alias("x_min"), F.col("iy").alias("y_min"),
         (F.col("ix") + F.col("sx")).alias("x_max"),
