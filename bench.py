@@ -1870,6 +1870,59 @@ def run_st(n: int = 20_000_000) -> dict:
     }
 
 
+def run_distfield(n: int = 20_000_000) -> dict:
+    """Geodesic distance transform at scale (round 5): the occupied
+    depth-10 lattice (1024x1024 cells) of a 1-in-12 thinning of n
+    points (~81% site occupancy — supercritical, connected), seeded at
+    ~8.6k hash-selected cells, BFS to the max_rounds=32 cap. The
+    dashboard is the per-round frontier-size profile — each round is
+    embarrassingly parallel over the frontier, and the round count is
+    governed by seed spacing (geometry), not data volume."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators.raster import distance_transform
+    from optimizing_spark.session import get_spark
+
+    E, depth = 65536, 10
+    shift = 16 - depth
+    spark = get_spark("distfield_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    # xxhash64-decorrelated coordinates: a thinned LCG pair is a 1-D
+    # curve on the torus (gcd structure), which has NO 4-adjacency —
+    # the hash makes the occupied set a true ~81%-density site lattice
+    pts = spark.range(n, numPartitions=CPUS * 2).filter(
+        F.col("id") % 12 == 0).select(
+        F.shiftright(F.pmod(F.xxhash64("id"), E), shift).alias("px"),
+        F.shiftright(F.pmod(F.xxhash64("id", F.lit(7)), E), shift)
+        .alias("py"),
+    )
+    occ = pts.distinct().localCheckpoint()
+    n_occ = occ.count()
+    seeds = occ.filter((F.col("px") * 31 + F.col("py")) % 97 == 0)
+    calib = _quick_calibration(CPUS)
+    t0 = time.time()
+    field = distance_transform(occ, seeds, max_rounds=32)
+    prof = {int(r["dist"]): int(r["cnt"]) for r in
+            field.groupBy("dist").agg(F.count("*").alias("cnt"))
+            .collect()}
+    wall = time.time() - t0
+    settled = sum(prof.values())
+    return {
+        "metric": "distfield_cells_per_sec",
+        "value": round(settled / wall),
+        "unit": "cells/sec",
+        "points": n, "depth": depth, "max_rounds": 32,
+        "wall_sec": round(wall, 2),
+        "occupied_cells": n_occ,
+        "settled_cells": settled,
+        "settled_frac": round(settled / n_occ, 4),
+        "rounds_run": max(prof) if prof else 0,
+        "frontier_profile": {str(k): prof[k] for k in sorted(prof)},
+        "calibration": calib,
+    }
+
+
 def run_hexscale() -> dict:
     """North-rule scaling criterion tied to the metric's OWN pipeline:
     the hex tile-x3 + ring join at local[N] vs local[4N] over the same
@@ -1953,6 +2006,8 @@ if __name__ == "__main__":
         print(json.dumps(run_ripley()))
     elif "--traj" in sys.argv:
         print(json.dumps(run_traj()))
+    elif "--distfield" in sys.argv:
+        print(json.dumps(run_distfield()))
     elif "--union" in sys.argv:
         print(json.dumps(run_union()))
     elif "--snap" in sys.argv:
