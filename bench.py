@@ -1870,6 +1870,52 @@ def run_st(n: int = 20_000_000) -> dict:
     }
 
 
+def run_coverage(n: int = 20_000_000, keys: int = 100_000) -> dict:
+    """Interval union at scale (round 5): 20M closed integer intervals
+    over 100k keys (~200 intervals/key, ~37% inter-interval overlap)
+    through temporal.interval_union — ONE key shuffle drives the sort,
+    running-max island flags and per-island aggregates. Reports merge
+    compression (inputs per island) and the heaviest-stage skew."""
+    from pyspark.sql import functions as F
+
+    from optimizing_spark.operators.temporal import interval_union
+    from optimizing_spark.session import get_spark
+
+    span = 2_000_000
+    spark = get_spark("coverage_bench", cores=CPUS,
+                      shuffle_partitions=max(64, CPUS * 2),
+                      extra={"spark.ui.enabled": "true"})
+    iv = spark.range(n, numPartitions=CPUS * 2).select(
+        F.pmod(F.xxhash64("id"), keys).alias("user_id"),
+        F.pmod(F.xxhash64("id", F.lit(3)), span).alias("t0"),
+    ).withColumn(
+        "t1", F.col("t0") + F.pmod(F.xxhash64("id", F.lit(5)), 4_000))
+    iv.count()  # warm input
+    calib = _quick_calibration(CPUS)
+    t0 = time.time()
+    stats = interval_union(iv, "user_id").agg(
+        F.count("*").alias("islands"),
+        F.sum("n_merged").alias("inputs"),
+        F.max("n_merged").alias("max_merged"),
+        F.sum(F.col("m_t1") - F.col("m_t0") + 1).alias("covered"),
+    ).collect()[0]
+    wall = time.time() - t0
+    skew = _stage_skew()
+    return {
+        "metric": "interval_union_intervals_per_sec",
+        "value": round(n / wall),
+        "unit": "intervals/sec",
+        "intervals": n, "keys": keys,
+        "wall_sec": round(wall, 2),
+        "islands": int(stats["islands"]),
+        "inputs_per_island": round(stats["inputs"] / stats["islands"], 2),
+        "max_merged": int(stats["max_merged"]),
+        "covered_units": int(stats["covered"]),
+        "heaviest_stages": skew,
+        "calibration": calib,
+    }
+
+
 def run_distfield(n: int = 20_000_000) -> dict:
     """Geodesic distance transform at scale (round 5): the occupied
     depth-10 lattice (1024x1024 cells) of a 1-in-12 thinning of n
@@ -2006,6 +2052,8 @@ if __name__ == "__main__":
         print(json.dumps(run_ripley()))
     elif "--traj" in sys.argv:
         print(json.dumps(run_traj()))
+    elif "--coverage" in sys.argv:
+        print(json.dumps(run_coverage()))
     elif "--distfield" in sys.argv:
         print(json.dumps(run_distfield()))
     elif "--union" in sys.argv:

@@ -423,6 +423,81 @@ def streaming_frontier(pts_stream: DataFrame, kind: str = "hull") -> DataFrame:
         GroupStateTimeout.NoTimeout)
 
 
+def islands_state_fn():
+    """Running interval union per key — the streaming twin of
+    operators/temporal.interval_union (round 5). Island merging is one
+    more MERGEABLE frontier reduction: merge(islands(state) ∪ batch)
+    == merge(raw history ∪ batch), and per-island counts ADD, so the
+    state is only the current disjoint island set (t0s, t1s, ns) —
+    never the interval history. Each micro-batch folds its intervals
+    (weight 1) with the state islands (weight n) through the exact
+    batch algebra (sort by (t0, t1), running-max ends, new island when
+    t0 > prevmax + 1) and emits the full updated island set with a
+    monotone ``upd`` counter (update-mode semantics, like
+    frontier_state_fn).
+
+    Returns (fn, out_schema, state_schema) for
+    ``groupBy(user_id).applyInPandasWithState(...)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id long, m_t0 long, m_t1 long, n_merged long, upd long"
+    state_schema = "t0s array<bigint>, t1s array<bigint>, ns array<bigint>, upd bigint"
+
+    def _merge(t0, t1, n):
+        order = np.lexsort((t1, t0))
+        t0, t1, n = t0[order], t1[order], n[order]
+        ends = np.maximum.accumulate(t1)
+        new = np.ones(len(t0), dtype=bool)
+        new[1:] = t0[1:] > ends[:-1] + 1
+        starts = np.flatnonzero(new)
+        m_t0 = t0[starts]
+        m_t1 = np.maximum.reduceat(t1, starts)
+        m_n = np.add.reduceat(n, starts)
+        return m_t0, m_t1, m_n
+
+    def fn(key, pdfs, state: GroupState):
+        t0p, t1p, nsp = [], [], []
+        for pdf in pdfs:
+            t0p.append(pdf.t0.to_numpy(np.int64))
+            t1p.append(pdf.t1.to_numpy(np.int64))
+            nsp.append(np.ones(len(pdf), dtype=np.int64))
+        if state.exists:
+            st0, st1, sns, upd = state.get
+            t0p.append(np.asarray(st0, dtype=np.int64))
+            t1p.append(np.asarray(st1, dtype=np.int64))
+            nsp.append(np.asarray(sns, dtype=np.int64))
+        else:
+            upd = 0
+        t0 = np.concatenate(t0p) if t0p else np.empty(0, np.int64)
+        t1 = np.concatenate(t1p) if t1p else np.empty(0, np.int64)
+        ns = np.concatenate(nsp) if nsp else np.empty(0, np.int64)
+        m_t0, m_t1, m_n = _merge(t0, t1, ns)
+        upd += 1
+        state.update(([int(v) for v in m_t0], [int(v) for v in m_t1],
+                      [int(v) for v in m_n], upd))
+        yield pd.DataFrame({
+            "user_id": np.full(len(m_t0), np.int64(key[0])),
+            "m_t0": m_t0, "m_t1": m_t1, "n_merged": m_n,
+            "upd": np.full(len(m_t0), np.int64(upd)),
+        })
+
+    return fn, out_schema, state_schema
+
+
+def streaming_islands(iv_stream: DataFrame) -> DataFrame:
+    """Wire islands_state_fn onto a (user_id, t0, t1) stream: one
+    running interval union per key, state bounded by the island count
+    (which merging can only shrink), never the interval history."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fn, out_schema, state_schema = islands_state_fn()
+    return iv_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 def wsample_state_fn(k: int, salt: str = "ws"):
     """Running weight-proportional sample per group — the streaming
     twin of operators/sampling.weighted_sample (priority sampling).

@@ -617,3 +617,39 @@ def test_streaming_trips_equals_batch(spark, tmp_path):
             if r.trip < last_trip[r.traj_id]}
     assert len(got) > n_traj  # breaks really happened across batches
     assert got == want
+
+
+def test_streaming_islands_equals_batch(spark, tmp_path):
+    """Running interval union per key (islands_state_fn): after the
+    stream drains across MULTIPLE micro-batches, the max-upd island
+    set per key equals operators/temporal.interval_union on the same
+    rows — islands, order and n_merged counts exactly. State is only
+    the current disjoint island set, never the interval history."""
+    from optimizing_spark.operators.temporal import interval_union
+
+    src = str(tmp_path / "island_rows")
+    rows = spark.range(4000).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(20_000)).alias("t0"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(20_000))
+         + F.pmod(F.xxhash64("id", F.lit(5)), F.lit(400))).alias("t1"),
+    )
+    rows.repartition(4).write.parquet(src)
+    batch_rows = spark.read.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, t0 long, t1 long") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = CS.streaming_islands(stream)
+    q = out.writeStream.format("memory").queryName("islands_mem") \
+        .outputMode("update").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.table("islands_mem").toPandas()
+    assert got.upd.max() >= 2  # multiple micro-batches actually happened
+    last = got[got.upd == got.groupby("user_id").upd.transform("max")]
+    for g in range(5):
+        want = interval_union(
+            batch_rows.filter(F.col("user_id") == g), "user_id"
+        ).orderBy("m_t0").toPandas()
+        gl = last[last.user_id == g].sort_values("m_t0")
+        assert list(zip(gl.m_t0, gl.m_t1, gl.n_merged)) == \
+            list(zip(want.m_t0, want.m_t1, want.n_merged)), g
