@@ -1888,8 +1888,8 @@ def run_coverage(n: int = 20_000_000, keys: int = 100_000) -> dict:
     iv = spark.range(n, numPartitions=CPUS * 2).select(
         F.pmod(F.xxhash64("id"), keys).alias("user_id"),
         F.pmod(F.xxhash64("id", F.lit(3)), span).alias("t0"),
-    ).withColumn(
-        "t1", F.col("t0") + F.pmod(F.xxhash64("id", F.lit(5)), 4_000))
+        (F.pmod(F.xxhash64("id", F.lit(3)), span)
+         + F.pmod(F.xxhash64("id", F.lit(5)), 4_000)).alias("t1"))
     iv.count()  # warm input
     calib = _quick_calibration(CPUS)
     t0 = time.time()
