@@ -353,6 +353,103 @@ def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cx6.alias("cx6"), cy6.alias("cy6"))
 
 
+_VALID_SWAP = (0, 4, 2, 3, 1, 5, 6, 7)  # bowtie: vertices 1 and 4 swap
+
+
+def q_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon validity + orientation (round 5, the ST_IsSimple /
+    ST_Area-sign analog, composed from existing primitives like
+    q_visibility): per ring, is_simple = NO pair of non-adjacent edges
+    intersects (exact closed geometry.segments_intersect over the 20
+    non-adjacent pairs of the 8-edge ring; wrap pair (0,7) excluded)
+    and orient = sign of the edge-row shoelace sum. Odd query_ids get
+    vertices 1 and 4 swapped — planted bowties, so the validity split
+    is real, not vacuous. One equi-join on query_id (the i-conditions
+    stay in the filter so DuckDB's twin hash-joins — never an IEJoin
+    upstream of LEAST/GREATEST, the documented 1.0.0 bug)."""
+    stars = D.star_polygons(spark, sf_dir)
+    vs = F.col("vertices")
+    ring = F.when(
+        F.col("query_id") % 2 == 1,
+        F.array(*[vs[i] for i in _VALID_SWAP])).otherwise(vs)
+    p = stars.select("query_id", ring.alias("r"))
+    edges = p.select("query_id", F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.col("r")[i]["x"].alias("x1"), F.col("r")[i]["y"].alias("y1"),
+            F.col("r")[(i + 1) % 8]["x"].alias("x2"),
+            F.col("r")[(i + 1) % 8]["y"].alias("y2"))
+        for i in range(8)])).alias("e")).select("query_id", "e.*")
+    a = edges.select(*[F.col(c).alias(f"a_{c}") if c != "query_id" else c
+                       for c in edges.columns])
+    b = edges.select(*[F.col(c).alias(f"b_{c}") if c != "query_id" else c
+                       for c in edges.columns])
+    pred = G.segments_intersect(
+        F.col("a_x1"), F.col("a_y1"), F.col("a_x2"), F.col("a_y2"),
+        F.col("b_x1"), F.col("b_y1"), F.col("b_x2"), F.col("b_y2"))
+    bad = (
+        a.join(b, "query_id")
+        .filter((F.col("a_i") < F.col("b_i"))
+                & (F.col("b_i") - F.col("a_i") > 1)
+                & ~((F.col("a_i") == 0) & (F.col("b_i") == 7)))
+        .filter(pred)
+        .select("query_id").distinct()
+        .withColumn("_bad", F.lit(True))
+    )
+    area = edges.groupBy("query_id").agg(
+        F.sum(F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1"))
+        .alias("_a2"))
+    return area.join(bad, "query_id", "left").select(
+        "query_id",
+        F.coalesce(~F.col("_bad"), F.lit(True)).alias("is_simple"),
+        F.when(F.col("_a2") > 0, 1).when(F.col("_a2") < 0, -1)
+        .otherwise(0).cast("long").alias("orient"),
+    )
+
+
+def _valid_sql() -> str:
+    """DuckDB twin of q_valid — the same parity-swapped edge rows,
+    non-adjacent pair test (hash join on query_id; i-conditions in the
+    WHERE) and edge-row shoelace sign."""
+    ring = D.STAR_RING_SQL
+
+    def coord(pos: int, axis: int) -> str:
+        orig = ring[pos][axis]
+        sw = ring[_VALID_SWAP[pos]][axis]
+        return (f"CASE WHEN query_id % 2 = 1 THEN {sw} "
+                f"ELSE {orig} END")
+
+    edge_rows = " UNION ALL ".join(
+        f"SELECT query_id, {i} AS i, {coord(i, 0)} AS x1, "
+        f"{coord(i, 1)} AS y1, {coord((i + 1) % 8, 0)} AS x2, "
+        f"{coord((i + 1) % 8, 1)} AS y2 FROM star"
+        for i in range(8))
+    pred = D.seg_pair_sql(("a.x1", "a.y1"), ("a.x2", "a.y2"),
+                          ("b.x1", "b.y1"), ("b.x2", "b.y2"))
+    return f"""
+        WITH star AS ({D.SQL_STAR_POLYGONS}),
+        edges AS ({edge_rows}),
+        bad AS (
+            SELECT DISTINCT a.query_id
+            FROM edges a JOIN edges b ON a.query_id = b.query_id
+            WHERE a.i < b.i AND b.i - a.i > 1
+              AND NOT (a.i = 0 AND b.i = 7)
+              AND {pred}
+        ),
+        area AS (
+            SELECT query_id,
+                   CAST(sum(x1 * y2 - x2 * y1) AS BIGINT) AS a2
+            FROM edges GROUP BY query_id
+        )
+        SELECT area.query_id,
+               bad.query_id IS NULL AS is_simple,
+               CASE WHEN a2 > 0 THEN CAST(1 AS BIGINT)
+                    WHEN a2 < 0 THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS orient
+        FROM area LEFT JOIN bad ON bad.query_id = area.query_id
+    """
+
+
 def q_distfield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic distance transform (raster.distance_transform,
     round 5): 4-adjacency hop distance from hash-seeded source cells
@@ -3256,7 +3353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and q_distfield (geodesic distance transform) enters for
     q_qt_rollup (driver-green r4; the rollup surface keeps q_cube's
     grouping sets in the window, the pyramid stays pytest- and
-    harness-gated).
+    harness-gated), and q_valid (polygon validity + orientation)
+    enters for q_interval (driver-green r4; the temporal family keeps
+    q_coverage and q_peak in the window, the interval join stays
+    pytest- and harness-gated).
     Round-4 history: the 17
     previously-ungated queries (q_interval ... q_hist_refresh)
     entered the window and went driver-green; 17 round-1-3 basics
@@ -3278,7 +3378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk_ivf": q_embed_topk_ivf,
         "q_embed_topk_pq": q_embed_topk_pq,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
-        "q_interval": q_interval,
         "q_snapshot_changes": q_snapshot_changes,
         "q_docs_pipeline": q_docs_pipeline,
         "q_hist_refresh": q_hist_refresh,
@@ -3298,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_closest": q_closest,
         "q_poly_stats": q_poly_stats,
+        "q_valid": q_valid,
         "q_distfield": q_distfield,
         "q_cube": q_cube,
         "q_contour": q_contour,
@@ -3351,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_cms_tokens": q_cms_tokens,
         "q_qt_rollup": q_qt_rollup,
+        "q_interval": q_interval,
         "q_morton": q_morton,
         "q_linear_control": q_linear_control,
         "q_remove": q_remove,
@@ -4102,6 +4203,8 @@ def _text_oracles() -> dict[str, str]:
                    CAST({_sl[2]} AS BIGINT) AS cy6
             FROM star
         """)(),
+        # validity twin — same swapped edge rows + hash-join pair test
+        "q_valid": _valid_sql(),
         # distfield twin — depth-capped recursive-CTE BFS, min dist
         "q_distfield": R.distance_transform_sql(
             f"""SELECT DISTINCT ix >> 10 AS px, iy >> 10 AS py
