@@ -327,7 +327,12 @@ def st_pair_join(
     differs by <= 1 bucket), candidates meet in ONE 3-column
     equi-shuffle, exact residuals run only on co-located candidates.
     Fan-out is (2r+1)^2 * 3 — auto depth keeps r=1 (27 copies),
-    guarded by `max_fanout` like distance_join."""
+    guarded by `max_fanout` like distance_join.
+
+    Streaming twin: streaming/cells_stream.streaming_distance_join is
+    the stream-stream form of the same semantics (distance band +
+    +-bound_seconds), with the watermark+time bound as the
+    state-eviction contract."""
     if t < 1:
         raise ValueError("st_pair_join needs t >= 1")
     depth, n, sx, sy, r = _ring_grid(world, d, depth, max_fanout,
@@ -682,6 +687,30 @@ def snap_join(
     equi-shuffle, then a hash argmin per point. method='broadcast':
     crossJoin against the broadcast segment side — the linear-scan
     control (O29) and the small-network fast path."""
+    if method == "broadcast":
+        cand = points.crossJoin(F.broadcast(segments))
+    elif method == "cells":
+        cand = snap_candidates_raw(points, segments, max_d, world, depth)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    keep, d2 = snap_exprs(max_d)
+    scored = cand.select(
+        *[c for c in points.columns], d2.alias("_d2"), "seg_id",
+    ).filter(keep)
+    return (
+        scored.groupBy("point_id")
+        .agg(F.min(F.struct(F.col("_d2"), F.col("seg_id"))).alias("_m"))
+        .select("point_id", F.col("_m.seg_id").alias("seg_id"),
+                F.col("_m._d2").alias("d2"))
+    )
+
+
+def snap_exprs(max_d: int):
+    """(keep, d2) column pair of the snap distance algebra over the
+    joined (px, py, x1, y1, x2, y2) columns: `keep` is the EXACT
+    integer rational max_d gate, `d2` the IEEE-portable ordering
+    double — shared by snap_join and streaming.streaming_snap_join so
+    stream and batch can't diverge."""
     max_d2 = int(max_d) * int(max_d)
     vx = F.col("x2") - F.col("x1")
     vy = F.col("y2") - F.col("y1")
@@ -704,21 +733,22 @@ def snap_join(
         .otherwise((w2 * len2 - dot * dot).cast("double")
                    / len2.cast("double"))
     )
+    return keep, d2
 
-    def _argmin(cand: DataFrame) -> DataFrame:
-        return (
-            cand.select("point_id", d2.alias("_d2"), "seg_id")
-            .filter(keep)
-            .groupBy("point_id")
-            .agg(F.min(F.struct(F.col("_d2"), F.col("seg_id"))).alias("_m"))
-            .select("point_id", F.col("_m.seg_id").alias("seg_id"),
-                    F.col("_m._d2").alias("d2"))
-        )
 
-    if method == "broadcast":
-        return _argmin(points.crossJoin(F.broadcast(segments)))
-    if method != "cells":
-        raise ValueError(f"unknown method {method!r}")
+def snap_candidates_raw(
+    points: DataFrame,
+    segments: DataFrame,
+    max_d: int,
+    world: Box2,
+    depth: int | None = None,
+) -> DataFrame:
+    """The cells-mode candidate join of snap_join, pre-filter: segment
+    bboxes dilate by max_d and explode to covering cells; each point
+    keeps its ONE home cell, so every qualifying pair meets exactly
+    once. Works unchanged on a STREAMING points side (both projections
+    are stateless; the equi-join against the static exploded segment
+    side is a stream-static join)."""
     depth, n, sx, sy, _ = _ring_grid(world, max_d, depth, who="snap_join")
     s = explode_covering_cells(
         segments
@@ -732,7 +762,7 @@ def snap_join(
         points.withColumn("cell_x", _gcoord(F.col("px"), world.min_x, sx, n))
         .withColumn("cell_y", _gcoord(F.col("py"), world.min_y, sy, n))
     )
-    return _argmin(p.join(s, ["cell_x", "cell_y"]))
+    return p.join(s, ["cell_x", "cell_y"])
 
 
 def ring_semi_join(

@@ -423,6 +423,50 @@ def streaming_frontier(pts_stream: DataFrame, kind: str = "hull") -> DataFrame:
         GroupStateTimeout.NoTimeout)
 
 
+def streaming_snap_join(
+    points_stream: DataFrame,
+    segments: DataFrame,
+    max_d: int,
+    world,
+    depth: int | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stream-static map-matching: each streamed GPS point snaps to
+    its nearest STATIC road segment within max_d — the streaming form
+    of operators/joins.snap_join, sharing its exact algebra
+    (joins.snap_exprs) and candidate shape (joins.snap_candidates_raw:
+    the static segment side explodes its dilated bboxes to cells once;
+    each streamed point keeps its ONE home cell, so the stream-static
+    equi-join is stateless on the stream side).
+
+    The per-point argmin is the only stateful step: a
+    watermark-bounded streaming aggregation keyed on (point_id, ts) —
+    each point occurs once in the stream, so the group closes when the
+    watermark passes its event time and the state is bounded by the
+    in-flight window, never the stream history. Update mode emits each
+    point's nearest segment in its arrival micro-batch (a point occurs
+    once, so the first emit is final); append mode defers to watermark
+    advance. Choose `watermark` wider than the source's event-time
+    disorder — points older than the watermark are late-dropped, the
+    standard streaming-aggregation contract. Output == batch snap_join
+    on the same rows (same keep/d2/argmin algebra)."""
+    from ..operators.joins import snap_candidates_raw, snap_exprs
+
+    keep, d2 = snap_exprs(max_d)
+    cand = snap_candidates_raw(
+        points_stream.withWatermark(ts_col, watermark),
+        segments, max_d, world, depth)
+    return (
+        cand.select("point_id", F.col(ts_col), d2.alias("_d2"), "seg_id")
+        .filter(keep)
+        .groupBy("point_id", ts_col)
+        .agg(F.min(F.struct(F.col("_d2"), F.col("seg_id"))).alias("_m"))
+        .select("point_id", F.col("_m.seg_id").alias("seg_id"),
+                F.col("_m._d2").alias("d2"))
+    )
+
+
 def islands_state_fn():
     """Running interval union per key — the streaming twin of
     operators/temporal.interval_union (round 5). Island merging is one

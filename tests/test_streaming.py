@@ -653,3 +653,59 @@ def test_streaming_islands_equals_batch(spark, tmp_path):
         gl = last[last.user_id == g].sort_values("m_t0")
         assert list(zip(gl.m_t0, gl.m_t1, gl.n_merged)) == \
             list(zip(want.m_t0, want.m_t1, want.n_merged)), g
+
+
+def test_streaming_snap_equals_batch(spark, tmp_path):
+    """Stream-static map-matching (streaming_snap_join): streamed GPS
+    points against a static segment table, drained across MULTIPLE
+    micro-batches — the per-point nearest segment and IEEE d2 equal
+    batch joins.snap_join on the same rows exactly (shared
+    snap_exprs/snap_candidates_raw algebra). State is the in-flight
+    (point_id, ts) aggregation groups, watermark-bounded."""
+    import numpy as np
+
+    from optimizing_spark.config import Box2
+    from optimizing_spark.operators.joins import snap_join
+
+    world = Box2(0.0, 0.0, 65536.0, 65536.0)
+    src = str(tmp_path / "snap_pts")
+    pts = spark.range(600).select(
+        F.col("id").alias("point_id"),
+        F.pmod(F.xxhash64("id"), F.lit(65536)).alias("px"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(65536)).alias("py"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)")
+        .alias("ts"))
+    pts.repartition(4).write.parquet(src)
+    batch_pts = spark.read.parquet(src)
+    segs = spark.range(150).select(
+        F.col("id").alias("seg_id"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(65536)).alias("x1"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(65536)).alias("y1"),
+    ).select(
+        "seg_id", "x1", "y1",
+        (F.col("x1") + F.pmod(F.xxhash64("seg_id", F.lit(11)), F.lit(2049))
+         - 1024).alias("x2"),
+        (F.col("y1") + F.pmod(F.xxhash64("seg_id", F.lit(13)), F.lit(2049))
+         - 1024).alias("y2"),
+    ).cache()
+    segs.count()
+
+    stream = spark.readStream.schema(
+        "point_id long, px long, py long, ts timestamp") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    # watermark wider than the data's time span: files stream in mtime
+    # order (not event order), so a tight watermark would late-drop
+    # earlier points — eviction isn't what this test verifies
+    out = CS.streaming_snap_join(stream, segs, max_d=4000, world=world,
+                                 watermark="1 hour")
+    q = out.writeStream.format("memory").queryName("snap_mem") \
+        .outputMode("update").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.table("snap_mem").toPandas()
+    got = {int(r.point_id): (int(r.seg_id), float(r.d2))
+           for r in got.itertuples()}
+    want_df = snap_join(batch_pts.drop("ts"), segs, 4000, world).toPandas()
+    want = {int(r.point_id): (int(r.seg_id), float(r.d2))
+            for r in want_df.itertuples()}
+    assert len(want) > 400  # non-trivial coverage
+    assert got == want
