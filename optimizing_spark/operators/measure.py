@@ -153,10 +153,19 @@ def union_area(
         events.withColumn("sx1", F.lead("sx0").over(wcell))
         .filter(F.col("sx1").isNotNull())
     )
+    # DISTINCT before the running-max merge: duplicate (cy0, cy1)
+    # rows don't change the union but CREATE TIES in the merge sort —
+    # and an engine that evaluates the island flag and its prefix sum
+    # in two separate sorts (DuckDB) may permute tied rows differently
+    # between them, splitting islands inconsistently (caught by the
+    # sf0.1 full sweep: 20 cells off by a sliver). Deduping makes the
+    # (cy0, cy1) order TOTAL per (cell, slab) — the same
+    # collapse-before-prefix-sum principle as temporal.peak_concurrency
     cand = (
         slabs.join(rest, ["cell_x", "cell_y"])
         .filter((F.col("cx0") <= F.col("sx0")) & (F.col("cx1") >= F.col("sx1")))
         .select("cell_x", "cell_y", "sx0", "sx1", "cy0", "cy1")
+        .distinct()
     )
     # running-max interval merge per (cell, slab)
     wslab = Window.partitionBy("cell_x", "cell_y", "sx0").orderBy("cy0", "cy1")
@@ -262,7 +271,12 @@ def union_area_sql(
                 FROM events)
             WHERE sx1 IS NOT NULL
         ), cand AS (
-            SELECT s.cell_x, s.cell_y, s.sx0, s.sx1, r.cy0, r.cy1
+            -- DISTINCT: ties in (cy0, cy1) would let the two window
+            -- sorts below permute rows differently (flag vs prefix
+            -- sum) — dedup makes the merge order total, mirroring the
+            -- Spark side
+            SELECT DISTINCT s.cell_x, s.cell_y, s.sx0, s.sx1,
+                   r.cy0, r.cy1
             FROM slabs s JOIN rest r
               ON r.cell_x = s.cell_x AND r.cell_y = s.cell_y
              AND r.cx0 <= s.sx0 AND r.cx1 >= s.sx1

@@ -158,6 +158,12 @@ def interval_union(
     multiset, so the result is engine-portable with no tiebreak rules.
 
     Returns (on, m_t0, m_t1, n_merged)."""
+    # collapse duplicate intervals to a weight FIRST: the merge sort is
+    # then a TOTAL order per key (no (_t0, _t1) ties), so an engine
+    # that evaluates the island flag and its prefix sum in two
+    # separate sorts (DuckDB) cannot permute tied rows differently
+    # between them — the same collapse-before-prefix-sum principle as
+    # peak_concurrency's boundary collapse. Counts survive as weights.
     w = Window.partitionBy(on).orderBy("_t0", "_t1")
     prevmax = F.max("_t1").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
@@ -165,7 +171,8 @@ def interval_union(
         F.col(on),
         F.col(t0).cast("long").alias("_t0"),
         F.col(t1).cast("long").alias("_t1"),
-    ).withColumn(
+    ).groupBy(on, "_t0", "_t1").agg(F.count("*").alias("_w")) \
+        .withColumn(
         "_new",
         F.when(prevmax.isNull()
                | (F.col("_t0") > prevmax + 1), 1).otherwise(0),
@@ -176,7 +183,7 @@ def interval_union(
     return (
         flagged.groupBy(on, "_grp")
         .agg(F.min("_t0").alias("m_t0"), F.max("_t1").alias("m_t1"),
-             F.count("*").alias("n_merged"))
+             F.sum("_w").alias("n_merged"))
         .select(on, "m_t0", "m_t1", "n_merged")
     )
 
@@ -188,12 +195,17 @@ def interval_union_sql(
     island flags and per-island aggregates, bit-exact BIGINT."""
     return f"""
         WITH ivals AS (
+            -- duplicates collapse to a weight FIRST so the merge sort
+            -- is a total order (no (_t0, _t1) ties between the flag
+            -- window and the prefix-sum window), mirroring Spark
             SELECT {on}, CAST({t0} AS BIGINT) AS _t0,
-                   CAST({t1} AS BIGINT) AS _t1
+                   CAST({t1} AS BIGINT) AS _t1,
+                   count(*) AS _w
             FROM ({intervals_sql})
+            GROUP BY {on}, CAST({t0} AS BIGINT), CAST({t1} AS BIGINT)
         ),
         flagged AS (
-            SELECT {on}, _t0, _t1,
+            SELECT {on}, _t0, _t1, _w,
                    CASE WHEN max(_t1) OVER (
                             PARTITION BY {on} ORDER BY _t0, _t1
                             ROWS BETWEEN UNBOUNDED PRECEDING
@@ -206,7 +218,7 @@ def interval_union_sql(
             FROM ivals
         ),
         grp AS (
-            SELECT {on}, _t0, _t1,
+            SELECT {on}, _t0, _t1, _w,
                    CAST(sum(_new) OVER (
                        PARTITION BY {on} ORDER BY _t0, _t1
                        ROWS BETWEEN UNBOUNDED PRECEDING
@@ -215,7 +227,7 @@ def interval_union_sql(
         )
         SELECT {on}, CAST(min(_t0) AS BIGINT) AS m_t0,
                CAST(max(_t1) AS BIGINT) AS m_t1,
-               count(*) AS n_merged
+               CAST(sum(_w) AS BIGINT) AS n_merged
         FROM grp GROUP BY {on}, _grp
     """
 
