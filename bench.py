@@ -1870,6 +1870,67 @@ def run_st(n: int = 20_000_000) -> dict:
     }
 
 
+def run_stscale(n: int = 24_000_000) -> dict:
+    """N -> 4N scaling for the round-5 flagship spatio-temporal pair
+    join: the SAME st_pair_join job (n events, d=256, t=3600 s) at
+    local[8] and local[32], best-of-3, with the pure-CPU host
+    calibration the raw ratio must be read against (this VM's cores
+    downclock under wide load). The north-rule criterion is >= 0.8
+    throughput scaling efficiency between the two cluster sizes."""
+    from pyspark.sql import SparkSession, functions as F
+
+    from optimizing_spark.config import Box2
+    from optimizing_spark.operators import joins
+    from optimizing_spark.session import get_spark
+
+    E, d, t, tspan = 65536, 256, 3600, 30 * 86400
+    world = Box2(0.0, 0.0, float(E), float(E))
+    lo, hi = SCALING_LEVELS
+    results = {}
+    for cores in (lo, hi):
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = get_spark(f"stscale_{cores}", cores=cores,
+                          shuffle_partitions=max(32, cores * 2))
+        ev = spark.range(n, numPartitions=cores * 2).select(
+            F.col("id").alias("event_id"),
+            ((F.col("id") * 7919 + 17) % E).alias("x"),
+            ((F.col("id") * 9973 + 31) % E).alias("y"),
+            ((F.col("id") * 104729 + 7) % tspan).alias("tsec"),
+        )
+        ev.count()  # warm input + JIT
+        iters, pairs = [], None
+        for _ in range(SCALING_REPEATS):
+            t0 = time.time()
+            pairs = joins.st_pair_join(ev, d, t, world).count()
+            iters.append(time.time() - t0)
+        best = min(iters)
+        results[cores] = {
+            "sec": round(best, 3),
+            "all_iters_sec": [round(x, 3) for x in iters],
+            "events_per_sec": round(n / best),
+            "pairs": pairs,
+        }
+        spark.stop()
+    assert results[lo]["pairs"] == results[hi]["pairs"]
+    speedup = results[lo]["sec"] / results[hi]["sec"]
+    eff = speedup / (hi / lo)
+    calib = _host_calibration((lo, hi))
+    return {
+        "metric": f"st_scaling_efficiency_{lo}_to_{hi}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "events": n,
+        "repeats": SCALING_REPEATS,
+        "per_level": results,
+        "speedup": round(speedup, 3),
+        "host_calibration": calib,
+        "efficiency_vs_attainable": round(
+            speedup / calib["attainable_speedup"], 3),
+    }
+
+
 def run_coverage(n: int = 20_000_000, keys: int = 100_000) -> dict:
     """Interval union at scale (round 5): 20M closed integer intervals
     over 100k keys (~200 intervals/key, ~37% inter-interval overlap)
@@ -2052,6 +2113,8 @@ if __name__ == "__main__":
         print(json.dumps(run_ripley()))
     elif "--traj" in sys.argv:
         print(json.dumps(run_traj()))
+    elif "--stscale" in sys.argv:
+        print(json.dumps(run_stscale()))
     elif "--coverage" in sys.argv:
         print(json.dumps(run_coverage()))
     elif "--distfield" in sys.argv:
