@@ -353,6 +353,20 @@ def q_poly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cx6.alias("cx6"), cy6.alias("cy6"))
 
 
+def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing-style quadkey tile keys (cells.quadkey, round 5): per-tile
+    object counts keyed by the base-4 STRING code at depth 6 — the
+    web-map tile-server interop encoding (parent tile = key prefix,
+    so prefix scans are subtree reads; same bit order as q_morton /
+    q_qt_assign, whose codes are already driver-gated — this is their
+    string re-encoding, so it sits at the head of the harness tail).
+    Pure JVM concat of per-level digit lookups; DuckDB twin builds
+    the identical string (cells.quadkey_sql)."""
+    o = D.objects2d(spark, sf_dir)
+    qk = C.quadkey(F.shiftright("ix", 10), F.shiftright("iy", 10), 6)
+    return o.groupBy(qk.alias("qk")).agg(F.count("*").alias("n"))
+
+
 _VALID_SWAP = (0, 4, 2, 3, 1, 5, 6, 7)  # bowtie: vertices 1 and 4 swap
 
 
@@ -3420,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (past the driver's 50-row window; harness-verified,
         #     driver-green in >= 2 prior rounds) ---
         "q_nearest": q_nearest,
+        "q_quadkey": q_quadkey,
         "q_minhash": q_minhash,
         "q_lsh_pairs": q_lsh_pairs,
         "q_embed_topk": q_embed_topk,
@@ -4203,6 +4218,12 @@ def _text_oracles() -> dict[str, str]:
                    CAST({_sl[2]} AS BIGINT) AS cy6
             FROM star
         """)(),
+        # quadkey twin — identical per-level digit concatenation
+        "q_quadkey": """
+            SELECT {qk} AS qk, count(*) AS n
+            FROM ({objs}) GROUP BY qk
+        """.format(qk=C.quadkey_sql("ix >> 10", "iy >> 10", 6),
+                   objs=D.SQL_OBJECTS),
         # validity twin — same swapped edge rows + hash-join pair test
         "q_valid": _valid_sql(),
         # distfield twin — depth-capped recursive-CTE BFS, min dist

@@ -72,6 +72,38 @@ def morton2d(ix: Column, iy: Column) -> Column:
     return _spread2(ix).bitwiseOR(F.shiftleft(_spread2(iy), 1))
 
 
+def quadkey(cell_x: Column, cell_y: Column, depth: int) -> Column:
+    """Bing-maps-style quadkey STRING for a depth-level tile: one
+    base-4 digit per level, most-significant first, digit = x_bit +
+    2*y_bit (the public Bing tile-system convention; Schwartz, MSDN
+    "Bing Maps Tile System") — the interop encoding web tile servers
+    key caches by. Same bit order as the quadtree codes (O8/O27), so
+    a tile's parent is exactly its quadkey PREFIX: dropping the last
+    digit aggregates to the parent tile, and a prefix range scan is a
+    subtree read. Pure JVM string concat of per-level lookups — no
+    UDF."""
+    digits = []
+    for level in range(depth - 1, -1, -1):
+        d = (F.shiftright(cell_x, level).bitwiseAND(F.lit(1))
+             + F.shiftleft(F.shiftright(cell_y, level)
+                           .bitwiseAND(F.lit(1)), 1))
+        digits.append(F.element_at(
+            F.array(F.lit("0"), F.lit("1"), F.lit("2"), F.lit("3")),
+            (d + 1).cast("int")))
+    return F.concat(*digits)
+
+
+def quadkey_sql(cell_x: str, cell_y: str, depth: int) -> str:
+    """DuckDB twin of quadkey — the identical per-level digit
+    concatenation over integer cell-coordinate expressions."""
+    parts = []
+    for level in range(depth - 1, -1, -1):
+        d = (f"(((({cell_x}) >> {level}) & 1)"
+             f" + ((((({cell_y}) >> {level}) & 1)) * 2))")
+        parts.append(f"CAST({d} AS VARCHAR)")
+    return " || ".join(parts)
+
+
 def morton3d(ix: Column, iy: Column, iz: Column) -> Column:
     """Interleave three (<=21-bit) integer columns; x bit 0, y bit 1,
     z bit 2 — same digit order as the octree child enum
